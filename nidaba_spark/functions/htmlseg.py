@@ -1,0 +1,188 @@
+"""DOM → block segmentation on stdlib ``html.parser``.
+
+Web-text analog of nidaba's page-segmentation phase (reference:
+nidaba/tasks/segmentation.py + nidaba/plugins/kraken.py `segmentation`,
+SURVEY.md §2A A6–A10): where nidaba cuts a page image into zones/lines,
+we cut an HTML DOM into text blocks at block-level tag boundaries and
+attach the per-block features the downstream boilerplate classifier
+(SURVEY.md §2A A11, boilerpipe-style) consumes.
+
+Backend seam: nidaba loads OCR engines through a plugin registry
+(nidaba/plugins/__init__.py `setup()` hooks). Our equivalent seam is
+this module's ``segment_html`` free function — an lxml-backed drop-in
+can be slotted in on a real cluster as long as it emits identical
+blocks (the contract below), which tests enforce for the stdlib
+backend. stdlib ``html.parser`` is used here because the sandbox has
+no lxml and it is tolerant of tag soup while remaining
+order-deterministic.
+
+Block contract (fully specifies "what a block is"):
+  * Text accumulates into the current block; a block is flushed when a
+    block-level tag opens or closes, or at end of document.
+  * ``<script>/<style>/<template>`` content and comments/CDATA/decls
+    are ignored entirely.
+  * Entity references are resolved (convert_charrefs=True).
+  * Features per block (before normalization):
+      tag          nearest enclosing block-level tag at flush time
+      depth        open-element stack depth at flush time
+      text         normalized text (textnorm.normalize_text)
+      n_chars      len(text) after normalization
+      n_words      text.split() token count
+      n_anchor_chars / n_anchor_words   portion inside <a> elements
+      n_tags       inline tags opened while the block accumulated
+      link_density n_anchor_chars / max(n_chars, 1)
+      text_density n_words / ceil(n_chars / 80)  (words per 80-char
+                   "line", the boilerpipe wrap-width convention)
+  * Empty blocks (no text after normalization) are dropped.
+  * block_id = 0..n-1 in document order.
+
+Everything is pure and deterministic: same bytes → same block list on
+any executor, any partitioning.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from html.parser import HTMLParser
+
+from .textnorm import normalize_text
+
+BLOCK_TAGS = frozenset(
+    """p div li h1 h2 h3 h4 h5 h6 td th tr ul ol table article section
+    pre blockquote header footer nav aside main body html form fieldset
+    dl dt dd figure figcaption address hr br""".split()
+)
+
+SKIP_CONTENT_TAGS = frozenset({"script", "style", "template", "noscript"})
+
+# Void elements never go on the open-element stack (no closing tag).
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+
+@dataclass
+class Block:
+    block_id: int
+    tag: str
+    depth: int
+    text: str
+    n_chars: int
+    n_words: int
+    n_anchor_chars: int
+    n_anchor_words: int
+    n_tags: int
+    link_density: float
+    text_density: float
+
+
+class _Segmenter(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.stack: list[str] = []
+        self.skip_depth = 0  # >0 while inside script/style/template
+        self.anchor_depth = 0
+        self.parts: list[str] = []  # text fragments of the current block
+        self.anchor_parts: list[str] = []
+        self.inline_tags = 0
+        self.blocks: list[Block] = []
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        raw = "".join(self.parts)
+        text = normalize_text(raw)
+        if text:
+            anchor_text = normalize_text("".join(self.anchor_parts))
+            n_chars = len(text)
+            n_words = len(text.split())
+            n_anchor_chars = len(anchor_text)
+            n_anchor_words = len(anchor_text.split())
+            enclosing = "body"
+            for t in reversed(self.stack):
+                if t in BLOCK_TAGS:
+                    enclosing = t
+                    break
+            lines = max(1, math.ceil(n_chars / 80))
+            self.blocks.append(
+                Block(
+                    block_id=len(self.blocks),
+                    tag=enclosing,
+                    depth=len(self.stack),
+                    text=text,
+                    n_chars=n_chars,
+                    n_words=n_words,
+                    n_anchor_chars=n_anchor_chars,
+                    n_anchor_words=n_anchor_words,
+                    n_tags=self.inline_tags,
+                    link_density=min(1.0, n_anchor_chars / max(n_chars, 1)),
+                    text_density=n_words / lines,
+                )
+            )
+        self.parts = []
+        self.anchor_parts = []
+        self.inline_tags = 0
+
+    # -- parser callbacks -------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_CONTENT_TAGS:
+            self.skip_depth += 1
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag not in VOID_TAGS:
+                self.stack.append(tag)
+            return
+        if tag == "a":
+            self.anchor_depth += 1
+        if not self.skip_depth:
+            self.inline_tags += 1
+        if tag not in VOID_TAGS:
+            self.stack.append(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_CONTENT_TAGS:
+            self.skip_depth = max(0, self.skip_depth - 1)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+        if tag == "a":
+            self.anchor_depth = max(0, self.anchor_depth - 1)
+        # Pop up to the matching open tag (tolerates unclosed children).
+        if tag in self.stack:
+            while self.stack:
+                popped = self.stack.pop()
+                if popped == "a" and tag != "a":
+                    self.anchor_depth = max(0, self.anchor_depth - 1)
+                if popped == tag:
+                    break
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in BLOCK_TAGS:
+            self._flush()
+        elif not self.skip_depth and tag not in SKIP_CONTENT_TAGS:
+            self.inline_tags += 1
+
+    def handle_data(self, data: str) -> None:
+        if self.skip_depth or not data:
+            return
+        self.parts.append(data)
+        if self.anchor_depth:
+            self.anchor_parts.append(data)
+
+    def close(self) -> None:  # final flush at EOF
+        super().close()
+        self._flush()
+
+
+def segment_html(body: str) -> list[Block]:
+    """Segment a decoded HTML string into feature-annotated blocks."""
+    seg = _Segmenter()
+    try:
+        seg.feed(body)
+        seg.close()
+    except Exception:
+        # html.parser is robust, but guarantee we never throw on
+        # arbitrary bytes (hypothesis-tested): keep whatever was parsed.
+        seg._flush()
+    return seg.blocks
