@@ -1,0 +1,275 @@
+"""Pipeline driver: staged DAG, salted repartition, checkpoint/resume,
+per-partition lineage + accumulator metrics.
+
+This is the Spark rendition of nidaba's ``Batch`` controller
+(reference: nidaba/nidaba.py `Batch.add_task`/`run` building a Celery
+chain of task groups; per-task state in a Redis doc via
+nidaba/tasks/helper.py `NidabaTask`; artifacts through
+nidaba/storage.py — SURVEY.md §2A A1–A2, A20–A21):
+
+  * the Celery chain        → a fixed sequence of DataFrame stage
+                              transforms (decode → segment → classify
+                              → merge)
+  * util.sync barriers      → checkpoint writes at stage boundaries
+                              (parquet dir + manifest JSON; Iceberg
+                              table appends on a real cluster)
+  * Redis batch state       → the run directory's manifests +
+                              ``_lineage`` table
+  * NidabaTask bookkeeping  → per-partition lineage rows + Spark
+                              accumulators (docs/bytes counters)
+  * storage.py atomicity    → write-to-tmp-then-rename (Iceberg
+                              snapshot commit on a real cluster)
+
+Skew handling (north_rule: "salted repartition by content-length
+bucket"): pages are repartitioned by
+``(length_bucket = floor(log2(n_bytes+1)), salt = pmod(xxhash64(url),
+nsalt))`` before the Python stages, so one mega-page bucket spreads
+over ``nsalt`` partitions instead of stalling one task. AQE stays on
+as the second line of defense.
+
+Resume (north_rule: "resumable from checkpoint"): ``run`` skips every
+stage whose manifest is already valid for this run_id and re-executes
+from the first missing one; lineage rows of completed stages are left
+untouched and re-executed stages append rows with attempt+1.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .operators.classify import classify_stage
+from .operators.decode import decode_stage
+from .operators.merge import merge_stage
+from .operators.segment import segment_stage
+
+STAGES = ["decode", "segment", "classify", "merge"]
+
+_STAGE_FN = {
+    "decode": decode_stage,
+    "segment": segment_stage,
+    "classify": classify_stage,
+    "merge": merge_stage,
+}
+
+_STAGE_SCHEMA = {
+    "decode": schemas.DECODED,
+    "segment": schemas.SEGMENTED,
+    "classify": schemas.CLASSIFIED,
+    "merge": schemas.EXTRACTED,
+}
+
+# Column whose octet_length approximates the stage's payload bytes
+# (for lineage bytes_out without a full-row serialization pass).
+_STAGE_BYTES_COL = {
+    "decode": "body",
+    "segment": "to_json(blocks)",
+    "classify": "to_json(kept)",
+    "merge": "text",
+}
+
+
+def prepare(pages: DataFrame, nsalt: int = 32, npartitions: int | None = None) -> DataFrame:
+    """Attach skew keys and repartition: the pipeline's only shuffle."""
+    df = pages.withColumn("n_bytes_raw", F.coalesce(F.octet_length("html"), F.lit(0)))
+    df = df.withColumn(
+        "length_bucket",
+        F.floor(F.log2(F.col("n_bytes_raw") + F.lit(1))).cast("int"),
+    )
+    df = df.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(nsalt)).cast("int"))
+    n = npartitions or pages.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, "length_bucket", "salt").drop("n_bytes_raw", "salt")
+
+
+def transform(pages_prepared: DataFrame, upto: str = "merge") -> DataFrame:
+    """Fused lazy composition (no checkpoints) — the bench hot path."""
+    df = pages_prepared
+    for stage in STAGES[: STAGES.index(upto) + 1]:
+        df = _STAGE_FN[stage](df)
+    return df
+
+
+def extract(pages: DataFrame, nsalt: int = 32, npartitions: int | None = None) -> DataFrame:
+    """One-call fused pipeline: pages → EXTRACTED (lazy)."""
+    return transform(prepare(pages, nsalt, npartitions))
+
+
+class Pipeline:
+    """Checkpointed, resumable runner (the spark-submit entry's engine)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        run_dir: str,
+        run_id: str = "run0",
+        nsalt: int = 32,
+        npartitions: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.run_dir = os.path.join(run_dir, f"run_id={run_id}")
+        self.run_id = run_id
+        self.nsalt = nsalt
+        self.npartitions = npartitions
+        os.makedirs(self.run_dir, exist_ok=True)
+
+    # -- checkpoint bookkeeping -------------------------------------
+    def _stage_path(self, stage: str) -> str:
+        return os.path.join(self.run_dir, f"stage={stage}")
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.run_dir, f"manifest_{stage}.json")
+
+    def manifest(self, stage: str) -> dict | None:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def is_complete(self, stage: str) -> bool:
+        m = self.manifest(stage)
+        return bool(m and m.get("status") == "ok" and os.path.isdir(self._stage_path(stage)))
+
+    def _attempts_path(self) -> str:
+        return os.path.join(self.run_dir, "attempts.json")
+
+    def _bump_attempt(self, stage: str) -> int:
+        """Monotone per-stage attempt counter. Lives outside the
+        checkpoint dirs so invalidation does not reset it (FIXTURES.md
+        §4: resumed stages must log attempt=2, not restart at 1)."""
+        attempts: dict[str, int] = {}
+        if os.path.exists(self._attempts_path()):
+            with open(self._attempts_path()) as f:
+                attempts = json.load(f)
+        attempts[stage] = attempts.get(stage, 0) + 1
+        with open(self._attempts_path(), "w") as f:
+            json.dump(attempts, f)
+        return attempts[stage]
+
+    def invalidate_from(self, stage: str) -> None:
+        """Drop checkpoints for `stage` and everything after (test/ops hook)."""
+        for s in STAGES[STAGES.index(stage):]:
+            shutil.rmtree(self._stage_path(s), ignore_errors=True)
+            try:
+                os.remove(self._manifest_path(s))
+            except FileNotFoundError:
+                pass
+
+    # -- lineage ------------------------------------------------------
+    def _lineage_dir(self) -> str:
+        d = os.path.join(self.run_dir, "_lineage")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def _append_lineage(
+        self,
+        stage: str,
+        attempt: int,
+        input_rows: int,
+        bytes_in: int,
+        started: dt.datetime,
+        finished: dt.datetime,
+    ) -> None:
+        """Aggregate the freshly written checkpoint per partition id.
+
+        Reads back only the pruned columns (_pid + the payload column),
+        so this is one cheap columnar scan per stage, not a recompute.
+        """
+        out = self.spark.read.parquet(self._stage_path(stage))
+        rows = (
+            out.groupBy(F.col("_pid").alias("partition_id"))
+            .agg(
+                F.count(F.lit(1)).alias("output_rows"),
+                F.coalesce(
+                    F.sum(F.octet_length(F.expr(_STAGE_BYTES_COL[stage]))), F.lit(0)
+                ).alias("bytes_out"),
+            )
+            .collect()
+        )
+        lineage = [
+            {
+                "run_id": self.run_id,
+                "stage": stage,
+                "partition_id": r["partition_id"],
+                "input_rows": input_rows,
+                "output_rows": r["output_rows"],
+                "bytes_in": bytes_in,
+                "bytes_out": r["bytes_out"],
+                "started": started,
+                "finished": finished,
+                "attempt": attempt,
+                "status": "ok",
+            }
+            for r in rows
+        ]
+        self.spark.createDataFrame(lineage, schema=schemas.LINEAGE).coalesce(1).write.mode(
+            "append"
+        ).parquet(self._lineage_dir())
+
+    def lineage(self) -> DataFrame:
+        return self.spark.read.schema(schemas.LINEAGE).parquet(self._lineage_dir())
+
+    # -- execution ----------------------------------------------------
+    def _write_checkpoint(self, df: DataFrame, stage: str) -> None:
+        final = self._stage_path(stage)
+        tmp = final + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        df.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)  # atomic stage commit (Iceberg snapshot analog)
+
+    def run(self, pages: DataFrame, resume: bool = True) -> DataFrame:
+        """Execute all stages with checkpoints; returns the extracted DF."""
+        if not resume:
+            self.invalidate_from(STAGES[0])
+
+        # metrics accumulators (nidaba's per-task stats analog)
+        sc = self.spark.sparkContext
+        acc_docs = sc.accumulator(0)
+
+        prev_df: DataFrame | None = None
+        prev_rows = 0
+        prev_bytes = 0
+        for i, stage in enumerate(STAGES):
+            if resume and self.is_complete(stage):
+                continue
+            # input = previous checkpoint (or raw pages for stage 0)
+            if i == 0:
+                inp = prepare(pages, self.nsalt, self.npartitions)
+            else:
+                if not self.is_complete(STAGES[i - 1]):
+                    raise RuntimeError(f"stage {STAGES[i-1]} incomplete; cannot run {stage}")
+                inp = self.spark.read.schema(_STAGE_SCHEMA[STAGES[i - 1]]).parquet(
+                    self._stage_path(STAGES[i - 1])
+                )
+            attempt = self._bump_attempt(stage)
+            started = dt.datetime.now(dt.timezone.utc)
+            out = _STAGE_FN[stage](inp)
+            self._write_checkpoint(out, stage)
+            finished = dt.datetime.now(dt.timezone.utc)
+            prev_m = self.manifest(STAGES[i - 1]) if i > 0 else None
+            input_rows = prev_m["rows"] if prev_m else -1
+            self._append_lineage(stage, attempt, input_rows, prev_bytes, started, finished)
+            n_rows = self.spark.read.parquet(self._stage_path(stage)).count()
+            acc_docs.add(n_rows)
+            with open(self._manifest_path(stage), "w") as f:
+                json.dump(
+                    {
+                        "run_id": self.run_id,
+                        "stage": stage,
+                        "status": "ok",
+                        "attempt": attempt,
+                        "rows": n_rows,
+                        "started": started.isoformat(),
+                        "finished": finished.isoformat(),
+                    },
+                    f,
+                )
+            prev_rows, prev_bytes = n_rows, 0
+        return self.spark.read.schema(schemas.EXTRACTED).parquet(self._stage_path("merge"))

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Settings rationale (SURVEY.md §4.3):
+  * Arrow batches capped small (256 rows) because pages carry multi-MB
+    ``html`` blobs — a default 10k-row batch could pin gigabytes per
+    Python worker.
+  * AQE on: coalesces small shuffle partitions and splits skewed ones
+    (second line of defense behind our explicit length-bucket salting).
+  * UTC session timezone so DuckDB oracle comparisons are stable.
+  * shuffle.partitions ~ cores for local runs; a real cluster submit
+    overrides via spark-submit --conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app: str = "nidaba-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "16g",
+) -> SparkSession:
+    n = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to a session we did not create
+    (e.g. the driver harness's); JVM-start-only confs are skipped."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+    return spark

@@ -1,0 +1,82 @@
+"""Golden end-to-end + invariance suites (SURVEY.md §5.2.1/2).
+
+Gate: byte-identical extracted text per url vs the single-threaded
+oracle (BASELINE.json north_rule), spans slice back exactly, and the
+output is invariant to partition count / salt count.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nidaba_spark import pipeline
+
+
+def _collect(ext_df):
+    return {
+        r["url"]: (
+            r["text"],
+            [(s["block_id"], s["start"], s["end"], s["kind"]) for s in r["spans"]],
+        )
+        for r in ext_df.collect()
+    }
+
+
+@pytest.fixture(scope="module")
+def extracted(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    return _collect(pipeline.extract(pages))
+
+
+def test_byte_identical_text_per_url(extracted, golden):
+    assert set(extracted) == set(golden)
+    mismatches = [u for u in golden if extracted[u][0] != golden[u][0]]
+    assert mismatches == [], f"{len(mismatches)} urls differ, e.g. {mismatches[:3]}"
+
+
+def test_spans_match_golden(extracted, golden):
+    mismatches = [u for u in golden if extracted[u][1] != golden[u][1]]
+    assert mismatches == []
+
+
+def test_spans_slice_back(extracted):
+    for url, (text, spans) in extracted.items():
+        tb = text.encode("utf-8")
+        prev_end = 0
+        for i, (_bid, start, end, kind) in enumerate(spans):
+            assert 0 <= start <= end <= len(tb), (url, start, end)
+            if i > 0:
+                assert start == prev_end + 2  # the '\n\n' separator
+            piece = tb[start:end].decode("utf-8")
+            assert piece and piece == piece.strip(), url
+            prev_end = end
+        if spans:
+            assert prev_end == len(tb)
+
+
+def test_edge_variants_present_and_handled(extracted, golden, corpus_rows):
+    from nidaba_spark.corpus import variant
+
+    by_var = {}
+    for k, r in enumerate(corpus_rows):
+        by_var.setdefault(variant(k), []).append(r["url"])
+    # the smoke corpus covers every edge class
+    assert {"zero", "emptybody", "mega", "pdf2col", "pdf", "broken",
+            "scriptwrap", "nestedboiler", "normal"} <= set(by_var)
+    for var, urls in by_var.items():
+        for u in urls:
+            assert extracted[u][0] == golden[u][0], (var, u)
+
+
+@pytest.mark.parametrize("npartitions,nsalt", [(1, 1), (7, 4), (32, 32)])
+def test_partitioning_invariance(spark, pages_path, golden, npartitions, nsalt):
+    pages = spark.read.parquet(pages_path)
+    got = _collect(pipeline.extract(pages, nsalt=nsalt, npartitions=npartitions))
+    assert all(got[u] == golden[u] for u in golden)
+
+
+def test_staged_equals_fused(spark, pages_path, tmp_path, golden):
+    pages = spark.read.parquet(pages_path)
+    p = pipeline.Pipeline(spark, str(tmp_path), run_id="eq")
+    got = _collect(p.run(pages).select("url", "text", "spans"))
+    assert all(got[u] == golden[u] for u in golden)
