@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()     — flagship extraction pipeline on sf0.001.
+queries()   — every implemented operator from SURVEY.md §2 (relational
+              substrate + training-data ops + pipeline flagship).
+oracle_sql()— DuckDB mirrors for each SQL-expressible query; omitted
+              keys (minhash/simhash/ann_lsh/lang_id/sampling/approx/
+              media_features) are rows-only by design.
 """
 
 from __future__ import annotations
@@ -13,26 +14,43 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _q() -> tuple[dict, dict]:
+    from nidaba_spark.plans import relational, trainingdata
+
+    queries = {**relational.QUERIES, **trainingdata.QUERIES}
+    oracles = {**relational.ORACLE, **trainingdata.ORACLE}
+    return queries, oracles
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from nidaba_spark.plans.trainingdata import q_extract_documents
+    from nidaba_spark.session import tune_session
+
+    tune_session(spark)
+    return q_extract_documents(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from nidaba_spark.session import tune_session
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    qs, _ = _q()
+
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in qs.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL mirrors (same aliases as the Spark side)."""
+    _, oracles = _q()
+    return dict(oracles)

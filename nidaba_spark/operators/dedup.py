@@ -1,0 +1,266 @@
+"""Deduplication operators over a document corpus.
+
+Training-data-pipeline components (driver instruction: first-class
+alongside the extraction stages). nidaba has no dedup, but its merge
+phase's alignment math (reference: nidaba/algorithms/median.py
+approximate string median, nidaba/algorithms/string.py edit distance)
+is the same family of similarity computation; here it is re-expressed
+at corpus scale as Spark set-similarity joins.
+
+Scale notes (100 TB story):
+  * exact_dedup — one hash aggregation; Spark does partial (map-side)
+    aggregation automatically, and comparing 64-bit xxhash64 keys
+    instead of full texts keeps shuffle rows tiny. Keep-lowest-id is
+    an explicit min(), never dropDuplicates (nondeterministic under
+    partitioning — SURVEY.md §4.3.5).
+  * ngram-Jaccard — token-postings self-join. The classic trick:
+    drop tokens that appear in > df_cap documents (stop-postings)
+    before the join so the postings-list join stays near-linear;
+    candidate pairs then verified exactly.
+  * minhash_lsh — shingle → K minhashes → B bands; band-hash groupBy
+    (shuffle on short band keys only); pairs verified with exact
+    Jaccard. This is the sub-quadratic path at 10^9+ docs.
+  * simhash — 64-bit sign-aggregated token hashes entirely in Column
+    expressions; near-dup = popcount(xor) <= k via bit_count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+def _shl(col, n):
+    """shiftleft with a Column bit count (the pyspark wrapper only takes int)."""
+    return F.call_function("shiftleft", col, n if isinstance(n, Column) else F.lit(n))
+
+
+def _shr(col, n):
+    return F.call_function("shiftright", col, n if isinstance(n, Column) else F.lit(n))
+
+
+TOKEN_RE = r"[a-z0-9]+"
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased word tokens (deterministic regex tokenizer)."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per identical text (hash-groupBy)."""
+    return (
+        docs.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dupes"),
+        )
+        .select("keep_id", "n_dupes")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard similar pairs via a postings self-join.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
+    jaccard rounded to 6 places (stable vs the DuckDB oracle).
+    """
+    toks = (
+        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"))
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    if df_cap is not None:
+        rare = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap)
+        toks = toks.join(F.broadcast(rare.select("tok")), "tok")
+    a = toks.alias("a")
+    b = toks.alias("b")
+    shared = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _shingles(text: Column, k: int) -> Column:
+    """Distinct k-word shingles as strings."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )).otherwise(F.when(n > 0, F.array(F.array_join(toks, " "))).otherwise(F.array()))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, sig: array<bigint>) — K minhashes over word shingles.
+
+    Hash family: xxhash64(shingle, seed=j) for j in 0..K-1 — JVM-side,
+    vectorized; min per seed via higher-order array_min over transform.
+    """
+    sh = F.col("shingles")
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_k).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select("id", sig.alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash LSH, verified with exact Jaccard.
+
+    bands must divide num_hashes; rows-per-band r = K/B sets the LSH
+    S-curve (collision prob ≈ 1-(1-s^r)^B).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_k, text_col, id_col)
+    band_rows = sigs.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(F.array_join(F.slice(F.col("sig"), b * r + 1, r), ",")).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    cand = (
+        band_rows.alias("x")
+        .join(
+            band_rows.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verification on candidates only
+    sh = docs.select(
+        F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    verified = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_col(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of the token multiset, pure Column expressions.
+
+    bit i of the result = 1 iff sum over tokens of sign(bit i of
+    xxhash64(token)) is positive.
+    """
+    toks = tokens_col(text)
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    vote = F.transform(
+        bit_idx,
+        lambda i: F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc
+            + F.when(_shr(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(vote, bit_idx, lambda v, i: F.when(v > 0, _shl(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Blocking: 4 x 16-bit chunks — by pigeonhole, any pair within
+    hamming distance 3 shares at least one exact chunk, so the join is
+    on chunk equality (linear-ish), then verified with bit_count(xor).
+    """
+    sh = docs.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sim"))
+    chunks = sh.select(
+        "id",
+        "sim",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda c: F.struct(
+                    c.alias("chunk"),
+                    _shr(F.col("sim"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                ),
+            )
+        ).alias("ck"),
+    ).select("id", "sim", "ck.chunk", "ck.key")
+    pairs = (
+        chunks.alias("x")
+        .join(
+            chunks.alias("y"),
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.sim").bitwiseXOR(F.col("y.sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

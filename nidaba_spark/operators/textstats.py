@@ -1,0 +1,146 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+Training-data-pipeline components (driver instruction). The
+quality/token/fingerprint operators are pure Column expressions
+(codegen'd, oracle-checkable in DuckDB); language-ID is a
+character-n-gram profile scorer in an Arrow-batched pandas UDF (the
+canonical heuristic needs per-string trigram loops — the one place
+Python earns its keep, and it is vectorized per batch).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+STOPWORDS = (
+    "the a of and to in is it for on as at by an be this that with "
+    "or are was not from have has but"
+).split()
+
+# Tiny deterministic trigram/stopword profiles per language. With no
+# external models in the sandbox these are hand-rolled marker sets —
+# the operator's *shape* (profile broadcast + batch scoring) is the
+# real deliverable; swap profiles for fastText-style models on a
+# cluster.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "ing", " th", "of "),
+    "fr": ("le ", "la ", "et ", "les", "de "),
+    "es": ("el ", "los", "que", "de ", "ión"),
+    "de": ("der", "die", "und", "ein", "sch"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != F.lit("")))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish subword count: word-pieces + digits + punctuation runs
+    (GPT-2-style pre-tokenizer regex, simplified)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+    )
+
+
+def quality_features(text: Column) -> list[Column]:
+    """Length / punctuation / stopword-ratio quality features."""
+    n_chars = F.length(text)
+    words = F.filter(F.split(F.lower(text), r"[^a-z0-9']+"), lambda t: t != F.lit(""))
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*[F.lit(s) for s in STOPWORDS])))
+    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?'\"\-]", ""))
+    sum_word_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_word_len = F.when(n_words > 0, F.round(sum_word_len / n_words, 4)).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, F.round(n_stop / n_words, 4)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 4)).otherwise(F.lit(0.0))
+    return [
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_word_len.alias("mean_word_len"),
+    ]
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic quality score: long enough, low punctuation
+    noise, some stopword mass (Gopher-rules-style shallow features)."""
+    n_chars = F.length(text)
+    words = F.filter(F.split(F.lower(text), r"[^a-z0-9']+"), lambda t: t != F.lit(""))
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*[F.lit(s) for s in STOPWORDS])))
+    len_term = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+    stop_term = F.least(
+        (F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))) * 5.0, F.lit(1.0)
+    )
+    punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?'\"\-]", ""))
+    punct_term = F.lit(1.0) - F.least(
+        F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)) * 5.0, F.lit(1.0)
+    )
+    return F.round((len_term + stop_term + punct_term) / 3.0, 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Order-sensitive rolling document fingerprint.
+
+    fp = (Σ_i hex16(md5(word_i)[:4]) * i) mod (2^31 - 1), i 1-based —
+    chosen (over xxhash64) because md5 exists in both Spark and DuckDB,
+    making the operator oracle-checkable end-to-end (4 hex chars keep
+    the DuckDB mirror's hex-parse lambda small).
+    """
+    words = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
+    m = F.lit(2147483647).cast("long")
+    return F.aggregate(
+        F.zip_with(
+            words,
+            F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1))),
+            lambda w, i: F.pmod(
+                F.conv(F.substring(F.md5(w), 1, 4), 16, 10).cast("long") * i.cast("long"), m
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: F.pmod(acc + v, m),
+    )
+
+
+_LANG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("lang_pred", T.StringType()),
+        T.StructField("lang_conf", T.DoubleType()),
+    ]
+)
+
+
+def _lang_id_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    markers = {lang: tuple(ms) for lang, ms in LANG_MARKERS.items()}
+    for pdf in batches:
+        preds, confs = [], []
+        for text in pdf["text"]:
+            s = (text or "").lower()
+            scores = {
+                lang: sum(s.count(m) for m in ms) for lang, ms in markers.items()
+            }
+            total = sum(scores.values())
+            # deterministic argmax: score desc, lang name asc
+            best = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            preds.append(best[0] if total else "und")
+            confs.append(round(best[1] / total, 4) if total else 0.0)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang_pred": preds, "lang_conf": confs}
+        )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Character-n-gram language ID (Arrow-batched; rows-only oracle)."""
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(_lang_id_batches, schema=_LANG_SCHEMA)

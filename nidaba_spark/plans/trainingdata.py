@@ -1,0 +1,289 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing, streaming ingest, and the flagship
+extraction query — with DuckDB oracles where SQL can express them.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, multimodal, similarity, textstats
+from ..sources.tables import load
+
+ORACLE: dict[str, str] = {}
+
+_WORDS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')"
+
+
+# ------------------------------------------------------------- dedup: exact
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.exact_dedup(load(spark, sf, "documents"))
+
+
+ORACLE["dedup_exact"] = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY text
+"""
+
+
+# ---------------------------------------------------- dedup: n-gram Jaccard
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=0.4)
+
+
+ORACLE["dedup_ngram_jaccard"] = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))) AS tok
+  FROM documents),
+sizes AS (SELECT id, count(*) AS n_tok FROM toks GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(n_shared / (sa.n_tok + sb.n_tok - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(n_shared / (sa.n_tok + sb.n_tok - n_shared), 6) >= 0.4
+"""
+
+
+# -------------------------------------------------- dedup: MinHash LSH (rows-only)
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(load(spark, sf, "documents"), threshold=0.4)
+
+
+# ---------------------------------------------------- dedup: SimHash (rows-only)
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return dedup.simhash_pairs(load(spark, sf, "documents"), max_hamming=3)
+
+
+# --------------------------------------------------------- similarity: ANN
+def q_ann_brute_force(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+ORACLE["ann_brute_force"] = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id, round(s, 6) AS sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.lsh_topk(emb, queries, k=5)
+
+
+# -------------------------------------------------------------- text stats
+def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        *textstats.quality_features(text),
+        textstats.quality_score(text).alias("quality"),
+    )
+
+
+_STOPLIST_SQL = "[" + ", ".join(f"'{s}'" for s in textstats.STOPWORDS) + "]"
+
+ORACLE["doc_quality"] = f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != '') AS words
+  FROM documents),
+f AS (
+  SELECT doc_id, text, words,
+         length(text) AS n_chars,
+         len(words) AS n_words,
+         len(list_filter(words, x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop,
+         length(regexp_replace(text, '[^\\.,;:!\\?''"-]', '', 'g')) AS n_punct,
+         list_sum(list_transform(words, x -> length(x))) AS sum_wl
+  FROM w)
+SELECT doc_id, n_chars, n_words,
+       CASE WHEN n_words > 0 THEN round(n_stop / n_words, 4) ELSE 0.0 END AS stop_ratio,
+       CASE WHEN n_chars > 0 THEN round(n_punct / n_chars, 4) ELSE 0.0 END AS punct_ratio,
+       CASE WHEN n_words > 0 THEN round(sum_wl / n_words, 4) ELSE 0.0 END AS mean_word_len,
+       round((least(n_words / 100.0, 1.0)
+            + least((CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END) * 5.0, 1.0)
+            + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5.0, 1.0)))
+            / 3.0, 4) AS quality
+FROM f
+"""
+
+
+def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        textstats.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+ORACLE["token_counts"] = """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t != '')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
+
+
+ORACLE["doc_fingerprint"] = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+SELECT doc_id,
+       CAST(coalesce(list_sum(list_transform(range(1, len(words) + 1), i ->
+            (list_sum(list_transform(range(1, 5), j ->
+              (strpos('0123456789abcdef', substr(md5(words[i]), j, 1)) - 1)
+              * (1 << (4 * (4 - j))))) * i) % 2147483647)), 0) % 2147483647 AS BIGINT) AS fp
+FROM w
+"""
+
+
+def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched n-gram language ID (rows-only oracle)."""
+    return textstats.lang_id(load(spark, sf, "documents"))
+
+
+# -------------------------------------------------------------- multimodal
+def q_media_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    media = multimodal.synthesize_media(load(spark, sf, "documents"))
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "n_bytes", "sha")
+
+
+ORACLE["media_metadata"] = """
+SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha
+FROM documents
+"""
+
+
+def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Full feature vectors from the stubbed decoder (rows-only oracle)."""
+    media = multimodal.synthesize_media(load(spark, sf, "documents"))
+    return multimodal.extract_features(media)
+
+
+# ------------------------------------------------------------- streaming
+def q_stream_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming ingest (availableNow) with watermarked
+    stateful dedup, then hourly rollup of the ingested table.
+
+    Exercises B45/B46/B49; the oracle is the batch equivalent because
+    replaying the whole file in one availableNow run drops nothing.
+    """
+    from ..streaming.events import ingest_events_stream
+
+    batch_schema = load(spark, sf, "events").schema
+    out_dir = ingest_events_stream(
+        spark, os.path.join(sf, "events.parquet"), batch_schema,
+        tempfile.mkdtemp(prefix="nidaba_stream_")
+    )
+    ingested = spark.read.schema(batch_schema).parquet(out_dir)
+    return (
+        ingested.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+ORACLE["stream_events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------- flagship extraction
+def q_extract_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Flagship: synthesize Common-Crawl-style pages around the
+    documents corpus (boilerplate nav/sidebar/footer + the doc text as
+    the content block), run the FULL extraction pipeline, return the
+    extracted text per doc.
+
+    The oracle is expressible because the synthesized page's main
+    content is exactly the document text: whether the classifier keeps
+    the content block or routes through the crawler-text fallback, the
+    extracted text equals the whitespace-normalized document text.
+    """
+    from .. import pipeline
+
+    docs = load(spark, sf, "documents")
+    html = F.concat(
+        F.lit(
+            "<!DOCTYPE html><html><head><meta charset=\"utf-8\"><title>doc</title></head>"
+            "<body><nav><ul><li><a href=\"/home\">home</a></li><li><a href=\"/about\">about</a></li>"
+            "<li><a href=\"/blog\">blog</a></li></ul></nav><article><p>"
+        ),
+        F.col("text"),
+        F.lit(
+            "</p></article><aside><div class=\"ad\"><a href=\"/x\">deal now</a></div></aside>"
+            "<footer><p>© 2024 example inc</p><div><a href=\"/a\">a</a> <a href=\"/b\">b</a></div>"
+            "</footer></body></html>"
+        ),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    ext = pipeline.extract(pages)
+    return ext.select(
+        F.substring("url", 7, 100).cast("bigint").alias("doc_id"),
+        F.col("text").alias("extracted_text"),
+    )
+
+
+ORACLE["extract_documents"] = r"""
+SELECT doc_id, trim(regexp_replace(text, '[ \t\r\n\v\f]+', ' ', 'g')) AS extracted_text
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "ann_brute_force": q_ann_brute_force,
+    "ann_lsh": q_ann_lsh,
+    "doc_quality": q_doc_quality,
+    "token_counts": q_token_counts,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_id": q_lang_id,
+    "media_metadata": q_media_metadata,
+    "media_features": q_media_features,
+    "stream_events_hourly": q_stream_events_hourly,
+    "extract_documents": q_extract_documents,
+}

@@ -1,0 +1,92 @@
+"""Structured Streaming ingest (SURVEY.md §2B B45–B50).
+
+The web-scale story: incremental crawl ingest — new WARC drops land as
+files, `readStream` picks them up, watermarked stateful dedup
+guarantees exactly-once per url/event, `availableNow` triggers batch
+catch-up runs, and the sink append is atomic per micro-batch. The
+sandbox exercises the same code path on the events table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_stream_dir(source_path: str, work_dir: str) -> str:
+    """The file stream source requires a directory; stage single parquet
+    files into one (the 'crawl drop folder' shape a cluster would use)."""
+    if os.path.isdir(source_path):
+        return source_path
+    src = os.path.join(work_dir, "src")
+    os.makedirs(src, exist_ok=True)
+    os.symlink(os.path.abspath(source_path), os.path.join(src, os.path.basename(source_path)))
+    return src
+
+
+def ingest_events_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    work_dir: str,
+    watermark: str = "10 minutes",
+) -> str:
+    """readStream(parquet) → watermark → stateful dedup → parquet sink.
+
+    Returns the output directory. Uses trigger(availableNow=True) so
+    the call is a bounded catch-up run (the batch-mode stand-in for a
+    continuous cluster job).
+    """
+    out_dir = os.path.join(work_dir, "out")
+    ckpt = os.path.join(work_dir, "ckpt")
+    source_path = _as_stream_dir(source_path, work_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_dir
+
+
+def hourly_event_counts_stream(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    work_dir: str,
+) -> DataFrame:
+    """Tumbling-window aggregation in the stream itself (B47), complete
+    mode into a memory sink — used by tests to exercise windowed
+    stateful aggregation (the driver-checked query uses the
+    ingest-then-batch-rollup path instead)."""
+    name = "hourly_counts_" + os.path.basename(work_dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(source_path)
+        .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", "10 minutes")
+        .groupBy(F.window("ts_tz", "1 hour"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
