@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set = the extraction pipeline on the bench-scale synthetic
+pages corpus (the engine's reason to exist) + representative
+relational / training-data queries at $SPARK_GRAFT_SF_DIR.
+
+Timing excludes JVM/session startup and corpus generation: each query
+is timed action-only (BASELINE.md note). Extra keys (docs_per_sec,
+gb_per_hour, rows) ride along for BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nidaba_spark import benchcorpus, pipeline  # noqa: E402
+from nidaba_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("NIDABA_BENCH_ROWS", "50000"))
+CACHE_DIR = os.environ.get(
+    "NIDABA_BENCH_CACHE", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+)
+
+RELATIONAL_HEADLINERS = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "ann_brute_force",
+    "doc_quality",
+]
+
+
+def time_action(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    spark = get_spark(app="nidaba-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path = benchcorpus.ensure_corpus(spark, BENCH_ROWS, CACHE_DIR)
+    pages = benchcorpus.load_pages(spark, BENCH_ROWS, CACHE_DIR)
+    in_bytes = pages.select(F.sum(F.octet_length("html")).alias("b")).collect()[0]["b"]
+
+    queries: dict[str, float] = {}
+
+    # -- headline: full extraction pipeline (fused, shuffle = 1 salted repart)
+    def run_pipeline():
+        ext = pipeline.extract(pages, nsalt=32, npartitions=CPUS * 2)
+        ext.select(
+            F.sum(F.octet_length("text")), F.count(F.lit(1))
+        ).collect()
+
+    # warm-up once (JIT/codegen, python worker pool), then timed run
+    run_pipeline()
+    t_pipeline = time_action(run_pipeline)
+    queries["pipeline_extract"] = t_pipeline
+
+    # -- relational / training-data headliners on SF_DIR
+    from nidaba_spark.plans import relational, trainingdata
+
+    all_q = {**relational.QUERIES, **trainingdata.QUERIES}
+    for name in RELATIONAL_HEADLINERS:
+        fn = all_q[name]
+        df = fn(spark, SF_DIR)
+        queries[name] = time_action(lambda d=df: d.collect())
+
+    total = round(sum(queries.values()), 3)
+    docs_per_sec = round(BENCH_ROWS / t_pipeline, 1)
+    gb_per_hour = round(in_bytes / 1e9 / (t_pipeline / 3600.0), 2)
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(m.group(1)) if m else None,
+                "bench_rows": BENCH_ROWS,
+                "pipeline_docs_per_sec": docs_per_sec,
+                "pipeline_gb_per_hour": gb_per_hour,
+                "pipeline_input_bytes": in_bytes,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -72,7 +72,8 @@ def hourly_event_counts_stream(
     mode into a memory sink — used by tests to exercise windowed
     stateful aggregation (the driver-checked query uses the
     ingest-then-batch-rollup path instead)."""
-    name = "hourly_counts_" + os.path.basename(work_dir)
+    name = "hourly_counts_" + os.path.basename(work_dir).replace("-", "_")
+    source_path = _as_stream_dir(source_path, work_dir)
     stream = (
         spark.readStream.schema(schema)
         .parquet(source_path)
