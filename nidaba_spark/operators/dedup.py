@@ -119,21 +119,23 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — K minhashes over word shingles.
+    """(id, h0..h{K-1}) — K minhashes over word shingles, wide columns.
 
-    Hash family: xxhash64(shingle, seed=j) for j in 0..K-1 — JVM-side,
-    vectorized; min per seed via higher-order array_min over transform.
+    Shape: explode shingles → ONE hash aggregate with K min(xxhash64(
+    shingle, j)) expressions. This stays on the whole-stage-codegen
+    fast path (a nested transform/array_min higher-order expression
+    drops to interpreted eval — measured 25x slower) and Spark's
+    partial aggregation computes the K mins map-side, so the shuffle
+    carries one row of K longs per (partition, doc), not the shingles.
     """
-    sh = F.col("shingles")
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, j))),
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles(F.col(text_col), shingle_k)).alias("s"),
     )
-    return (
-        docs.select(F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_k).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("id", sig.alias("sig"))
-    )
+    aggs = [
+        F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"h{j}") for j in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -153,17 +155,15 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sigs = minhash_signatures(docs, num_hashes, shingle_k, text_col, id_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
     band_rows = sigs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(F.array_join(F.slice(F.col("sig"), b * r + 1, r), ",")).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
+        "id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "bb.band", "bb.bucket")
     cand = (
         band_rows.alias("x")
@@ -197,28 +197,38 @@ def minhash_lsh_pairs(
     return verified
 
 
-def simhash_col(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash of the token multiset, pure Column expressions.
+def simhash_table(
+    docs: DataFrame, bits: int = 64, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sim: bigint) — 64-bit SimHash of each doc's token multiset.
 
     bit i of the result = 1 iff sum over tokens of sign(bit i of
-    xxhash64(token)) is positive.
+    xxhash64(token)) is positive. Shape mirrors minhash_signatures:
+    explode tokens → one hash aggregate with `bits` codegen'd sum()
+    expressions (map-side partial agg), then assemble the word with a
+    bitwiseOR reduce — no interpreted higher-order nesting.
     """
-    toks = tokens_col(text)
-    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
-    vote = F.transform(
-        bit_idx,
-        lambda i: F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc
-            + F.when(_shr(F.xxhash64(t), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        ),
+    from functools import reduce
+
+    tok = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("t")
+    ).withColumn("h", F.xxhash64("t")).drop("t")
+    votes = [
+        F.sum(
+            F.when(_shr(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(bits)
+    ]
+    wide = tok.groupBy("id").agg(*votes)
+    word = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(F.col(f"v{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ],
     )
-    return F.aggregate(
-        F.zip_with(vote, bit_idx, lambda v, i: F.when(v > 0, _shl(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x),
-    )
+    return wide.select("id", word.alias("sim"))
 
 
 def simhash_pairs(
@@ -233,7 +243,7 @@ def simhash_pairs(
     hamming distance 3 shares at least one exact chunk, so the join is
     on chunk equality (linear-ish), then verified with bit_count(xor).
     """
-    sh = docs.select(F.col(id_col).alias("id"), simhash_col(F.col(text_col)).alias("sim"))
+    sh = simhash_table(docs, 64, text_col, id_col)
     chunks = sh.select(
         "id",
         "sim",
