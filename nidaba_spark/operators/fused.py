@@ -1,0 +1,90 @@
+"""Fused single-pass extraction: decode+segment+classify+merge in ONE
+Arrow-batched mapInPandas stage.
+
+Why this exists (SURVEY.md §4.3 fallback note): Spark's higher-order
+lambda expressions (transform/filter/aggregate) are CodegenFallback —
+interpreted, not whole-stage-codegen'd. Profiling at 50k pages showed
+the JVM classify+merge projections costing ~2x the Python parse
+stages. Fusing the whole per-document computation into one
+mapInPandas (a) removes two JVM↔Python Arrow round-trips of the
+full corpus, (b) replaces interpreted array expressions with plain
+Python arithmetic that is trivial next to the HTML parse, and (c)
+keeps the pipeline's shuffle count at one (the salted repartition).
+
+The per-document computation is nidaba_spark.oracle.extract — the
+specification itself — so this path is byte-identical to the staged
+JVM path BY CONSTRUCTION on the oracle side, and the golden e2e test
+pins the staged path to the same bytes.
+
+Use: hot path for bulk runs (bench, extract()); the staged operators
+remain the checkpoint/resume path where stage boundaries are the
+point.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .. import schemas
+from ..functions.pdfx import is_pdfx
+from ..oracle import extract as oracle_extract
+from .merge import STAGE_VER
+
+
+def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf in batches:
+        texts: list[str] = []
+        spans_col: list[list[dict]] = []
+        doctypes: list[str] = []
+        n_kept: list[int] = []
+        n_dropped: list[int] = []
+        for raw, crawler_text in zip(pdf["html"], pdf["text"]):
+            raw = bytes(raw) if raw is not None else b""
+            if not raw:
+                doctype = "empty"
+            elif is_pdfx(raw):
+                doctype = "pdf"
+            else:
+                doctype = "html"
+            text, spans = oracle_extract(
+                raw, crawler_text if isinstance(crawler_text, str) else None
+            )
+            texts.append(text)
+            spans_col.append([vars(s) for s in spans])
+            doctypes.append(doctype)
+            n_kept.append(len(spans))
+            n_dropped.append(0)  # not tracked on the fused path (see docstring)
+        out = pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "lang": pdf["lang"],
+                "doctype": doctypes,
+                "text": texts,
+                "spans": spans_col,
+                "n_blocks_kept": pd.Series(n_kept, dtype="int32"),
+                "n_blocks_dropped": pd.Series(n_dropped, dtype="int32"),
+                "stage_ver": STAGE_VER,
+                "_pid": pd.Series([pid] * len(pdf), dtype="int32"),
+            }
+        )
+        yield out
+
+
+def fused_extract_stage(pages_prepared: DataFrame) -> DataFrame:
+    """prepared pages → EXTRACTED in one Arrow-batched pass.
+
+    Note: n_blocks_dropped is not tracked on this path (it would
+    require keeping the full block list); the staged path reports it.
+    """
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    return pages_prepared.select(*cols).mapInPandas(
+        _fused_batches, schema=schemas.EXTRACTED
+    )

@@ -95,9 +95,26 @@ def transform(pages_prepared: DataFrame, upto: str = "merge") -> DataFrame:
     return df
 
 
-def extract(pages: DataFrame, nsalt: int = 32, npartitions: int | None = None) -> DataFrame:
-    """One-call fused pipeline: pages → EXTRACTED (lazy)."""
-    return transform(prepare(pages, nsalt, npartitions))
+def extract(
+    pages: DataFrame,
+    nsalt: int = 32,
+    npartitions: int | None = None,
+    mode: str = "fused",
+) -> DataFrame:
+    """One-call pipeline: pages → EXTRACTED (lazy).
+
+    mode='fused'  — single mapInPandas pass (operators/fused.py), the
+                    bulk-throughput hot path;
+    mode='staged' — the four composable stage transforms (what the
+                    checkpointed Pipeline runs). Byte-identical outputs
+                    (golden + equivalence tests).
+    """
+    prepared = prepare(pages, nsalt, npartitions)
+    if mode == "fused":
+        from .operators.fused import fused_extract_stage
+
+        return fused_extract_stage(prepared)
+    return transform(prepared)
 
 
 class Pipeline:

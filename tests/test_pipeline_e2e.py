@@ -68,11 +68,23 @@ def test_edge_variants_present_and_handled(extracted, golden, corpus_rows):
             assert extracted[u][0] == golden[u][0], (var, u)
 
 
-@pytest.mark.parametrize("npartitions,nsalt", [(1, 1), (7, 4), (32, 32)])
-def test_partitioning_invariance(spark, pages_path, golden, npartitions, nsalt):
+@pytest.mark.parametrize(
+    "npartitions,nsalt,mode",
+    [(1, 1, "fused"), (7, 4, "staged"), (32, 32, "fused")],
+)
+def test_partitioning_invariance(spark, pages_path, golden, npartitions, nsalt, mode):
     pages = spark.read.parquet(pages_path)
-    got = _collect(pipeline.extract(pages, nsalt=nsalt, npartitions=npartitions))
+    got = _collect(pipeline.extract(pages, nsalt=nsalt, npartitions=npartitions, mode=mode))
     assert all(got[u] == golden[u] for u in golden)
+
+
+def test_fused_equals_staged(spark, pages_path):
+    """The two implementations (Python spec vs JVM Column exprs) must
+    agree byte-for-byte — the core cross-validation of the engine."""
+    pages = spark.read.parquet(pages_path)
+    fused = _collect(pipeline.extract(pages, mode="fused"))
+    staged = _collect(pipeline.extract(pages, mode="staged"))
+    assert fused == staged
 
 
 def test_staged_equals_fused(spark, pages_path, tmp_path, golden):

@@ -1,0 +1,91 @@
+"""Physical-plan shape assertions (SURVEY.md §4): the optimizations we
+rely on at 100 TB must be visible in the plan, not assumed.
+
+  * predicate pushdown + column pruning reach the parquet scan,
+  * small dims broadcast (no shuffle of the fact side for them),
+  * the extraction pipeline contains exactly ONE exchange (the salted
+    repartition) — every stage after it is narrow,
+  * the html blob never crosses a stage boundary past decode.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from nidaba_spark import pipeline
+from nidaba_spark.plans.relational import (
+    q_pricing_summary,
+    q_revenue_by_nation,
+    q_top_docs_by_chars,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(q_pricing_summary(spark, SF))
+    assert "PushedFilters" in plan
+    assert re.search(r"PushedFilters: \[.*l_shipdate.*\]", plan), plan[:2000]
+
+
+def test_column_pruning_reaches_scan(spark):
+    plan = _plan(q_top_docs_by_chars(spark, SF))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan[:2000]
+    cols = m.group(1)
+    assert "text" not in cols, f"unused wide column not pruned: {cols}"
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(q_revenue_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
+
+
+@pytest.mark.parametrize("mode", ["fused", "staged"])
+def test_pipeline_single_exchange(spark, pages_path, mode):
+    pages = spark.read.parquet(pages_path)
+    ext = pipeline.extract(pages, mode=mode)
+    plan = _plan(ext)
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert n_exchanges == 1, f"pipeline must shuffle exactly once (salted repartition), got {n_exchanges}"
+
+
+def test_fused_plan_has_one_python_stage(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    plan = _plan(pipeline.extract(pages, mode="fused"))
+    assert len(re.findall(r"\(\d+\) MapInPandas\b", plan)) == 1
+    plan_staged = _plan(pipeline.extract(pages, mode="staged"))
+    assert len(re.findall(r"\(\d+\) MapInPandas\b", plan_staged)) == 2
+
+
+def test_html_blob_dropped_after_decode(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    prepared = pipeline.prepare(pages)
+    from nidaba_spark.operators.decode import decode_stage
+
+    decoded = decode_stage(prepared)
+    assert "html" not in decoded.columns
+    # downstream stages must not resurrect the blob
+    ext = pipeline.transform(prepared)
+    assert "html" not in ext.columns
+
+
+def test_aggregate_is_partial_then_final(spark):
+    plan = _plan(q_pricing_summary(spark, SF))
+    assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
+
+
