@@ -35,7 +35,7 @@ pages = benchcorpus.load_pages(spark, rows, os.path.join(os.environ["NIDABA_REPO
 in_bytes = pages.select(F.sum(F.octet_length("html"))).collect()[0][0]
 
 def run():
-    ext = pipeline.extract(pages, nsalt=32, npartitions=cores * 2)
+    ext = pipeline.extract(pages, nsalt=256, npartitions=cores * 4)
     ext.select(F.sum(F.octet_length("text")), F.count(F.lit(1))).collect()
 
 run()  # warm-up: codegen + python worker pool
