@@ -32,7 +32,21 @@ def _shr(col, n):
     return F.call_function("shiftright", col, n if isinstance(n, Column) else F.lit(n))
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product. With a static ``dim``, emit an unrolled sum of
+    element_at products — plain expressions on the whole-stage-codegen
+    fast path. The higher-order aggregate fallback (dynamic length) is
+    CodegenFallback/interpreted — fine for one-off scoring, ~10-25x
+    slower in a hot self-join."""
+    if dim is not None:
+        terms = [
+            F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+            for i in range(dim)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
         F.lit(0.0),
@@ -40,16 +54,12 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            F.transform(a, lambda x: (x * x).cast("double")), F.lit(0.0), lambda acc, v: acc + v
-        )
-    )
+def _norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(_dot(a, a, dim))
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def brute_force_topk(
@@ -59,6 +69,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query. queries: (query_id, embedding).
 
@@ -73,13 +84,39 @@ def brute_force_topk(
     ).select(
         query_id_col,
         id_col,
-        F.round(cosine_sim(F.col("_v"), F.col("_q")), 6).alias("sim"),
+        F.round(cosine_sim(F.col("_v"), F.col("_q"), dim), 6).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
+def near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
+
+    Brute-force O(n^2) with an unrolled codegen'd dot — the exact
+    baseline (oracle-checkable). At 10^9-vector scale swap in the LSH
+    bucket prefilter (lsh_topk's _hyperplane_bits) so the self-join
+    keys on buckets instead of the cross product."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_a"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("_a"), F.col("_b"), dim), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
     )
 
 
@@ -147,7 +184,7 @@ def lsh_topk(
     scored = vb.join(F.broadcast(qb), "bucket").select(
         query_id_col,
         id_col,
-        F.round(cosine_sim(F.col("_v"), F.col("_q")), 6).alias("sim"),
+        F.round(cosine_sim(F.col("_v"), F.col("_q"), dim), 6).alias("sim"),
     ).dropDuplicates([query_id_col, id_col])
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (

@@ -539,6 +539,23 @@ FROM sess GROUP BY user_id, sess_id
 """
 
 
+# --------------------------------------------------------------- B14 (exact percentiles)
+def q_order_price_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    orders = load(spark, sf, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+ORACLE["order_price_quantiles"] = """
+SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90, count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
 # --------------------------------------------------------------------- B16 (rows-only)
 def q_approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     """HLL++ approx count-distinct — no exact oracle by construction."""
@@ -578,6 +595,7 @@ QUERIES = {
     "part_brand_stats": q_part_brand_stats,
     "supplier_nation": q_supplier_nation,
     "sessionize_events": q_sessionize_events,
+    "order_price_quantiles": q_order_price_quantiles,
     "approx_distinct_users": q_approx_distinct_users,
     "sample_events": q_sample_events,
 }

@@ -70,7 +70,7 @@ def q_ann_brute_force(spark: SparkSession, sf: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return similarity.brute_force_topk(emb, queries, k=5)
+    return similarity.brute_force_topk(emb, queries, k=5, dim=64)
 
 
 ORACLE["ann_brute_force"] = """
@@ -86,6 +86,23 @@ SELECT query_id, vec_id, round(s, 6) AS sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
   FROM scored)
 WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline, codegen'd dot)."""
+    return similarity.near_dup_pairs(load(spark, sf, "embeddings"), threshold=0.45, dim=64)
+
+
+ORACLE["embedding_near_dup"] = """
+WITH s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(range(1, 65),
+                  k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS s
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(s, 6) AS sim FROM s WHERE round(s, 6) >= 0.45
 """
 
 
@@ -278,6 +295,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
+    "embedding_near_dup": q_embedding_near_dup,
     "doc_quality": q_doc_quality,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
