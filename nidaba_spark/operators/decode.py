@@ -26,7 +26,9 @@ from ..functions.pdfx import is_pdfx
 from ..functions.textnorm import normalize_text
 
 
-def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _decode_batches(
+    batches: Iterator[pd.DataFrame], metrics=None
+) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
@@ -54,6 +56,10 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             fallbacks.append(
                 normalize_text(crawler_text) if isinstance(crawler_text, str) else ""
             )
+        if metrics is not None:
+            metrics.docs_in.add(len(pdf))
+            metrics.bytes_in.add(int(sum(n_bytes)))
+            metrics.docs_out.add(len(pdf))
         yield pd.DataFrame(
             {
                 "url": pdf["url"],
@@ -70,7 +76,15 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def decode_stage(pages: DataFrame) -> DataFrame:
-    """pages (+length_bucket) → DECODED. Requires ``length_bucket`` column."""
+def decode_stage(pages: DataFrame, metrics=None) -> DataFrame:
+    """pages (+length_bucket) → DECODED. Requires ``length_bucket``.
+
+    metrics: optional StageMetrics — accumulators update live from the
+    executors (closure-captured; Accumulator pickles by design).
+    """
     cols = ["url", "warc_ts", "html", "text", "lang", "length_bucket"]
-    return pages.select(*cols).mapInPandas(_decode_batches, schema=schemas.DECODED)
+
+    def fn(batches):
+        return _decode_batches(batches, metrics)
+
+    return pages.select(*cols).mapInPandas(fn, schema=schemas.DECODED)

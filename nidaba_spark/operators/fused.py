@@ -34,7 +34,9 @@ from ..oracle import extract as oracle_extract
 from .merge import STAGE_VER
 
 
-def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _fused_batches(
+    batches: Iterator[pd.DataFrame], metrics=None
+) -> Iterator[pd.DataFrame]:
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
@@ -61,6 +63,10 @@ def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             doctypes.append(doctype)
             n_kept.append(len(spans))
             n_dropped.append(0)  # not tracked on the fused path (see docstring)
+        if metrics is not None:
+            metrics.docs_in.add(len(pdf))
+            metrics.bytes_in.add(int(pdf["html"].map(lambda b: len(b) if b is not None else 0).sum()))
+            metrics.docs_out.add(len(pdf))
         out = pd.DataFrame(
             {
                 "url": pdf["url"],
@@ -78,13 +84,15 @@ def _fused_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-def fused_extract_stage(pages_prepared: DataFrame) -> DataFrame:
+def fused_extract_stage(pages_prepared: DataFrame, metrics=None) -> DataFrame:
     """prepared pages → EXTRACTED in one Arrow-batched pass.
 
     Note: n_blocks_dropped is not tracked on this path (it would
     require keeping the full block list); the staged path reports it.
     """
     cols = ["url", "warc_ts", "html", "text", "lang"]
-    return pages_prepared.select(*cols).mapInPandas(
-        _fused_batches, schema=schemas.EXTRACTED
-    )
+
+    def fn(batches):
+        return _fused_batches(batches, metrics)
+
+    return pages_prepared.select(*cols).mapInPandas(fn, schema=schemas.EXTRACTED)

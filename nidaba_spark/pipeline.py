@@ -253,12 +253,8 @@ class Pipeline:
         if not resume:
             self.invalidate_from(STAGES[0])
 
-        # metrics accumulators (nidaba's per-task stats analog)
-        sc = self.spark.sparkContext
-        acc_docs = sc.accumulator(0)
+        from .metrics import StageMetrics
 
-        prev_df: DataFrame | None = None
-        prev_rows = 0
         prev_bytes = 0
         for i, stage in enumerate(STAGES):
             if resume and self.is_complete(stage):
@@ -274,14 +270,15 @@ class Pipeline:
                 )
             attempt = self._bump_attempt(stage)
             started = dt.datetime.now(dt.timezone.utc)
-            out = _STAGE_FN[stage](inp)
+            # executor-side accumulator metrics (A20) on the Python stages
+            metrics = StageMetrics(self.spark.sparkContext, stage) if stage == "decode" else None
+            out = _STAGE_FN[stage](inp, metrics) if metrics else _STAGE_FN[stage](inp)
             self._write_checkpoint(out, stage)
             finished = dt.datetime.now(dt.timezone.utc)
             prev_m = self.manifest(STAGES[i - 1]) if i > 0 else None
             input_rows = prev_m["rows"] if prev_m else -1
             self._append_lineage(stage, attempt, input_rows, prev_bytes, started, finished)
             n_rows = self.spark.read.parquet(self._stage_path(stage)).count()
-            acc_docs.add(n_rows)
             with open(self._manifest_path(stage), "w") as f:
                 json.dump(
                     {
@@ -292,8 +289,53 @@ class Pipeline:
                         "rows": n_rows,
                         "started": started.isoformat(),
                         "finished": finished.isoformat(),
+                        "accumulators": metrics.snapshot() if metrics else None,
                     },
                     f,
                 )
-            prev_rows, prev_bytes = n_rows, 0
+            prev_bytes = 0
         return self.spark.read.schema(schemas.EXTRACTED).parquet(self._stage_path("merge"))
+
+    def run_incremental(self, pages: DataFrame, mode: str = "fused") -> DataFrame:
+        """Row-level resume (SURVEY.md §3.2 E2'): anti-join the input's
+        urls against the completed merge checkpoint (B10) and process
+        only the NEW pages, appending to the checkpoint. The stage-level
+        ``run`` recovers interrupted runs; this recovers grown inputs
+        (the next crawl drop) without touching finished work.
+        """
+        from .metrics import StageMetrics
+
+        merge_path = self._stage_path("merge")
+        if self.is_complete("merge"):
+            done = self.spark.read.schema(schemas.EXTRACTED).parquet(merge_path).select("url")
+            todo = pages.join(done, "url", "left_anti")
+        else:
+            todo = pages
+        metrics = StageMetrics(self.spark.sparkContext, "incremental")
+        if mode == "fused":
+            from .operators.fused import fused_extract_stage
+
+            ext = fused_extract_stage(prepare(todo, self.nsalt, self.npartitions), metrics)
+        else:
+            ext = extract(todo, self.nsalt, self.npartitions, mode=mode)
+        started = dt.datetime.now(dt.timezone.utc)
+        ext.write.mode("append").parquet(merge_path)
+        finished = dt.datetime.now(dt.timezone.utc)
+        attempt = self._bump_attempt("merge")
+        n_rows = self.spark.read.parquet(merge_path).count()
+        with open(self._manifest_path("merge"), "w") as f:
+            json.dump(
+                {
+                    "run_id": self.run_id,
+                    "stage": "merge",
+                    "status": "ok",
+                    "attempt": attempt,
+                    "rows": n_rows,
+                    "started": started.isoformat(),
+                    "finished": finished.isoformat(),
+                    "accumulators": metrics.snapshot(),
+                    "incremental": True,
+                },
+                f,
+            )
+        return self.spark.read.schema(schemas.EXTRACTED).parquet(merge_path)
