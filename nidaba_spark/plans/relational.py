@@ -304,6 +304,27 @@ FROM events GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------- B32
+def q_props_map(spark: SparkSession, sf: str) -> DataFrame:
+    """MapType path: JSON props → map<string,int> → map_keys/element_at."""
+    ev = load(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.withColumn("m", m)
+        .select(F.explode("m").alias("prop_key", "_v"))
+        .groupBy("prop_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_v").alias("sum_v"))
+    )
+
+
+ORACLE["props_map"] = """
+SELECT k AS prop_key, count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.' || k) AS INT)) AS sum_v
+FROM events, unnest(json_keys(props)) AS t(k)
+GROUP BY k
+"""
+
+
 # --------------------------------------------------------------------- B11
 def q_errors_after_purchase(spark: SparkSession, sf: str) -> DataFrame:
     """Range (theta) join: errors within 10 min after a purchase, same user."""
@@ -596,6 +617,7 @@ QUERIES = {
     "supplier_nation": q_supplier_nation,
     "sessionize_events": q_sessionize_events,
     "order_price_quantiles": q_order_price_quantiles,
+    "props_map": q_props_map,
     "approx_distinct_users": q_approx_distinct_users,
     "sample_events": q_sample_events,
 }

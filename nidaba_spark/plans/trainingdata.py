@@ -209,6 +209,39 @@ def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
     return multimodal.extract_features(media)
 
 
+# ---------------------------------------------------------------- B44 UDTF
+def q_udtf_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF (1→N rows): fixed-size word chunks per document —
+    the SQL-callable flavor of block expansion (rows-only oracle;
+    prefer mapInPandas for hot paths, SURVEY.md §2B B44)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="doc_id: bigint, chunk_id: int, chunk: string, n_words: int")
+    class ChunkDoc:
+        def eval(self, doc_id: int, text: str, size: int):
+            words = (text or "").split()
+            for i in range(0, len(words), size):
+                piece = words[i : i + size]
+                yield doc_id, i // size, " ".join(piece), len(piece)
+
+    load(spark, sf, "documents").createOrReplaceTempView("documents_v")
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    return spark.sql(
+        "SELECT c.* FROM documents_v, LATERAL chunk_doc(doc_id, text, 25) AS c"
+    )
+
+
+ORACLE["udtf_chunks"] = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS words
+  FROM documents)
+SELECT doc_id, CAST(g AS INT) AS chunk_id,
+       array_to_string(words[CAST(g*25+1 AS BIGINT) : CAST(least((g+1)*25, len(words)) AS BIGINT)], ' ') AS chunk,
+       CAST(least((g+1)*25, len(words)) - g*25 AS INT) AS n_words
+FROM w, unnest(range(0, CAST(ceil(len(words)/25.0) AS BIGINT))) AS t(g)
+"""
+
+
 # ------------------------------------------------------------- streaming
 def q_stream_events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     """Structured Streaming ingest (availableNow) with watermarked
@@ -302,6 +335,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
+    "udtf_chunks": q_udtf_chunks,
     "stream_events_hourly": q_stream_events_hourly,
     "extract_documents": q_extract_documents,
 }
