@@ -62,6 +62,47 @@ def ingest_events_stream(
     return out_dir
 
 
+def foreach_batch_upsert(
+    spark: SparkSession,
+    source_path: str,
+    schema: T.StructType,
+    work_dir: str,
+    key: str = "event_id",
+) -> str:
+    """Stream → foreachBatch keyed upsert into a parquet "table"
+    (SURVEY.md §2B B50 — the Iceberg MERGE INTO stand-in; on a cluster
+    the body becomes ``target.merge(batch_df, ...)`` on an Iceberg
+    table). Returns the target directory."""
+    import shutil
+
+    target = os.path.join(work_dir, "target")
+    ckpt = os.path.join(work_dir, "ckpt_fb")
+    source_path = _as_stream_dir(source_path, work_dir)
+
+    def upsert(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.dropDuplicates([key])  # within-batch
+        if os.path.isdir(target):
+            existing = batch_df.sparkSession.read.schema(schema).parquet(target)
+            merged = existing.join(batch_df, key, "left_anti").unionByName(batch_df)
+        else:
+            merged = batch_df
+        tmp = target + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(target, ignore_errors=True)
+        os.rename(tmp, target)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(source_path)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return target
+
+
 def hourly_event_counts_stream(
     spark: SparkSession,
     source_path: str,
