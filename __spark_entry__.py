@@ -18,10 +18,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def _q() -> tuple[dict, dict]:
-    from nidaba_spark.plans import relational, trainingdata
+    from nidaba_spark.plans import pandas_ops, relational, trainingdata
 
-    queries = {**relational.QUERIES, **trainingdata.QUERIES}
-    oracles = {**relational.ORACLE, **trainingdata.ORACLE}
+    queries = {**relational.QUERIES, **trainingdata.QUERIES, **pandas_ops.QUERIES}
+    oracles = {**relational.ORACLE, **trainingdata.ORACLE, **pandas_ops.ORACLE}
     return queries, oracles
 
 
