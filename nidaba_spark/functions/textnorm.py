@@ -31,6 +31,14 @@ def normalize_text(s: str) -> str:
     """Canonicalize a block's text. Pure, deterministic, idempotent."""
     if not s:
         return ""
+    # exact fast path: NFC, zero-width strip, and NBSP folding are all
+    # identity on pure-ASCII text (str.isascii is O(n) in C — far
+    # cheaper than unicodedata.normalize + translate)
+    if s.isascii():
+        # split()/join ≡ the regex collapse+strip on ASCII input
+        # (str.split with no args splits on every ASCII whitespace
+        # char) and runs ~3x faster in C
+        return " ".join(s.split())
     s = unicodedata.normalize("NFC", s)
     s = s.translate(_ZERO_WIDTH)
     s = _WS_RE.sub(" ", s)

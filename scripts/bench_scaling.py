@@ -18,7 +18,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ROWS = int(os.environ.get("NIDABA_BENCH_ROWS", "300000"))
+ROWS = int(os.environ.get("NIDABA_BENCH_ROWS", "500000"))
 RUNS = int(os.environ.get("NIDABA_SCALING_RUNS", "3"))
 
 _CHILD = r"""
