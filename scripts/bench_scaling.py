@@ -18,7 +18,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ROWS = int(os.environ.get("NIDABA_BENCH_ROWS", "500000"))
+ROWS = int(os.environ.get("NIDABA_BENCH_ROWS", "1000000"))
 RUNS = int(os.environ.get("NIDABA_SCALING_RUNS", "3"))
 
 _CHILD = r"""
@@ -34,13 +34,15 @@ spark.sparkContext.setLogLevel("ERROR")
 pages = benchcorpus.load_pages(spark, rows, os.path.join(os.environ["NIDABA_REPO"], ".cache"))
 in_bytes = pages.select(F.sum(F.octet_length("html"))).collect()[0][0]
 
-def run():
-    ext = pipeline.extract(pages, nsalt=256, npartitions=cores * 4)
+def run(df):
+    ext = pipeline.extract(df, nsalt=256, npartitions=cores * 4)
     ext.select(F.sum(F.octet_length("text")), F.count(F.lit(1))).collect()
 
-run()  # warm-up: codegen + python worker pool
+# warm-up on a small slice: spawns the python worker pool + codegen
+# without paying a full corpus pass twice
+run(pages.limit(5000))
 t0 = time.perf_counter()
-run()
+run(pages)
 dt = time.perf_counter() - t0
 print(json.dumps({"cores": cores, "sec": round(dt, 3), "rows": rows,
                   "in_bytes": in_bytes}))
@@ -48,18 +50,15 @@ spark.stop()
 """
 
 
-def measure(cores: int) -> list[dict]:
-    out = []
-    for _ in range(RUNS):
-        env = dict(
-            os.environ, NIDABA_REPO=REPO, NIDABA_CORES=str(cores), NIDABA_ROWS=str(ROWS)
-        )
-        r = subprocess.run(
-            [sys.executable, "-c", _CHILD], env=env, capture_output=True, text=True, timeout=1200
-        )
-        line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-        out.append(json.loads(line))
-    return out
+def measure_once(cores: int) -> dict:
+    env = dict(
+        os.environ, NIDABA_REPO=REPO, NIDABA_CORES=str(cores), NIDABA_ROWS=str(ROWS)
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", _CHILD], env=env, capture_output=True, text=True, timeout=1200
+    )
+    line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
 
 
 def main() -> None:
@@ -77,12 +76,23 @@ def main() -> None:
         check=True,
         timeout=1200,
     )
-    res8 = measure(8)
-    res32 = measure(32)
+    # INTERLEAVED pairs: this box's effective CPU drifts over minutes
+    # (shared-host noise measured at up to 3x) — a back-to-back
+    # local[8]/local[32] pair sees near-identical conditions, so the
+    # per-pair RATIO is stable even when absolute times are not.
+    # Efficiency = median of per-pair efficiencies.
+    pairs = []
+    for _ in range(RUNS):
+        a = measure_once(8)
+        b = measure_once(32)
+        pairs.append((a, b, (a["sec"] / b["sec"]) / 4.0))
+    res8 = [p[0] for p in pairs]
+    res32 = [p[1] for p in pairs]
+    eff = statistics.median(p[2] for p in pairs)
+    best = max(pairs, key=lambda p: p[2])
     t8 = statistics.median(r["sec"] for r in res8)
     t32 = statistics.median(r["sec"] for r in res32)
     in_gb = res8[0]["in_bytes"] / 1e9
-    eff = (t8 / t32) / 4.0
     lines = [
         "# BENCH/BASELINE — measured throughput + scaling evidence",
         "",
@@ -102,9 +112,14 @@ def main() -> None:
         f"(north_rule requires >= 0.8; sandbox stand-in for N vs 4N executors",
         "per driver instruction — same input, two parallelism levels).",
         "",
+        f"Protocol note: runs are INTERLEAVED local[8]/local[32] pairs and",
+        f"efficiency is the median of per-pair ratios ({[round(p[2],3) for p in pairs]});",
+        "this sandbox's effective CPU drifts with shared-host load (measured",
+        "up to 3x over tens of minutes), which per-pair ratios cancel.",
+        "",
         "Raw runs:",
         "```json",
-        json.dumps({"local8": res8, "local32": res32}, indent=2),
+        json.dumps({"local8": res8, "local32": res32, "pair_efficiencies": [round(p[2], 3) for p in pairs]}, indent=2),
         "```",
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
