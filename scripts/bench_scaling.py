@@ -29,6 +29,11 @@ PAIRS = int(os.environ.get("NIDABA_SCALING_PAIRS", "7"))
 
 _CHILD = r"""
 import json, os, sys, time
+# Pin this session (JVM + python workers inherit) to exactly N CPUs:
+# "N and 4N cores" per the driver instruction. Unpinned local[8] is NOT
+# an 8-core cluster slice - its JVM serde threads ride free on idle
+# cores (measured ~6 extra cores), flattering T_N.
+os.sched_setaffinity(0, set(range(int(os.environ["NIDABA_CORES"]))))
 sys.path.insert(0, os.environ["NIDABA_REPO"])
 from pyspark.sql import functions as F
 from nidaba_spark import benchcorpus, pipeline
@@ -143,8 +148,11 @@ def main() -> None:
         "",
         "## Protocol",
         "",
-        "Two PERSISTENT sessions (local[8] = N, local[32] = 4N; JVM + python",
-        "worker pools warmed once) execute the identical job in tightly",
+        "Two PERSISTENT sessions (local[8] = N, local[32] = 4N), each PINNED",
+        "to exactly its N CPUs via sched_setaffinity (inherited by the JVM",
+        "and python workers) so T_N really measures an N-core cluster slice",
+        "- unpinned local[8] lets JVM serde threads ride free on idle cores.",
+        "JVM + python worker pools warmed once; the identical job runs in tightly",
         f"alternating pairs x{PAIRS}; each pair yields an efficiency sample",
         "(T_8/T_32)/4 under near-identical host conditions. This sandbox's",
         "effective CPU drifts with shared-host load (single-core probe per",
