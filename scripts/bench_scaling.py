@@ -55,6 +55,7 @@ def run(df):
     ext.select(F.sum(F.octet_length("text")), F.count(F.lit(1))).collect()
 
 run(pages.limit(5000))  # warm: python worker pool + codegen
+run(pages)  # full burn-in: cold scan + first-shuffle allocation paid here
 print(json.dumps({"ready": True, "in_bytes": in_bytes}), flush=True)
 for line in sys.stdin:
     if line.strip() != "go":
