@@ -4,8 +4,9 @@ entry()     — flagship extraction pipeline on sf0.001.
 queries()   — every implemented operator from SURVEY.md §2 (relational
               substrate + training-data ops + pipeline flagship).
 oracle_sql()— DuckDB mirrors for each SQL-expressible query; omitted
-              keys (minhash/simhash/ann_lsh/lang_id/sampling/approx/
-              media_features) are rows-only by design.
+              keys (minhash/simhash/ann_lsh/lang_id/sampling/approx)
+              are rows-only by design (LSH trio carries recall-vs-exact
+              pytest gates instead — tests/test_lsh_recall.py).
 """
 
 from __future__ import annotations

@@ -319,7 +319,7 @@ def q_props_map(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE["props_map"] = """
 SELECT k AS prop_key, count(*) AS n,
-       sum(CAST(json_extract_string(props, '$.' || k) AS INT)) AS sum_v
+       CAST(sum(CAST(json_extract_string(props, '$.' || k) AS INT)) AS BIGINT) AS sum_v
 FROM events, unnest(json_keys(props)) AS t(k)
 GROUP BY k
 """
@@ -551,8 +551,8 @@ WITH marked AS (
               THEN 1 ELSE 0 END AS new_sess
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
-  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
   FROM marked)
 SELECT user_id, sess_id, strftime(min(ts), '{TS_FMT_DUCK_US}') AS session_start,
        count(*) AS n_events, round(sum(value), 2) AS session_value

@@ -204,9 +204,45 @@ FROM documents
 
 
 def q_media_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Full feature vectors from the stubbed decoder (rows-only oracle)."""
+    """Full feature vectors from the stubbed decoder, quantized for the
+    harness: the raw ``array<float>`` column is unhashable/unsortable in
+    the driver's canonicalizer (r01 err), so emit each feature as
+    round(x*1e6) joined with ','. The fake featureizer is
+    sha256-derived, so the quantized vector is SQL-expressible and gets
+    a full oracle (features are b/255 rounded to 6 places — b/255 never
+    lands on an exact half at the 6th decimal, so both engines round
+    identically, and the *1e6 quantization absorbs float32 storage
+    error ~6e-8)."""
     media = multimodal.synthesize_media(load(spark, sf, "documents"))
-    return multimodal.extract_features(media)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "sha",
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.round(x * F.lit(1000000.0)).cast("int").cast("string"),
+            ),
+            ",",
+        ).alias("features_q"),
+    )
+
+
+ORACLE["media_features"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes,
+         sha256(text) AS sha
+  FROM documents)
+SELECT media_id, n_bytes, sha,
+  array_to_string(list_transform(range(1, 9), j ->
+    CAST(round(round((
+      (strpos('0123456789abcdef', substr(sha, 2*j - 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(sha, 2*j, 1)) - 1
+    ) / 255.0, 6) * 1000000) AS INT)), ',') AS features_q
+FROM m
+"""
 
 
 # ---------------------------------------------------------------- B44 UDTF
