@@ -34,7 +34,7 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="pages parquet path or catalog table")
     ap.add_argument("--output", required=True, help="run directory (checkpoints + lineage)")
     ap.add_argument("--run-id", default="run0")
-    ap.add_argument("--nsalt", type=int, default=32)
+    ap.add_argument("--nsalt", type=int, default=256)
     ap.add_argument("--npartitions", type=int, default=None)
     ap.add_argument("--resume", action="store_true", default=True)
     ap.add_argument("--no-resume", dest="resume", action="store_false")

@@ -71,30 +71,69 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
     jaccard rounded to 6 places (stable vs the DuckDB oracle).
+
+    df_cap (stop-postings cap) is the scale knob: with it set, only
+    tokens appearing in <= df_cap documents participate in the
+    postings self-join — that join is what goes quadratic on common
+    tokens at corpus scale — and the (id_a, id_b) candidates it yields
+    are then verified with EXACT Jaccard over the FULL token sets
+    (array_intersect/array_union), so every emitted pair's similarity
+    is unbiased. The only pairs the capped path can miss are those
+    sharing exclusively ubiquitous tokens, which sit far below any
+    useful near-dup threshold. df_cap=None keeps the uncapped exact
+    join (test/oracle baseline; do not run against a real corpus).
     """
     toks = (
         docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"))
     )
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
-    if df_cap is not None:
-        rare = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap)
-        toks = toks.join(F.broadcast(rare.select("tok")), "tok")
-    a = toks.alias("a")
-    b = toks.alias("b")
-    shared = (
-        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    if df_cap is None:
+        sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+        a = toks.alias("a")
+        b = toks.alias("b")
+        shared = (
+            a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
+        sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+        return (
+            shared.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    # capped path: rare-token postings -> candidates -> exact verify
+    rare = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap)
+    rare_toks = toks.join(F.broadcast(rare.select("tok")), "tok")
+    cand = (
+        rare_toks.alias("a")
+        .join(
+            rare_toks.alias("b"),
+            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    tsets = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(tokens_col(F.col(text_col))).alias("ts"),
+    )
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(tsets.select(F.col("id").alias("id_a"), F.col("ts").alias("ts_a")), "id_a")
+        .join(tsets.select(F.col("id").alias("id_b"), F.col("ts").alias("ts_b")), "id_b")
         .withColumn(
             "jaccard",
             F.round(
-                F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")), 6
+                F.size(F.array_intersect("ts_a", "ts_b"))
+                / F.size(F.array_union("ts_a", "ts_b")),
+                6,
             ),
         )
         .filter(F.col("jaccard") >= threshold)

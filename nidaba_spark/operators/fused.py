@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 
 from .. import schemas
 from ..functions.pdfx import is_pdfx
-from ..oracle import extract as oracle_extract
+from ..oracle import extract_doc as oracle_extract_doc
 from .merge import STAGE_VER
 
 
@@ -55,14 +55,16 @@ def _fused_batches(
                 doctype = "pdf"
             else:
                 doctype = "html"
-            text, spans = oracle_extract(
+            text, spans, n_total = oracle_extract_doc(
                 raw, crawler_text if isinstance(crawler_text, str) else None
             )
             texts.append(text)
             spans_col.append([vars(s) for s in spans])
             doctypes.append(doctype)
             n_kept.append(len(spans))
-            n_dropped.append(0)  # not tracked on the fused path (see docstring)
+            # staged parity: dropped = segmented blocks - kept non-fallback
+            n_real = sum(1 for s in spans if s.kind != "fallback")
+            n_dropped.append(n_total - n_real)
         if metrics is not None:
             metrics.docs_in.add(len(pdf))
             metrics.bytes_in.add(int(pdf["html"].map(lambda b: len(b) if b is not None else 0).sum()))
@@ -87,8 +89,10 @@ def _fused_batches(
 def fused_extract_stage(pages_prepared: DataFrame, metrics=None) -> DataFrame:
     """prepared pages → EXTRACTED in one Arrow-batched pass.
 
-    Note: n_blocks_dropped is not tracked on this path (it would
-    require keeping the full block list); the staged path reports it.
+    Output is column-for-column identical to the staged path,
+    including n_blocks_dropped (= segmented blocks - kept
+    non-fallback, same formula as merge_stage) — pinned by
+    tests/test_pipeline_e2e.py::test_fused_equals_staged.
     """
     cols = ["url", "warc_ts", "html", "text", "lang"]
 

@@ -56,18 +56,26 @@ class Span:
     kind: str
 
 
-def kept_blocks(html: bytes | None, text: str | None) -> list[tuple[int, str, str]]:
-    """Steps 1–4: return [(block_id, kind, block_text)] in reading order."""
+def kept_and_total(
+    html: bytes | None, text: str | None
+) -> tuple[list[tuple[int, str, str]], int]:
+    """Steps 1–4: ([(block_id, kind, block_text)] in reading order,
+    pre-classification block count). The count is what the staged
+    path's segment stage records as n_blocks, so the fused path can
+    report the same n_blocks_dropped = n_blocks - kept_non_fallback."""
     kept: list[tuple[int, str, str]] = []
+    n_total = 0
     raw = html or b""
     if is_pdfx(raw):
         body, _ = decode_bytes(raw)
-        for i, line in enumerate(parse_pdfx(body)):
+        lines = parse_pdfx(body)
+        n_total = len(lines)
+        for i, line in enumerate(lines):
             kept.append((i, "pdf_line", line))
     elif raw:
         body, _ = decode_bytes(raw)
         blocks = segment_html(body)
-        n = len(blocks)
+        n = n_total = len(blocks)
         for i, b in enumerate(blocks):
             prev_words = blocks[i - 1].n_words if i > 0 else 0
             prev_ld = blocks[i - 1].link_density if i > 0 else 0.0
@@ -78,12 +86,18 @@ def kept_blocks(html: bytes | None, text: str | None) -> list[tuple[int, str, st
         fallback = normalize_text(text or "")
         if fallback:
             kept.append((0, "fallback", fallback))
-    return kept
+    return kept, n_total
 
 
-def extract(html: bytes | None, text: str | None) -> tuple[str, list[Span]]:
-    """Steps 1–5: full golden extraction for one document."""
-    kept = kept_blocks(html, text)
+def kept_blocks(html: bytes | None, text: str | None) -> list[tuple[int, str, str]]:
+    """Steps 1–4: return [(block_id, kind, block_text)] in reading order."""
+    return kept_and_total(html, text)[0]
+
+
+def extract_doc(html: bytes | None, text: str | None) -> tuple[str, list[Span], int]:
+    """Steps 1–5 plus the pre-classification block count: one-parse
+    extraction for the fused stage (text, spans, n_total_blocks)."""
+    kept, n_total = kept_and_total(html, text)
     out_parts: list[str] = []
     spans: list[Span] = []
     offset = 0
@@ -95,7 +109,13 @@ def extract(html: bytes | None, text: str | None) -> tuple[str, list[Span]]:
         spans.append(Span(block_id=block_id, start=offset, end=offset + b_len, kind=kind))
         out_parts.append(block_text)
         offset += b_len
-    return SEPARATOR.join(out_parts), spans
+    return SEPARATOR.join(out_parts), spans, n_total
+
+
+def extract(html: bytes | None, text: str | None) -> tuple[str, list[Span]]:
+    """Steps 1–5: full golden extraction for one document."""
+    text_out, spans, _ = extract_doc(html, text)
+    return text_out, spans
 
 
 def golden_rows(rows: list[dict]) -> list[dict]:

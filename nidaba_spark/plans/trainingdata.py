@@ -30,27 +30,44 @@ SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY text
 
 
 # ---------------------------------------------------- dedup: n-gram Jaccard
+# Stop-postings cap used by the exposed query: only tokens in <= this
+# many documents join the postings self-join (candidate generation);
+# similarity is then verified exactly on full token sets. Keeps the
+# join near-linear at corpus scale (operators/dedup.py docstring);
+# the oracle below mirrors the same candidate restriction.
+NGRAM_DF_CAP = 100
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=0.4)
+    return dedup.ngram_jaccard_pairs(
+        load(spark, sf, "documents"), threshold=0.4, df_cap=NGRAM_DF_CAP
+    )
 
 
-ORACLE["dedup_ngram_jaccard"] = """
+ORACLE["dedup_ngram_jaccard"] = f"""
 WITH toks AS (
   SELECT doc_id AS id,
          unnest(list_distinct(list_filter(
            string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))) AS tok
   FROM documents),
-sizes AS (SELECT id, count(*) AS n_tok FROM toks GROUP BY id),
-shared AS (
-  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
-  GROUP BY 1, 2)
+rare AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= {NGRAM_DF_CAP}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM toks a JOIN rare r ON a.tok = r.tok
+  JOIN toks b ON b.tok = a.tok AND a.id < b.id),
+tsets AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')) AS ts
+  FROM documents)
 SELECT id_a, id_b,
-       round(n_shared / (sa.n_tok + sb.n_tok - n_shared), 6) AS jaccard
-FROM shared
-JOIN sizes sa ON sa.id = id_a
-JOIN sizes sb ON sb.id = id_b
-WHERE round(n_shared / (sa.n_tok + sb.n_tok - n_shared), 6) >= 0.4
+       round(len(list_intersect(ta.ts, tb.ts))
+             / len(list_distinct(ta.ts || tb.ts)), 6) AS jaccard
+FROM cand
+JOIN tsets ta ON ta.id = id_a
+JOIN tsets tb ON tb.id = id_b
+WHERE round(len(list_intersect(ta.ts, tb.ts))
+            / len(list_distinct(ta.ts || tb.ts)), 6) >= 0.4
 """
 
 
@@ -104,6 +121,17 @@ WITH s AS (
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
 SELECT id_a, id_b, round(s, 6) AS sim FROM s WHERE round(s, 6) >= 0.45
 """
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path for embedding near-dup: banded hyperplane-LSH
+    prefilter + exact re-verify (subset of embedding_near_dup by
+    construction; rows-only here — the xxhash64-derived planes are not
+    SQL-expressible — with precision/recall gates in
+    tests/test_lsh_recall.py)."""
+    return similarity.near_dup_pairs_lsh(
+        load(spark, sf, "embeddings"), threshold=0.45, dim=64
+    )
 
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -186,8 +214,39 @@ FROM w
 
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """Arrow-batched n-gram language ID (rows-only oracle)."""
-    return textstats.lang_id(load(spark, sf, "documents"))
+    """Arrow-batched n-gram language ID. The driver-checked output is
+    the decision column (doc_id, lang_pred): marker counts are
+    SQL-expressible via the replace-length trick, so the prediction
+    gets a full DuckDB oracle. lang_conf (a rounded float whose
+    banker's-rounding semantics differ between engines at exact-half
+    decimals) stays an operator-level feature pinned by unit tests."""
+    return textstats.lang_id(load(spark, sf, "documents")).select("doc_id", "lang_pred")
+
+
+def _lang_id_oracle_sql() -> str:
+    """Mirror of _lang_id_batches: non-overlapping substring counts per
+    marker ((len - len(replace))/len(marker)), summed per language,
+    argmax with (score desc, lang asc) tie-break, 'und' on zero total."""
+    score_exprs = []
+    for lang, ms in textstats.LANG_MARKERS.items():
+        total = " + ".join(
+            f"(len(t) - len(replace(t, '{m}', ''))) / {len(m)}" for m in ms
+        )
+        score_exprs.append(f"CAST({total} AS BIGINT) AS {lang}")
+    langs = sorted(textstats.LANG_MARKERS)
+    return f"""
+WITH s AS (SELECT doc_id, lower(text) AS t FROM documents),
+sc AS (SELECT doc_id, {', '.join(score_exprs)} FROM s),
+r AS (SELECT doc_id, unnest([{', '.join(repr(lang) for lang in langs)}]) AS lang,
+             unnest([{', '.join(langs)}]) AS score FROM sc)
+SELECT doc_id,
+       CASE WHEN sum(score) = 0 THEN 'und'
+            ELSE (min(struct_pack(k := -score, l := lang))).l END AS lang_pred
+FROM r GROUP BY doc_id
+"""
+
+
+ORACLE["lang_id"] = _lang_id_oracle_sql()
 
 
 # -------------------------------------------------------------- multimodal
@@ -309,6 +368,68 @@ FROM events GROUP BY 1
 """
 
 
+def q_stream_sessionize_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming session_window (B48, stream form): 5-min-gap
+    sessions per user computed IN the stream (availableNow → memory
+    sink), exposing the driver-checked counterpart of the batch
+    sessionize_events query. The oracle is the batch lag+cumsum CTE:
+    Spark's session_window closes at gap >= 5 min while the batch rule
+    starts a new session at gap > 5 min, but the events corpus has no
+    exact 5-min gaps at any SF (verified), so the two agree row-for-row
+    on this data; tests/test_session_window.py cross-checks the
+    semantics independently."""
+    from ..streaming.events import _as_stream_dir
+
+    schema = load(spark, sf, "events").schema
+    work = tempfile.mkdtemp(prefix="nidaba_sess_stream_")
+    src = _as_stream_dir(os.path.join(sf, "events.parquet"), work)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", "10 minutes")
+        .groupBy(
+            F.session_window("ts_tz", "5 minutes").alias("sw"), F.col("user_id")
+        )
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+    )
+    name = "sess_" + os.path.basename(work).replace("-", "_").replace(".", "_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT user_id, session_start, n_events, session_value FROM {name}"
+    )
+
+
+ORACLE["stream_sessionize_events"] = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM marked)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM sess GROUP BY user_id, sess_id
+"""
+
+
 # ------------------------------------------------- flagship extraction
 def q_extract_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Flagship: synthesize Common-Crawl-style pages around the
@@ -365,6 +486,7 @@ QUERIES = {
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "doc_quality": q_doc_quality,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
@@ -373,5 +495,6 @@ QUERIES = {
     "media_features": q_media_features,
     "udtf_chunks": q_udtf_chunks,
     "stream_events_hourly": q_stream_events_hourly,
+    "stream_sessionize_events": q_stream_sessionize_events,
     "extract_documents": q_extract_documents,
 }

@@ -80,11 +80,29 @@ def test_partitioning_invariance(spark, pages_path, golden, npartitions, nsalt, 
 
 def test_fused_equals_staged(spark, pages_path):
     """The two implementations (Python spec vs JVM Column exprs) must
-    agree byte-for-byte — the core cross-validation of the engine."""
+    agree byte-for-byte — the core cross-validation of the engine.
+    Compares EVERY output column (incl. n_blocks_kept/_dropped and
+    doctype), not just text+spans; only _pid (physical partition id)
+    is excluded as non-semantic."""
     pages = spark.read.parquet(pages_path)
-    fused = _collect(pipeline.extract(pages, mode="fused"))
-    staged = _collect(pipeline.extract(pages, mode="staged"))
-    assert fused == staged
+
+    def full(df):
+        cols = [c for c in df.columns if c != "_pid"]
+        return {
+            r["url"]: tuple(
+                tuple((s["block_id"], s["start"], s["end"], s["kind"]) for s in r[c])
+                if c == "spans"
+                else r[c]
+                for c in cols
+            )
+            for r in df.select(*cols).collect()
+        }
+
+    fused = full(pipeline.extract(pages, mode="fused"))
+    staged = full(pipeline.extract(pages, mode="staged"))
+    assert set(fused) == set(staged)
+    diff = [u for u in fused if fused[u] != staged[u]]
+    assert diff == [], f"{len(diff)} urls differ on full columns, e.g. {diff[:3]}"
 
 
 def test_staged_equals_fused(spark, pages_path, tmp_path, golden):

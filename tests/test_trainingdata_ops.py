@@ -77,7 +77,7 @@ def test_ann_lsh_recall_on_self(spark):
         ["vec_id", "embedding"],
     )
     queries = vectors.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
-    got = similarity.lsh_topk(vectors, queries, k=3, nbits=6, dim=8).collect()
+    got = similarity.lsh_topk(vectors, queries, k=3, bands=3, band_bits=2, dim=8).collect()
     by_q = {}
     for r in got:
         by_q.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["sim"]))
