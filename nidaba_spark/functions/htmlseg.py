@@ -46,7 +46,7 @@ import math
 from dataclasses import dataclass
 from html.parser import HTMLParser
 
-from .textnorm import normalize_text
+from .textnorm import normalize_text, normalize_words
 
 BLOCK_TAGS = frozenset(
     """p div li h1 h2 h3 h4 h5 h6 td th tr ul ol table article section
@@ -90,14 +90,19 @@ class _Segmenter(HTMLParser):
 
     # -- block lifecycle -------------------------------------------------
     def _flush(self) -> None:
+        if not self.parts:
+            # most flushes are empty (every block tag boundary flushes);
+            # skip the join/normalize and just reset — observably
+            # identical (no text -> no block)
+            self.anchor_parts = []
+            self.inline_tags = 0
+            return
         raw = "".join(self.parts)
-        text = normalize_text(raw)
+        text, n_words = normalize_words(raw)
         if text:
-            anchor_text = normalize_text("".join(self.anchor_parts))
+            anchor_text, n_anchor_words = normalize_words("".join(self.anchor_parts))
             n_chars = len(text)
-            n_words = len(text.split())
             n_anchor_chars = len(anchor_text)
-            n_anchor_words = len(anchor_text.split())
             enclosing = "body"
             for t in reversed(self.stack):
                 if t in BLOCK_TAGS:
@@ -175,14 +180,31 @@ class _Segmenter(HTMLParser):
         self._flush()
 
 
-def segment_html(body: str) -> list[Block]:
-    """Segment a decoded HTML string into feature-annotated blocks."""
+def segment_html(body: str, backend: str = "fast") -> list[Block]:
+    """Segment a decoded HTML string into feature-annotated blocks.
+
+    backend='fast' (default) drives the same _Segmenter state machine
+    from functions/htmltok.py — a tokenizer that is event-equivalent to
+    stdlib html.parser(convert_charrefs=True) but skips the machinery
+    the segmenter never uses (line tracking, attr-value unescaping,
+    comment/pi/decl dispatch); measured ~2x doc throughput.
+    backend='stdlib' keeps the reference path; the differential tests
+    (tests/test_htmltok.py) pin the two to identical block lists over
+    the corpus, adversarial fixtures, and hypothesis fuzz.
+    """
     seg = _Segmenter()
     try:
-        seg.feed(body)
-        seg.close()
+        if backend == "fast":
+            from .htmltok import feed_events
+
+            feed_events(body, seg)
+            seg._flush()
+        else:
+            seg.feed(body)
+            seg.close()
     except Exception:
-        # html.parser is robust, but guarantee we never throw on
-        # arbitrary bytes (hypothesis-tested): keep whatever was parsed.
+        # Both backends raise only where html.parser does (e.g. unknown
+        # marked-section keywords); never throw on arbitrary bytes
+        # (hypothesis-tested): keep whatever was parsed.
         seg._flush()
     return seg.blocks

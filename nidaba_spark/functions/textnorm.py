@@ -43,3 +43,16 @@ def normalize_text(s: str) -> str:
     s = s.translate(_ZERO_WIDTH)
     s = _WS_RE.sub(" ", s)
     return s.strip()
+
+
+def normalize_words(s: str) -> tuple[str, int]:
+    """(normalize_text(s), word count of the result) with one split on
+    the ASCII fast path instead of normalize-then-split-again — the
+    segmenter's _flush calls this for every non-empty block."""
+    if not s:
+        return "", 0
+    if s.isascii():
+        toks = s.split()
+        return " ".join(toks), len(toks)
+    t = normalize_text(s)
+    return t, len(t.split())
