@@ -50,14 +50,37 @@ def token_count_bpe(text: Column) -> Column:
     )
 
 
+# Codegen note (SURVEY.md §4.3, NOTES.md): higher-order lambdas
+# (filter/size-over-filter/aggregate) are CodegenFallback —
+# interpreted. The token stats below are re-expressed with
+# regexp_extract_all / regexp_replace, which ARE whole-stage-codegen
+# expressions, with EXACTLY the same values:
+#   * token            = maximal [a-z0-9']+ run of lower(text), so
+#     n_words == count of regex matches;
+#   * stopword         = token string-equal to a STOPWORDS entry, so
+#     n_stop == matches of (?<![a-z0-9'])(the|...)(?![a-z0-9']);
+#   * sum of token lens == count of [a-z0-9'] chars in lower(text).
+# Oracle-checked (q_doc_quality) before and after the rewrite.
+_WORD_RE = r"[a-z0-9']+"
+_STOP_RE = r"(?<![a-z0-9'])(" + "|".join(STOPWORDS) + r")(?![a-z0-9'])"
+
+
+def _n_words(lowered: Column) -> Column:
+    return F.size(F.regexp_extract_all(lowered, F.lit(_WORD_RE), 0))
+
+
+def _n_stop(lowered: Column) -> Column:
+    return F.size(F.regexp_extract_all(lowered, F.lit(_STOP_RE), 0))
+
+
 def quality_features(text: Column) -> list[Column]:
     """Length / punctuation / stopword-ratio quality features."""
+    lowered = F.lower(text)
     n_chars = F.length(text)
-    words = F.filter(F.split(F.lower(text), r"[^a-z0-9']+"), lambda t: t != F.lit(""))
-    n_words = F.size(words)
-    n_stop = F.size(F.filter(words, lambda w: w.isin(*[F.lit(s) for s in STOPWORDS])))
+    n_words = _n_words(lowered)
+    n_stop = _n_stop(lowered)
     n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?'\"\-]", ""))
-    sum_word_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    sum_word_len = F.length(F.regexp_replace(lowered, r"[^a-z0-9']", ""))
     mean_word_len = F.when(n_words > 0, F.round(sum_word_len / n_words, 4)).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, F.round(n_stop / n_words, 4)).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 4)).otherwise(F.lit(0.0))
@@ -73,10 +96,10 @@ def quality_features(text: Column) -> list[Column]:
 def quality_score(text: Column) -> Column:
     """[0,1] heuristic quality score: long enough, low punctuation
     noise, some stopword mass (Gopher-rules-style shallow features)."""
+    lowered = F.lower(text)
     n_chars = F.length(text)
-    words = F.filter(F.split(F.lower(text), r"[^a-z0-9']+"), lambda t: t != F.lit(""))
-    n_words = F.size(words)
-    n_stop = F.size(F.filter(words, lambda w: w.isin(*[F.lit(s) for s in STOPWORDS])))
+    n_words = _n_words(lowered)
+    n_stop = _n_stop(lowered)
     len_term = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
     stop_term = F.least(
         (F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))) * 5.0, F.lit(1.0)

@@ -304,6 +304,74 @@ FROM m
 """
 
 
+def q_media_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal resize stage (1→1 binary mapInPandas): deterministic
+    fake resizer (stride byte-subsample to 64x64/64 = 64 bytes) behind
+    the injectable codec seam; emitted as hex so the harness can hash
+    it (DuckDB 1.0 has no blob slicing — the oracle mirrors the stride
+    math on hex(payload) with exact-arithmetic indices: /64 is a
+    power-of-two divide, so floor(i*L/64.0) is fp-exact)."""
+    media = multimodal.synthesize_media(load(spark, sf, "documents"))
+    resized = multimodal.resize_media(media, width=64, height=64)
+    return resized.select(
+        "media_id",
+        F.hex("payload").alias("resized_hex"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+ORACLE["media_resize"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS L
+  FROM documents)
+SELECT media_id,
+  CASE WHEN L <= 64 THEN h ELSE
+    list_reduce(list_transform(range(0, 64),
+      i -> substr(h, 2 * CAST(floor(i * (L / 64.0)) AS BIGINT) + 1, 2)),
+      (a, b) -> a || b)
+  END AS resized_hex,
+  64 AS width, 64 AS height
+FROM m
+"""
+
+
+def q_media_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal frame sampling (1→N mapInPandas): synthesize
+    video-flavored media (duration = 10 ms per char) and emit one row
+    per sampled frame, frame bytes as hex."""
+    docs = load(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake/raw").alias("format"),
+            F.lit(0).cast("int").alias("width"),
+            F.lit(0).cast("int").alias("height"),
+            (F.length("text").cast("long") * 10).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = multimodal.sample_frames(media, every_ms=1000, frame_bytes=32, max_frames=16)
+    return frames.select(
+        "media_id", "frame_idx", "ts_ms", F.hex("frame").alias("frame_hex"), "n_bytes"
+    )
+
+
+ORACLE["media_frames"] = """
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS L, length(text) * 10 AS dur
+  FROM documents),
+n AS (SELECT *, least(dur // 1000 + 1, 16, greatest(L // 32, 1)) AS nf FROM m)
+SELECT media_id, CAST(k AS INT) AS frame_idx, CAST(k * 1000 AS BIGINT) AS ts_ms,
+       substr(h, CAST(k * 64 + 1 AS BIGINT), 64) AS frame_hex,
+       CAST(least(L - k * 32, 32) AS INT) AS n_bytes
+FROM n, unnest(range(0, nf)) AS t(k)
+"""
+
+
 # ---------------------------------------------------------------- B44 UDTF
 def q_udtf_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Python UDTF (1→N rows): fixed-size word chunks per document —
@@ -493,6 +561,8 @@ QUERIES = {
     "lang_id": q_lang_id,
     "media_metadata": q_media_metadata,
     "media_features": q_media_features,
+    "media_resize": q_media_resize,
+    "media_frames": q_media_frames,
     "udtf_chunks": q_udtf_chunks,
     "stream_events_hourly": q_stream_events_hourly,
     "stream_sessionize_events": q_stream_sessionize_events,

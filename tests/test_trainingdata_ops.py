@@ -143,3 +143,41 @@ def test_streaming_windowed_agg(spark, tmp_path):
     total_stream = out.agg(F.sum("n")).collect()[0][0]
     total_batch = load(spark, sf, "events").count()
     assert total_stream == total_batch
+
+
+def test_multimodal_resize(spark):
+    docs = spark.createDataFrame(
+        [(1, "x" * 500), (2, "short"), (3, "")], ["doc_id", "text"]
+    )
+    media = multimodal.synthesize_media(docs)
+    out = {r["media_id"]: r for r in multimodal.resize_media(media, 64, 64).collect()}
+    # long payload subsampled to width*height/64 = 64 bytes, dims updated
+    assert len(bytes(out[1]["payload"])) == 64
+    assert out[1]["meta"]["width"] == 64 and out[1]["meta"]["height"] == 64
+    # short payloads pass through unchanged; empty stays empty
+    assert bytes(out[2]["payload"]) == b"short"
+    assert bytes(out[3]["payload"]) == b""
+    # injection seam: a real resizer slots in without touching the plan
+    blanker = lambda payload, fmt, w, h: b"\x00" * 4  # noqa: E731
+    out2 = multimodal.resize_media(media, 64, 64, resizer=blanker).collect()
+    assert all(bytes(r["payload"]) == b"\x00" * 4 for r in out2)
+
+
+def test_multimodal_sample_frames(spark):
+    docs = spark.createDataFrame([(1, "a" * 100)], ["doc_id", "text"])
+    media = multimodal.synthesize_media(docs).withColumn(
+        "meta",
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake/raw").alias("format"),
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(2500).cast("long").alias("duration_ms"),
+        ),
+    )
+    rows = multimodal.sample_frames(media, every_ms=1000, frame_bytes=32).collect()
+    # duration 2500ms at 1 frame/s -> 3 frames, capped by payload (100//32=3)
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert [r["ts_ms"] for r in rows] == [0, 1000, 2000]
+    assert all(r["n_bytes"] == 32 for r in rows)
+    assert bytes(rows[0]["frame"]) == b"a" * 32
