@@ -67,6 +67,26 @@ _declname = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
 _CDATA_ELEMS = ("script", "style")
 _ALPHA_EQ_SLASH = frozenset("abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
+# One-shot fast path for conventional tags. If this STRICT regex
+# matches, the tag is well-formed enough that the tolerant
+# html.parser pipeline (locatestarttagend + tagfind + attrfind loop +
+# tail check) provably yields the same (tag, endpos, start/startend)
+# -- names are plain ASCII, attr values contain no <>'"-confusables,
+# and the tag closes with '>' or '/>'. Anything else (quoted '>',
+# exotic name chars, junk) falls through to the mirrored slow path.
+_FAST_START = re.compile(
+    # NB: the bare-value class INCLUDES '/' — html.parser's tolerant
+    # bare value is [^>\s]*, so in <a href=x/> the '/' belongs to the
+    # VALUE and the tag is a plain start tag; greedy matching here
+    # resolves the ambiguity the same way. The trailing (/?) can only
+    # match a '/' that follows the tag name, whitespace, or a quote.
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s>'\"=<`]+))?)*)"
+    r"\s*(/?)>"
+)
+_FAST_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
+
 
 def _check_whole_start_tag(s: str, i: int, n: int) -> int:
     """Mirror of HTMLParser.check_for_whole_start_tag (end-of-feed)."""
@@ -132,7 +152,21 @@ def feed_events(s: str, handler) -> None:
         c = s[i + 1 : i + 2]
         if "a" <= c <= "z" or "A" <= c <= "Z":
             # ---- parse_starttag ----
-            # inline the common case of check_for_whole_start_tag: the
+            fm = _FAST_START.match(s, i)
+            if fm is not None:
+                tag = fm.group(1).lower()
+                if fm.group(3):
+                    startend(tag, ())
+                else:
+                    start(tag, ())
+                    if tag in _CDATA_ELEMS:
+                        cdata_elem = tag
+                        cdata_close = re.compile(
+                            r"</\s*%s\s*>" % tag, re.IGNORECASE
+                        )
+                i = fm.end()
+                continue
+            # slow path: mirror check_for_whole_start_tag exactly; the
             # locate regex stops right before '>' for well-formed tags
             lm = _locatestarttagend_tolerant.match(s, i)
             j2 = lm.end()
@@ -165,6 +199,11 @@ def feed_events(s: str, handler) -> None:
             k = endpos
         elif startswith("</", i):
             # ---- parse_endtag ----
+            fm = _FAST_END.match(s, i)
+            if fm is not None and cdata_elem is None:
+                end(fm.group(1).lower())
+                i = fm.end()
+                continue
             gm = _endendtag.search(s, i + 1)
             if gm is None:
                 k = -1

@@ -89,6 +89,20 @@ ADVERSARIAL = [
     "<p a=1 b = '2' c=\"3\" d>mixed attrs</p>",
     "<p//>double slash</p>",
     "<p / >slash space</p>",
+    # fast-path/slow-path boundary cases (strict regex vs tolerant)
+    "<a href=x/>bare value eats slash: START not startend</a>",
+    "<a href=x />space then slash: startend",
+    "<a href=x/ >slash in value then space</a>",
+    "<p attr=val/>v1</p>",
+    "<p attr=\"v\"/>quoted then selfclose",
+    "<p attr==x>double equals</p>",
+    "<p attr=>empty bare value</p>",
+    "<my-widget>custom element name</my-widget>",
+    "<p a=1b=2>no space between attrs</p>",
+    "<a x/y=z>slash inside attr run</a>",
+    "<p `tick>backtick attr</p>",
+    "</p >fast end with space",
+    "</p\t>fast end with tab",
 ]
 
 
