@@ -80,12 +80,16 @@ _FAST_START = re.compile(
     # VALUE and the tag is a plain start tag; greedy matching here
     # resolves the ambiguity the same way. The trailing (/?) can only
     # match a '/' that follows the tag name, whitespace, or a quote.
+    # Whitespace here is html.parser's tag-name stop set [ \t\n\r\f],
+    # NOT regex \s: \s includes \x0b/\x1c-\x1f, which html.parser
+    # treats as NAME characters (<P\x0b> is tag 'p\x0b', found by
+    # fuzzing) — any such byte must fall through to the slow path.
     r"<([a-zA-Z][a-zA-Z0-9]*)"
-    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
-    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s>'\"=<`]+))?)*)"
-    r"\s*(/?)>"
+    r"((?:[ \t\n\r\f]+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:[ \t\n\r\f]*=[ \t\n\r\f]*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s>'\"=<`]+))?)*)"
+    r"[ \t\n\r\f]*(/?)>"
 )
-_FAST_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
+_FAST_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)[ \t\n\r\f]*>")
 
 
 def _check_whole_start_tag(s: str, i: int, n: int) -> int:

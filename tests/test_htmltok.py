@@ -103,6 +103,12 @@ ADVERSARIAL = [
     "<p `tick>backtick attr</p>",
     "</p >fast end with space",
     "</p\t>fast end with tab",
+    # \x0b (vertical tab) is regex-\s but a NAME char to html.parser
+    "<P\x0b>vtab glued to tag name",
+    "<p\x0bclass=x>vtab before attr</p>",
+    "</p\x0b>vtab in end tag",
+    "<a href=\x0b>vtab as value?",
+    "<p \x0c>formfeed is real whitespace</p>",
 ]
 
 
