@@ -89,3 +89,22 @@ def test_aggregate_is_partial_then_final(spark):
     assert plan.count("HashAggregate") >= 2  # partial (map-side) + final
 
 
+
+
+def test_media_stages_are_narrow(spark):
+    """The multimodal stages (resize 1→1, frame-sample 1→N) must be
+    scan → mapInPandas → project with NO Exchange: per-row work stays
+    on the input partitioning, so at 100 TB they add zero shuffle."""
+    from nidaba_spark.operators import multimodal
+    from nidaba_spark.sources.tables import load
+
+    docs = load(spark, SF, "documents")
+    media = multimodal.synthesize_media(docs)
+    for df in (
+        multimodal.resize_media(media, 64, 64),
+        multimodal.sample_frames(media, every_ms=1000),
+        multimodal.extract_features(media),
+    ):
+        plan = _plan(df)
+        assert re.findall(r"\(\d+\) MapInPandas\b", plan), plan[:1500]
+        assert not re.findall(r"\(\d+\) Exchange\b", plan), plan[:1500]
