@@ -45,10 +45,17 @@ RELATIONAL_HEADLINERS = [
 ]
 
 
-def time_action(fn) -> float:
-    t0 = time.perf_counter()
-    fn()
-    return round(time.perf_counter() - t0, 3)
+def time_action(fn, reps: int = 2) -> float:
+    """Best-of-N action timing: the shared host's speed drifts 2-3x
+    over minutes (NOTES.md), so a single sample can tax an unlucky
+    moment; min over two back-to-back runs is the standard guard and
+    still measures a real end-to-end action."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def main() -> None:
