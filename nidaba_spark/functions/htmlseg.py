@@ -43,10 +43,20 @@ any executor, any partitioning.
 from __future__ import annotations
 
 import math
+import sys
 from dataclasses import dataclass
 from html.parser import HTMLParser
 
 from .textnorm import normalize_text, normalize_words
+
+# The fast tokenizer mirrors CPython 3.10-3.12's html/parser.py branch
+# for branch (htmltok.py docstring); 3.13 changed set_cdata_mode and
+# the tolerant parsing paths, so outside the verified range the
+# "event-equivalent to stdlib" contract of backend='fast' no longer
+# holds — fall back to the stdlib backend rather than silently
+# diverging (ADVICE r02). The differential fuzz suite
+# (tests/test_htmltok.py) is what certifies a new interpreter version.
+_FAST_BACKEND_OK = (3, 10) <= sys.version_info[:2] <= (3, 12)
 
 BLOCK_TAGS = frozenset(
     """p div li h1 h2 h3 h4 h5 h6 td th tr ul ol table article section
@@ -194,7 +204,7 @@ def segment_html(body: str, backend: str = "fast") -> list[Block]:
     """
     seg = _Segmenter()
     try:
-        if backend == "fast":
+        if backend == "fast" and _FAST_BACKEND_OK:
             from .htmltok import feed_events
 
             feed_events(body, seg)

@@ -25,6 +25,13 @@ the concatenation is identical — the segmenter joins fragments, so
 chunking is immaterial). Enforced by differential fuzz tests
 (tests/test_htmltok.py) over the synthetic corpus, adversarial
 fixtures, and hypothesis-generated inputs.
+
+Interpreter pin: the mirrored internals are CPython 3.10-3.12's
+(verified exhaustively on this box's 3.11.7); CPython 3.13 changed
+set_cdata_mode and tolerant parsing, so htmlseg.segment_html guards
+backend='fast' behind that version range and falls back to stdlib
+outside it (ADVICE r02). To certify a new interpreter: run the
+differential fuzz suite against its html.parser and widen the range.
 """
 
 from __future__ import annotations

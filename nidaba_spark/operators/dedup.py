@@ -13,10 +13,10 @@ Scale notes (100 TB story):
     instead of full texts keeps shuffle rows tiny. Keep-lowest-id is
     an explicit min(), never dropDuplicates (nondeterministic under
     partitioning — SURVEY.md §4.3.5).
-  * ngram-Jaccard — token-postings self-join. The classic trick:
-    drop tokens that appear in > df_cap documents (stop-postings)
-    before the join so the postings-list join stays near-linear;
-    candidate pairs then verified exactly.
+  * ngram-Jaccard — token-postings self-join with AllPairs prefix
+    filtering: each doc posts only its n - ceil(t*n) + 1 globally
+    rarest tokens, which provably preserves every pair with J >= t
+    while keeping postings lists short; candidates verified exactly.
   * minhash_lsh — shingle → K minhashes → B bands; band-hash groupBy
     (shuffle on short band keys only); pairs verified with exact
     Jaccard. This is the sub-quadratic path at 10^9+ docs.
@@ -65,28 +65,41 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    df_cap: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact token-set Jaccard similar pairs via a postings self-join.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold,
     jaccard rounded to 6 places (stable vs the DuckDB oracle).
 
-    df_cap (stop-postings cap) is the scale knob: with it set, only
-    tokens appearing in <= df_cap documents participate in the
-    postings self-join — that join is what goes quadratic on common
-    tokens at corpus scale — and the (id_a, id_b) candidates it yields
-    are then verified with EXACT Jaccard over the FULL token sets
-    (array_intersect/array_union), so every emitted pair's similarity
-    is unbiased. The only pairs the capped path can miss are those
-    sharing exclusively ubiquitous tokens, which sit far below any
-    useful near-dup threshold. df_cap=None keeps the uncapped exact
-    join (test/oracle baseline; do not run against a real corpus).
+    prefix_filter=True (default, the scale path) generates candidates
+    with AllPairs/PPJoin-style PREFIX FILTERING (Bayardo et al. WWW'07;
+    Xiao et al. WWW'08 — public algorithms): order each doc's token set
+    by ascending (global document frequency, token) and keep only the
+    first ``n - ceil(t*n) + 1`` tokens as postings. Completeness is a
+    theorem, not a heuristic: for any pair with J >= t, the smallest
+    common token w in that global order sits at position
+    <= n - |overlap| + 1 <= n - ceil(t*n) + 1 in BOTH docs, so the pair
+    collides on w. Candidates are then verified with EXACT Jaccard over
+    the FULL token sets, so output == the naive all-pairs result,
+    row for row — no recall cliff at any cluster multiplicity (this
+    replaced an earlier global df-cap scheme whose candidate stage went
+    blind on duplicate clusters larger than the cap, ADVICE r02).
+    Cost: postings are each doc's RAREST tokens, so the self-join's
+    per-token lists stay short on realistic corpora; a symmetric length
+    filter (t*na <= nb and t*nb <= na) prunes cross-size pairs before
+    the verify join. Residual worst case: very short docs keep their
+    whole set as prefix, so a corpus of tiny docs sharing one stopword
+    still generates quadratic candidates — at that shape use
+    minhash_lsh_pairs, which buckets on the full signature instead.
+
+    prefix_filter=False keeps the naive uncapped postings join
+    (test/oracle baseline; do not run against a real corpus).
     """
     toks = (
         docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"))
     )
-    if df_cap is None:
+    if not prefix_filter:
         sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
         a = toks.alias("a")
         b = toks.alias("b")
@@ -109,14 +122,29 @@ def ngram_jaccard_pairs(
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
-    # capped path: rare-token postings -> candidates -> exact verify
-    rare = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= df_cap)
-    rare_toks = toks.join(F.broadcast(rare.select("tok")), "tok")
+    # prefix-filter path: df-ranked prefixes -> candidates -> exact verify
+    from pyspark.sql import Window
+
+    df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(df_tok, "tok")
+    w_id = Window.partitionBy("id")
+    w_ord = w_id.orderBy("df", "tok")
+    # one shuffle on id serves both window functions (set size + rank)
+    pref = (
+        ranked.withColumn("pos", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_id))
+        .filter(F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+        .select("id", "tok", "n")
+    )
     cand = (
-        rare_toks.alias("a")
+        pref.alias("a")
         .join(
-            rare_toks.alias("b"),
-            (F.col("a.tok") == F.col("b.tok")) & (F.col("a.id") < F.col("b.id")),
+            pref.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.id") < F.col("b.id"))
+            # symmetric length filter: J >= t forces t*max(na,nb) <= min(na,nb)
+            & (F.col("b.n") >= F.ceil(F.lit(threshold) * F.col("a.n")))
+            & (F.col("a.n") >= F.ceil(F.lit(threshold) * F.col("b.n"))),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()

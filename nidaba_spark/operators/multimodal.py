@@ -215,8 +215,8 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.struct(
             F.lit("image").alias("media_type"),
             F.lit("fake/raw").alias("format"),
-            (F.length(text_col) % 1920).cast("int").alias("width"),
-            (F.length(text_col) % 1080).cast("int").alias("height"),
+            (F.length(text_col) % 1919 + 1).cast("int").alias("width"),
+            (F.length(text_col) % 1079 + 1).cast("int").alias("height"),
             F.lit(0).cast("long").alias("duration_ms"),
         ).alias("meta"),
     )

@@ -30,44 +30,32 @@ SELECT min(doc_id) AS keep_id, count(*) AS n_dupes FROM documents GROUP BY text
 
 
 # ---------------------------------------------------- dedup: n-gram Jaccard
-# Stop-postings cap used by the exposed query: only tokens in <= this
-# many documents join the postings self-join (candidate generation);
-# similarity is then verified exactly on full token sets. Keeps the
-# join near-linear at corpus scale (operators/dedup.py docstring);
-# the oracle below mirrors the same candidate restriction.
-NGRAM_DF_CAP = 100
-
-
+# The exposed query runs the prefix-filtered scale path; because
+# prefix filtering is COMPLETE for J >= t (operators/dedup.py), the
+# oracle is the plain exact all-pairs Jaccard — the harness thereby
+# checks that the candidate pruning loses nothing, instead of
+# mirroring the pruning (which would hide recall loss, ADVICE r02).
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(
-        load(spark, sf, "documents"), threshold=0.4, df_cap=NGRAM_DF_CAP
-    )
+    return dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=0.4)
 
 
-ORACLE["dedup_ngram_jaccard"] = f"""
-WITH toks AS (
-  SELECT doc_id AS id,
-         unnest(list_distinct(list_filter(
-           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != ''))) AS tok
-  FROM documents),
-rare AS (SELECT tok FROM toks GROUP BY tok HAVING count(*) <= {NGRAM_DF_CAP}),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM toks a JOIN rare r ON a.tok = r.tok
-  JOIN toks b ON b.tok = a.tok AND a.id < b.id),
-tsets AS (
+ORACLE["dedup_ngram_jaccard"] = """
+WITH tsets AS (
   SELECT doc_id AS id,
          list_distinct(list_filter(
            string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')) AS ts
-  FROM documents)
+  FROM documents),
+toks AS (SELECT id, unnest(ts) AS tok FROM tsets),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS o
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2)
 SELECT id_a, id_b,
-       round(len(list_intersect(ta.ts, tb.ts))
-             / len(list_distinct(ta.ts || tb.ts)), 6) AS jaccard
-FROM cand
+       round(o / (len(ta.ts) + len(tb.ts) - o), 6) AS jaccard
+FROM shared
 JOIN tsets ta ON ta.id = id_a
 JOIN tsets tb ON tb.id = id_b
-WHERE round(len(list_intersect(ta.ts, tb.ts))
-            / len(list_distinct(ta.ts || tb.ts)), 6) >= 0.4
+WHERE round(o / (len(ta.ts) + len(tb.ts) - o), 6) >= 0.4
 """
 
 

@@ -5,11 +5,14 @@ pipeline.prepare's measured nsalt)."""
 from __future__ import annotations
 
 import inspect
+import os
 import sys
+
+_JOBS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "jobs")
 
 
 def _cli_default(flag: str):
-    sys.path.insert(0, "/root/repo/jobs")
+    sys.path.insert(0, _JOBS_DIR)
     import argparse
 
     import run_pipeline

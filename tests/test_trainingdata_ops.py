@@ -39,6 +39,32 @@ def test_ngram_jaccard_finds_near_dups(docs):
     assert (0, 3) not in pairs
 
 
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """Prefix filtering must equal the naive all-pairs join row for row —
+    including on a duplicate cluster of multiplicity 150, the exact
+    shape where the old global df-cap (100) candidate stage went blind
+    (every shared token's df exceeded the cap, so even jaccard=1.0
+    pairs vanished — ADVICE r02)."""
+    dup = "identical boilerplate page repeated across many mirror hosts verbatim"
+    rows = [(i, dup) for i in range(150)]
+    rows += [(200, dup + " with one extra trailing token appended")]
+    rows += [(201, "an unrelated control document about watermarks and streaming state")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fast = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    naive = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, prefix_filter=False).collect()
+    }
+    assert fast == naive
+    assert fast[(0, 149)] == 1.0  # the cliff pair: inside a 150-dup cluster
+    assert (0, 200) in fast  # near-dup of the big cluster
+    assert len(fast) == 150 * 149 // 2 + 150  # C(150,2) dups + 150 near-dups
+
+
 def test_minhash_lsh_finds_near_dups(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
     assert (0, 1) in pairs
