@@ -47,7 +47,10 @@ def _fused_batches(
         doctypes: list[str] = []
         n_kept: list[int] = []
         n_dropped: list[int] = []
-        for raw, crawler_text in zip(pdf["html"], pdf["text"]):
+        crawler_texts = (
+            pdf["text"] if "text" in pdf.columns else [None] * len(pdf)
+        )
+        for raw, crawler_text in zip(pdf["html"], crawler_texts):
             raw = bytes(raw) if raw is not None else b""
             if not raw:
                 doctype = "empty"
@@ -86,17 +89,82 @@ def _fused_batches(
         yield out
 
 
-def fused_extract_stage(pages_prepared: DataFrame, metrics=None) -> DataFrame:
+def fused_extract_stage(
+    pages_prepared: DataFrame, metrics=None, with_text: bool = True
+) -> DataFrame:
     """prepared pages → EXTRACTED in one Arrow-batched pass.
 
     Output is column-for-column identical to the staged path,
     including n_blocks_dropped (= segmented blocks - kept
     non-fallback, same formula as merge_stage) — pinned by
     tests/test_pipeline_e2e.py::test_fused_equals_staged.
+
+    with_text=False omits the crawler ``text`` column from the shuffle
+    and Arrow transfer entirely (it is 46% of the corpus's bytes but
+    only consulted for the ~2% of docs whose parse keeps nothing):
+    rows that would need the fallback come out with n_blocks_kept=0 /
+    text='' and the caller patches them via fallback_stage
+    (pipeline.extract wires the two phases up).
     """
-    cols = ["url", "warc_ts", "html", "text", "lang"]
+    cols = ["url", "warc_ts", "html", "lang"] if not with_text else [
+        "url", "warc_ts", "html", "text", "lang"
+    ]
 
     def fn(batches):
         return _fused_batches(batches, metrics)
 
     return pages_prepared.select(*cols).mapInPandas(fn, schema=schemas.EXTRACTED)
+
+
+# Input schema of the fallback patch stage: the skinny needy rows from
+# phase 1 joined back to the crawler text column.
+def fallback_stage(needy_with_text: DataFrame) -> DataFrame:
+    """Crawler-text fallback for docs whose parse kept nothing
+    (oracle step 4), as a second tiny mapInPandas over ONLY the needy
+    rows — the scale reason the main pass can drop the text column.
+
+    Byte-identical to the one-pass path by construction: both call the
+    same normalize_text and emit the same single fallback span
+    (block_id=0, start=0, end=utf8len, kind='fallback'), or text=''
+    when the crawler text is null/empty after normalization.
+    """
+    from ..functions.textnorm import normalize_text
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        for pdf in it:
+            texts: list[str] = []
+            spans_col: list[list[dict]] = []
+            n_kept: list[int] = []
+            for t in pdf["text"]:
+                ft = normalize_text(t) if isinstance(t, str) else ""
+                if ft:
+                    texts.append(ft)
+                    spans_col.append(
+                        [{"block_id": 0, "start": 0, "end": len(ft.encode("utf-8")), "kind": "fallback"}]
+                    )
+                    n_kept.append(1)
+                else:
+                    texts.append("")
+                    spans_col.append([])
+                    n_kept.append(0)
+            yield pd.DataFrame(
+                {
+                    "url": pdf["url"],
+                    "warc_ts": pdf["warc_ts"],
+                    "lang": pdf["lang"],
+                    "doctype": pdf["doctype"],
+                    "text": texts,
+                    "spans": spans_col,
+                    "n_blocks_kept": pd.Series(n_kept, dtype="int32"),
+                    "n_blocks_dropped": pdf["n_blocks_dropped"].astype("int32"),
+                    "stage_ver": STAGE_VER,
+                    "_pid": pd.Series([pid] * len(pdf), dtype="int32"),
+                }
+            )
+
+    cols = ["url", "warc_ts", "lang", "doctype", "n_blocks_dropped", "text"]
+    return needy_with_text.select(*cols).mapInPandas(batches, schema=schemas.EXTRACTED)

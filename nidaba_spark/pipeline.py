@@ -114,20 +114,64 @@ def extract(
     nsalt: int = 256,
     npartitions: int | None = None,
     mode: str = "fused",
+    metrics=None,
 ) -> DataFrame:
     """One-call pipeline: pages → EXTRACTED (lazy).
 
-    mode='fused'  — single mapInPandas pass (operators/fused.py), the
-                    bulk-throughput hot path;
-    mode='staged' — the four composable stage transforms (what the
-                    checkpointed Pipeline runs). Byte-identical outputs
-                    (golden + equivalence tests).
+    mode='fused'        — text-pruned two-phase hot path (below);
+    mode='fused_inline' — single mapInPandas pass carrying the crawler
+                          text column through the shuffle;
+    mode='staged'       — the four composable stage transforms (what
+                          the checkpointed Pipeline runs).
+    Byte-identical outputs (golden + equivalence tests).
+
+    The 'fused' plan prunes the crawler ``text`` column out of the
+    pipeline's one big shuffle and its Arrow transfer — measured 46%
+    of the corpus bytes, consulted only for the ~2% of docs whose
+    parse keeps nothing (oracle step 4). Shape:
+
+      pages ── select(url, ts, lang, html) ─ salted Exchange ─ fused
+        parse ─ localCheckpoint ─┬─ kept>0 ────────────────────┬ union
+                                 └─ kept==0 (skinny) ─ b-cast ─┤
+                 pages ─ select(url, text) ─ broadcast-join ───┘
+                                              └ fallback mapInPandas
+
+    The localCheckpoint materializes phase 1 ONCE into executor-local
+    storage so the two consumers don't re-run the parser (a plain
+    .persist would be wrong here: Spark's CacheManager matches
+    canonicalized plans, so a fresh identical extract() call — e.g.
+    bench repetitions — would silently read the previous call's cache
+    and time nothing). The needy side is broadcast (skinny, ~2% of
+    urls); the text scan is column-pruned to (url, text) so html is
+    never read twice. At 10^12-row scale the same shape holds with the
+    stage checkpoint as the materialization and the fallback join
+    storage-partitioned by the Iceberg table's url bucketing.
     """
-    prepared = prepare(pages, nsalt, npartitions)
     if mode == "fused":
+        from pyspark import StorageLevel
+
+        from .operators.fused import fallback_stage, fused_extract_stage
+
+        slim = pages.select("url", "warc_ts", "html", "lang")
+        # DISK_ONLY: the checkpoint blocks ride the OS page cache instead
+        # of competing with execution memory for heap (MEMORY_AND_DISK
+        # OOMed the 16g local JVM at 500k pages under 32 readers).
+        ext0 = fused_extract_stage(
+            prepare(slim, nsalt, npartitions), metrics, with_text=False
+        ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        ok = ext0.filter(F.col("n_blocks_kept") > 0)
+        needy = ext0.filter(F.col("n_blocks_kept") == 0).select(
+            "url", "warc_ts", "lang", "doctype", "n_blocks_dropped"
+        )
+        patched = fallback_stage(
+            pages.select("url", "text").join(F.broadcast(needy), "url")
+        )
+        return ok.unionByName(patched)
+    prepared = prepare(pages, nsalt, npartitions)
+    if mode == "fused_inline":
         from .operators.fused import fused_extract_stage
 
-        return fused_extract_stage(prepared)
+        return fused_extract_stage(prepared, metrics)
     return transform(prepared)
 
 
@@ -329,12 +373,7 @@ class Pipeline:
         else:
             todo = pages
         metrics = StageMetrics(self.spark.sparkContext, "incremental")
-        if mode == "fused":
-            from .operators.fused import fused_extract_stage
-
-            ext = fused_extract_stage(prepare(todo, self.nsalt, self.npartitions), metrics)
-        else:
-            ext = extract(todo, self.nsalt, self.npartitions, mode=mode)
+        ext = extract(todo, self.nsalt, self.npartitions, mode=mode, metrics=metrics)
         started = dt.datetime.now(dt.timezone.utc)
         attempt = self._bump_attempt("merge")
         # Stage-commit discipline (matches _write_checkpoint): never

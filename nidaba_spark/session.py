@@ -27,7 +27,12 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     driver_memory: str = "16g",
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """extra_conf entries (and the NIDABA_EXTRA_CONF env var, a
+    ``k=v,k=v`` list applied after them) override the defaults below —
+    the A/B hook the codec/serializer experiments in
+    scripts/bench_scaling.py drive without forking the factory."""
     n = cores or default_parallelism()
     builder = (
         SparkSession.builder.master(f"local[{n}]")
@@ -44,6 +49,13 @@ def get_spark(
         .config("spark.driver.memory", driver_memory)
         .config("spark.ui.enabled", "false")
     )
+    merged = dict(extra_conf or {})
+    env_conf = os.environ.get("NIDABA_EXTRA_CONF", "")
+    for kv in filter(None, env_conf.split(",")):
+        k, _, v = kv.partition("=")
+        merged[k.strip()] = v.strip()
+    for k, v in merged.items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

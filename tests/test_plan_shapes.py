@@ -55,7 +55,7 @@ def test_dim_joins_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan[:3000]
 
 
-@pytest.mark.parametrize("mode", ["fused", "staged"])
+@pytest.mark.parametrize("mode", ["fused_inline", "staged"])
 def test_pipeline_single_exchange(spark, pages_path, mode):
     pages = spark.read.parquet(pages_path)
     ext = pipeline.extract(pages, mode=mode)
@@ -64,9 +64,35 @@ def test_pipeline_single_exchange(spark, pages_path, mode):
     assert n_exchanges == 1, f"pipeline must shuffle exactly once (salted repartition), got {n_exchanges}"
 
 
+def test_pruned_fused_plan_shape(spark, pages_path):
+    """The text-pruned hot path (mode='fused'). Phase 1: scan WITHOUT
+    the crawler text column → exactly ONE Exchange (salted repartition)
+    → ONE MapInPandas. Outer plan (phase 1 sits behind the
+    localCheckpoint RDD): NO additional shuffle Exchange — only the
+    BroadcastExchange of the skinny needy side — one fallback
+    MapInPandas, and no scan that re-reads html."""
+    pages = spark.read.parquet(pages_path)
+    from nidaba_spark.operators.fused import fused_extract_stage
+
+    slim = pages.select("url", "warc_ts", "html", "lang")
+    inner = fused_extract_stage(pipeline.prepare(slim), with_text=False)
+    ip = _plan(inner)
+    assert len(re.findall(r"\(\d+\) Exchange\b", ip)) == 1, ip[:2000]
+    assert len(re.findall(r"\(\d+\) MapInPandas\b", ip)) == 1, ip[:2000]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", ip)
+    assert m and "text" not in m.group(1), "crawler text must be pruned from the big scan"
+
+    op = _plan(pipeline.extract(pages, mode="fused"))
+    assert len(re.findall(r"\(\d+\) Exchange\b", op)) == 0, "no extra shuffle beyond phase 1"
+    assert len(re.findall(r"\(\d+\) BroadcastExchange\b", op)) == 1, op[:2000]
+    assert len(re.findall(r"\(\d+\) MapInPandas\b", op)) == 1  # fallback stage only
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", op):
+        assert "html" not in mm.group(1), "html must never be read twice"
+
+
 def test_fused_plan_has_one_python_stage(spark, pages_path):
     pages = spark.read.parquet(pages_path)
-    plan = _plan(pipeline.extract(pages, mode="fused"))
+    plan = _plan(pipeline.extract(pages, mode="fused_inline"))
     assert len(re.findall(r"\(\d+\) MapInPandas\b", plan)) == 1
     plan_staged = _plan(pipeline.extract(pages, mode="staged"))
     assert len(re.findall(r"\(\d+\) MapInPandas\b", plan_staged)) == 2
