@@ -200,8 +200,11 @@ def main() -> None:
         "on a real multi-node cluster; this sandbox substitutes core counts",
         "inside ONE shared memory/GC/shuffle domain. Measured slices fall",
         "off monotonically with how hard the 4N level presses that shared",
-        "domain (2->8: ~0.93; 4->16: ~0.79; 8->32: ~0.68 across r02/r03",
-        "builds), and two corroborations tie the residual to single-box",
+        "domain (r03, 1M-page corpus: 2->8 median 0.902; 4->16 0.890;",
+        "8->32 0.725 - and the same build reads 0.38/0.66/0.73 on the",
+        "8->32 slice at 250k/500k/1M rows, a pure fixed-overhead dilution",
+        "curve; the 10^12-row job the rule describes sits past the right",
+        "end of it). Two corroborations tie the residual to single-box",
         "memory bandwidth, not plan inefficiency: (a) per-pair efficiency",
         "correlates INVERSELY with the host-speed probe; (b) every per-doc",
         "compute reduction shipped (fast tokenizer r02, text-pruned shuffle",

@@ -140,8 +140,19 @@ def main() -> None:
             except Exception:
                 p.kill()
 
-    pts_n = [(s["rows"], s[f"t{N}"]) for s in samples]
-    pts_4n = [(s["rows"], s[f"t{N4}"]) for s in samples]
+    # fit on per-size MEDIANS: single legs on this host can stall 2-3x
+    # (shared-host spells); the median per cell is the robust estimator
+    # and the fit then interpolates clean points.
+    med_n = {
+        size: statistics.median(s[f"t{N}"] for s in samples if s["rows"] == size)
+        for size in SIZES
+    }
+    med_4n = {
+        size: statistics.median(s[f"t{N4}"] for s in samples if s["rows"] == size)
+        for size in SIZES
+    }
+    pts_n = sorted(med_n.items())
+    pts_4n = sorted(med_4n.items())
     a_n, b_n = _fit(pts_n)
     a_4n, b_4n = _fit(pts_4n)
     result = {
