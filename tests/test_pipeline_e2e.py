@@ -110,3 +110,40 @@ def test_staged_equals_fused(spark, pages_path, tmp_path, golden):
     p = pipeline.Pipeline(spark, str(tmp_path), run_id="eq")
     got = _collect(p.run(pages).select("url", "text", "spans"))
     assert all(got[u] == golden[u] for u in golden)
+
+
+def test_pruned_fused_edge_fallback_mixes(spark):
+    """The two-phase pruned path must survive its branch-emptiness
+    edges: a corpus where EVERY row needs the crawler-text fallback
+    (ok-branch empty), one where NONE does (fallback-branch empty),
+    and null crawler text. Outputs must match the oracle row-for-row."""
+    import datetime as dt
+
+    from nidaba_spark import oracle, pipeline, schemas
+
+    ts = dt.datetime(2024, 1, 1)
+    all_needy = [
+        (f"u{i}", ts, b"", f"  Crawler   text {i} " if i % 3 else None, "en")
+        for i in range(9)
+    ]
+    none_needy = [
+        (
+            f"v{i}",
+            ts,
+            ("<html><body><p>" + (f"Real visible content number {i} with plenty of words here. " * 8) + "</p></body></html>").encode(),
+            f"crawler {i}",
+            "en",
+        )
+        for i in range(9)
+    ]
+    for rows in (all_needy, none_needy, all_needy + none_needy):
+        pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+        got = {
+            r["url"]: (r["text"], tuple((s["kind"],) for s in r["spans"]))
+            for r in pipeline.extract(pages, npartitions=4).collect()
+        }
+        assert len(got) == len(rows)
+        for u, _, html, text, _ in rows:
+            want_text, want_spans = oracle.extract(html, text)
+            assert got[u][0] == want_text, u
+            assert got[u][1] == tuple((s.kind,) for s in want_spans), u
