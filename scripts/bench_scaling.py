@@ -60,9 +60,10 @@ pages = benchcorpus.load_pages(spark, rows, os.path.join(os.environ["NIDABA_REPO
 in_bytes = pages.select(F.sum(F.octet_length("html"))).collect()[0][0]
 
 MODE = os.environ.get("NIDABA_EXTRACT_MODE", "fused")
+NPART_MULT = int(os.environ.get("NIDABA_NPART_MULT", "8"))
 
 def run(df, mode=None):
-    ext = pipeline.extract(df, nsalt=256, npartitions=cores * 8, mode=mode or MODE)
+    ext = pipeline.extract(df, nsalt=256, npartitions=cores * NPART_MULT, mode=mode or MODE)
     ext.select(F.sum(F.octet_length("text")), F.count(F.lit(1))).collect()
 
 run(pages.limit(5000))  # warm: python worker pool + codegen
