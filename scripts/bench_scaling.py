@@ -75,7 +75,16 @@ for line in sys.stdin:
         break
     t0 = time.perf_counter()
     run(pages, cmd[1] if len(cmd) > 1 else None)
-    print(json.dumps({"cores": cores, "sec": round(time.perf_counter() - t0, 3)}), flush=True)
+    sec = round(time.perf_counter() - t0, 3)
+    # Outside the timed window: drop the just-finished run's
+    # localCheckpoint blocks NOW (python gc releases the py4j refs,
+    # JVM gc lets ContextCleaner remove the blocks) so the NEXT leg
+    # doesn't time this run's deferred cleanup (observed: repeat
+    # wide-level legs stalling 2x under accumulated block pressure).
+    import gc as _gc
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    print(json.dumps({"cores": cores, "sec": sec}), flush=True)
 spark.stop()
 """
 
