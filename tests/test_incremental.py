@@ -33,6 +33,41 @@ def test_incremental_processes_only_new_urls(spark, tmp_path, golden):
     assert p.manifest("merge")["accumulators"]["docs_in"] == 0
 
 
+def test_incremental_manifest_recount_after_orphaned_move(spark, tmp_path):
+    """ADVICE r03 (medium): a crash AFTER some inc{k} part-files moved
+    into the checkpoint but BEFORE the manifest rewrite leaves real
+    rows under the old still-valid manifest. The next incremental run
+    must detect the orphans (inc files with attempt > manifest
+    attempt) and reconcile via a recovery count — not trust the stale
+    manifest arithmetic forever."""
+    import json
+    import os
+
+    pages_300 = str(tmp_path / "p300.parquet")
+    pages_500 = str(tmp_path / "p500.parquet")
+    corpus.write_pages_parquet(pages_300, 300)
+    corpus.write_pages_parquet(pages_500, 500)
+
+    p = pipeline.Pipeline(spark, str(tmp_path / "run"), run_id="orph")
+    p.run_incremental(spark.read.parquet(pages_300))
+    with open(p._manifest_path("merge")) as f:
+        old_manifest = f.read()
+    assert json.loads(old_manifest)["rows"] == 300
+
+    # attempt 2 completes its file moves, then "crashes" before the
+    # manifest write — simulated by restoring the attempt-1 manifest
+    p.run_incremental(spark.read.parquet(pages_500))
+    with open(p._manifest_path("merge"), "w") as f:
+        f.write(old_manifest)
+    assert os.path.isdir(p._stage_path("merge"))
+
+    out = p.run_incremental(spark.read.parquet(pages_500))  # nothing new
+    assert out.count() == 500
+    m = p.manifest("merge")
+    assert m["rows"] == 500, f"stale manifest arithmetic survived: {m['rows']}"
+    assert m["accumulators"]["docs_in"] == 0  # anti-join saw the orphan rows
+
+
 def test_incremental_append_is_crash_consistent(spark, tmp_path, golden):
     """The stage-commit protocol for incremental appends: new rows are
     written to a tmp dir and moved in with per-file atomic renames, so

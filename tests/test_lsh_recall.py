@@ -124,6 +124,37 @@ def test_embedding_near_dup_lsh_vs_exact(spark):
     assert recall >= 0.85, f"near-dup LSH recall {recall:.3f}"
 
 
+def test_hyperplane_sketch_null_embeddings(spark):
+    """ADVICE r03: a null embedding must yield a null sketch (the
+    pre-r03 Column-expression behavior) — not raise inside np.stack."""
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(0, [float(i) for i in range(64)]), (1, None), (2, [1.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    by_id = {
+        r["vec_id"]: r["sk"]
+        for r in emb.select(
+            "vec_id",
+            similarity._hyperplane_bits(F.col("embedding"), 64, 64).alias("sk"),
+        ).collect()
+    }
+    assert by_id[1] is None
+    assert by_id[0] is not None and by_id[2] is not None
+    # non-null rows are unaffected by the presence of a null neighbor
+    dense = {
+        r["vec_id"]: r["sk"]
+        for r in emb.filter("vec_id != 1")
+        .select(
+            "vec_id",
+            similarity._hyperplane_bits(F.col("embedding"), 64, 64).alias("sk"),
+        )
+        .collect()
+    }
+    assert dense == {k: v for k, v in by_id.items() if k != 1}
+
+
 def test_ann_lsh_recall_on_clustered_embeddings(spark):
     """Planted-cluster fixture (VERDICT r02 missing #4): the synthetic
     near-uniform corpus only exercises the LSH-adversarial regime; this
