@@ -186,34 +186,13 @@ def near_dup_pairs_lsh(
     tests/test_lsh_recall.py.
     """
     assert bands * band_bits <= 64
-    mask = (1 << band_bits) - 1
     sk = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("_v"),
         _norm(F.col(vec_col), dim).alias("_n"),
         _hyperplane_bits(F.col(vec_col), bands * band_bits, dim).alias("sketch"),
     )
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            _shr(F.col("sketch"), b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
-        )
-        for b in range(bands)
-    ]
-    keys = sk.select(
-        "id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("id", "bk.band", "bk.key")
-    cand = (
-        keys.alias("x")
-        .join(
-            keys.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.key") == F.col("y.key"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(sk.select("id", "sketch"), bands, band_bits)
     va = sk.select(F.col("id").alias("id_a"), F.col("_v").alias("_a"), F.col("_n").alias("_na"))
     vb = sk.select(F.col("id").alias("id_b"), F.col("_v").alias("_b"), F.col("_n").alias("_nb"))
     return (
@@ -227,6 +206,37 @@ def near_dup_pairs_lsh(
             ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
+    )
+
+
+def lsh_candidate_pairs(sketched: DataFrame, bands: int, band_bits: int) -> DataFrame:
+    """Candidate (id_a < id_b) pairs sharing any band key of the 64-bit
+    sketch. Input: (id, sketch). Shared by near_dup_pairs_lsh and the
+    recall/candidate-rate gates in tests/test_lsh_recall.py, so the
+    measured candidate rate is the operator's, not a reimplementation's.
+    The self-join keys on (band, key) — short ints, so at 10^9 vectors
+    the shuffle moves ~16 bytes×bands per row, not the vectors."""
+    mask = (1 << band_bits) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            _shr(F.col("sketch"), b * band_bits).bitwiseAND(F.lit(mask)).alias("key"),
+        )
+        for b in range(bands)
+    ]
+    keys = sketched.select(
+        "id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("id", "bk.band", "bk.key")
+    return (
+        keys.alias("x")
+        .join(
+            keys.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
     )
 
 

@@ -124,6 +124,49 @@ def test_embedding_near_dup_lsh_vs_exact(spark):
     assert recall >= 0.85, f"near-dup LSH recall {recall:.3f}"
 
 
+def test_embedding_near_dup_lsh_strict(spark):
+    """Gate for the production-regime query (VERDICT r03 next #7):
+    r=8/B=8 at t>=0.85 over the planted-cluster fixture. Subset of
+    exact with identical sims (precision 1.0), recall floor 0.9
+    (S-curve at sim~0.978 predicts ~0.999), and the candidate rate is
+    measured through the operator's own candidate generator."""
+    from pyspark.sql import functions as F
+
+    from nidaba_spark.plans.trainingdata import clustered_embeddings
+
+    emb = clustered_embeddings(
+        spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.near_dup_pairs(emb, threshold=0.85, dim=64).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["sim"]
+        for r in similarity.near_dup_pairs_lsh(
+            emb, threshold=0.85, bands=8, band_bits=8, dim=64
+        ).collect()
+    }
+    wrong = {p: s for p, s in got.items() if exact.get(p) != s}
+    assert wrong == {}, f"pairs not in exact set / wrong sim: {list(wrong)[:3]}"
+    assert exact, "fixture produced no exact pairs >=0.85 — gate is vacuous"
+    recall = len(got) / len(exact)
+    assert recall >= 0.9, f"strict near-dup recall {recall:.3f}"
+
+    n = emb.count()
+    sk = emb.select(
+        F.col("vec_id").alias("id"),
+        similarity._hyperplane_bits(F.col("embedding"), 64, 64).alias("sketch"),
+    )
+    n_cand = similarity.lsh_candidate_pairs(sk, bands=8, band_bits=8).count()
+    rate = n_cand / (n * (n - 1) / 2)
+    print(
+        f"strict near-dup: n={n} exact={len(exact)} recall={recall:.3f} "
+        f"candidates={n_cand} rate={rate:.4f}"
+    )
+    assert rate < 0.5, f"candidate rate {rate:.3f} — prefilter not pruning"
+
+
 def test_hyperplane_sketch_null_embeddings(spark):
     """ADVICE r03: a null embedding must yield a null sketch (the
     pre-r03 Column-expression behavior) — not raise inside np.stack."""
