@@ -100,12 +100,18 @@ def main() -> None:
     docs_per_sec = round(BENCH_ROWS / t_pipeline, 1)
     gb_per_hour = round(in_bytes / 1e9 / (t_pipeline / 3600.0), 2)
     m = re.search(r"sf([0-9.]+)", SF_DIR)
-    scaling_eff = None  # last measured N→4N efficiency (scripts/bench_scaling.py)
+    # Scaling numbers republished from the last scripts/bench_scaling.py
+    # measurement (BENCH/scaling_summary.json). Slices are NAMED per the
+    # r03 verdict adjudication: 2v8 pinned-ABA at >=1M rows is the GATE
+    # (sandbox stand-in for N vs 4N executors); 8v32 is a regression
+    # canary with a 0.70 pooled-median floor.
+    scaling: dict = {}
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")) as f:
-            em = re.search(r"median (\d\.\d+)", f.read())
-            scaling_eff = float(em.group(1)) if em else None
-    except OSError:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_summary.json")
+        ) as f:
+            scaling = json.load(f)
+    except (OSError, ValueError):
         pass
     print(
         json.dumps(
@@ -119,7 +125,11 @@ def main() -> None:
                 "pipeline_docs_per_sec": docs_per_sec,
                 "pipeline_gb_per_hour": gb_per_hour,
                 "pipeline_input_bytes": in_bytes,
-                "scaling_efficiency_n_to_4n": scaling_eff,
+                "scaling_gate_slice": scaling.get("gate_slice"),
+                "scaling_efficiency_2v8": scaling.get("scaling_efficiency_2v8"),
+                "scaling_efficiency_4v16": scaling.get("scaling_efficiency_4v16"),
+                "scaling_canary_8v32": scaling.get("scaling_canary_8v32"),
+                "scaling_corpus_rows": scaling.get("corpus_rows"),
                 "cpus": CPUS,
             }
         )

@@ -204,25 +204,20 @@ def main() -> None:
     lines = [
         "# BENCH/BASELINE - measured throughput + scaling evidence",
         "",
-        "## DRIVER ADJUDICATION REQUESTED (r02 verdict, open item #1)",
+        "## ADJUDICATED (r03 verdict ruling)",
         "",
-        "The north_rule's >=0.8 criterion is defined for N vs 4N EXECUTORS",
-        "on a real multi-node cluster; this sandbox substitutes core counts",
-        "inside ONE shared memory/GC/shuffle domain. Measured slices fall",
-        "off monotonically with how hard the 4N level presses that shared",
-        "domain (r03, 1M-page corpus: 2->8 median 0.902; 4->16 0.890;",
-        "8->32 0.725 - and the same build reads 0.38/0.66/0.73 on the",
-        "8->32 slice at 250k/500k/1M rows, a pure fixed-overhead dilution",
-        "curve; the 10^12-row job the rule describes sits past the right",
-        "end of it). Two corroborations tie the residual to single-box",
-        "memory bandwidth, not plan inefficiency: (a) per-pair efficiency",
-        "correlates INVERSELY with the host-speed probe; (b) every per-doc",
-        "compute reduction shipped (fast tokenizer r02, text-pruned shuffle",
-        "r03) LOWERED the wide-slice reading while improving absolute",
-        "times at both levels. The builder requests a ruling: either the",
-        "2->8-core slice (4N level uses 25% of the box - the least",
-        "saturated, most cluster-faithful stand-in) is the gate metric, or",
-        "the 8->32 number stands as-is with this caveat on record.",
+        "Per VERDICT.md r03 (Performance): the pinned 2->8-core",
+        "ABA-sandwich slice at the >=1M-row corpus is the GATE metric",
+        "(sandbox stand-in for the north_rule's N vs 4N executors; the 4N",
+        "level of that slice uses 25% of the box - the least-saturated,",
+        "most cluster-faithful stand-in). The 8->32 slice is a regression",
+        "CANARY (floor: 0.70 pooled median, post leg-cleanup harness fix),",
+        "not the gate: it presses the ONE shared memory-bus/GC/shuffle",
+        "domain a real cluster scales out per executor. Corpus-size",
+        "dilution of the wide slice (0.38/0.66/0.73-0.75 at 250k/500k/1M",
+        "rows) and the inverse correlation with the host-speed probe are",
+        "recorded in the r03 sections of NOTES.md. Machine-readable",
+        "summary: BENCH/scaling_summary.json (republished by bench.py).",
         "",
         f"Corpus: {ROWS} synthetic Common-Crawl-style pages "
         f"({in_gb:.2f} GB raw html, heavy-tailed sizes incl. mega-pages), seed=42.",
@@ -271,6 +266,26 @@ def main() -> None:
     )
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
+    # Merge measured slices into the machine-readable summary bench.py
+    # republishes (only touch the official file on official runs).
+    if "NIDABA_SCALING_OUT" not in os.environ:
+        summary_path = os.path.join(REPO, "BENCH", "scaling_summary.json")
+        try:
+            with open(summary_path) as f:
+                summary = json.load(f)
+        except (OSError, ValueError):
+            summary = {"gate_slice": "2v8_pinned_aba_1M", "canary_floor": 0.70}
+        slice_field = {(2, 8): "scaling_efficiency_2v8",
+                       (4, 16): "scaling_efficiency_4v16",
+                       (8, 32): "scaling_canary_8v32"}
+        for cfg in CONFIGS:
+            if cfg in slice_field and results.get(cfg):
+                summary[slice_field[cfg]] = round(
+                    statistics.median(s["eff"] for s in results[cfg]), 3
+                )
+        summary["corpus_rows"] = ROWS
+        with open(summary_path, "w") as f:
+            json.dump(summary, f, indent=1)
     print(json.dumps({f"t{head_n}": tn_med, f"t{head_4n}": t4n_med,
                       "efficiency_median": med, "efficiency_trimmed": trimmed,
                       "efficiency_best": best["eff"],
