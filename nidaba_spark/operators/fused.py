@@ -91,8 +91,116 @@ def _fused_batches(
         yield out
 
 
+# Arrow-side output type mirroring schemas.EXTRACTED's spans column.
+_SPANS_ARROW = None
+
+
+def _spans_arrow_type():
+    global _SPANS_ARROW
+    if _SPANS_ARROW is None:
+        import pyarrow as pa
+
+        _SPANS_ARROW = pa.list_(
+            pa.struct(
+                [
+                    ("block_id", pa.int32()),
+                    ("start", pa.int64()),
+                    ("end", pa.int64()),
+                    ("kind", pa.string()),
+                ]
+            )
+        )
+    return _SPANS_ARROW
+
+
+def _fused_batches_arrow(batches, metrics=None):
+    """mapInArrow twin of _fused_batches (SURVEY.md §4.3.3, VERDICT r03
+    next #4): the multi-MB ``html`` payloads and the nested spans
+    output never materialize as pandas object arrays — input bytes
+    come straight off the Arrow buffers (one to_pylist per batch, a
+    C-level copy into bytes) and the output batch is assembled as
+    Arrow arrays directly, skipping the pandas→Arrow conversion of
+    big text strings and list<struct> spans on the way back. Same
+    per-document computation (oracle_extract_doc), byte-identical
+    output by construction — pinned by
+    tests/test_pipeline_e2e.py::test_fused_arrow_equals_pandas."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for batch in batches:
+        names = batch.schema.names
+        html_col = batch.column(names.index("html"))
+        htmls = html_col.to_pylist()
+        crawler_texts = (
+            batch.column(names.index("text")).to_pylist()
+            if "text" in names
+            else [None] * len(htmls)
+        )
+        texts: list[str] = []
+        spans_col: list[list[dict]] = []
+        doctypes: list[str] = []
+        n_kept: list[int] = []
+        n_dropped: list[int] = []
+        for raw, crawler_text in zip(htmls, crawler_texts):
+            raw = raw or b""
+            if not raw:
+                doctype = "empty"
+            elif is_pdfx(raw):
+                doctype = "pdf"
+            else:
+                doctype = "html"
+            text, spans, n_total = oracle_extract_doc(
+                raw, crawler_text if isinstance(crawler_text, str) else None
+            )
+            texts.append(text)
+            spans_col.append([vars(s) for s in spans])
+            doctypes.append(doctype)
+            n_kept.append(len(spans))
+            n_real = sum(1 for s in spans if s.kind != "fallback")
+            n_dropped.append(n_total - n_real)
+        n = len(htmls)
+        if metrics is not None:
+            metrics.docs_in.add(n)
+            bsum = pc.sum(pc.binary_length(html_col)).as_py()
+            metrics.bytes_in.add(int(bsum or 0))
+            metrics.docs_out.add(n)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(names.index("url")),
+                batch.column(names.index("warc_ts")),
+                batch.column(names.index("lang")),
+                pa.array(doctypes, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(spans_col, _spans_arrow_type()),
+                pa.array(n_kept, pa.int32()),
+                pa.array(n_dropped, pa.int32()),
+                pa.array([STAGE_VER] * n, pa.string()),
+                pa.array([pid] * n, pa.int32()),
+            ],
+            names=[
+                "url",
+                "warc_ts",
+                "lang",
+                "doctype",
+                "text",
+                "spans",
+                "n_blocks_kept",
+                "n_blocks_dropped",
+                "stage_ver",
+                "_pid",
+            ],
+        )
+
+
 def fused_extract_stage(
-    pages_prepared: DataFrame, metrics=None, with_text: bool = True
+    pages_prepared: DataFrame,
+    metrics=None,
+    with_text: bool = True,
+    engine: str | None = None,
 ) -> DataFrame:
     """prepared pages → EXTRACTED in one Arrow-batched pass.
 
@@ -107,15 +215,36 @@ def fused_extract_stage(
     rows that would need the fallback come out with n_blocks_kept=0 /
     text='' and the caller patches them via fallback_stage
     (pipeline.extract wires the two phases up).
+
+    engine: 'pandas' (mapInPandas) or 'arrow' (mapInArrow, no pandas
+    materialization of the html payloads — see _fused_batches_arrow).
+    Default reads ``spark.nidaba.fusedEngine`` (A/B-measured at the
+    1M-page corpus, NOTES.md r04; both byte-identical).
     """
     cols = ["url", "warc_ts", "html", "lang"] if not with_text else [
         "url", "warc_ts", "html", "text", "lang"
     ]
+    if engine is None:
+        engine = pages_prepared.sparkSession.conf.get(
+            "spark.nidaba.fusedEngine", _DEFAULT_ENGINE
+        )
+    src = pages_prepared.select(*cols)
+    if engine == "arrow":
+        def fn_a(batches):
+            return _fused_batches_arrow(batches, metrics)
+
+        return src.mapInArrow(fn_a, schema=schemas.EXTRACTED)
 
     def fn(batches):
         return _fused_batches(batches, metrics)
 
-    return pages_prepared.select(*cols).mapInPandas(fn, schema=schemas.EXTRACTED)
+    return src.mapInPandas(fn, schema=schemas.EXTRACTED)
+
+
+# A/B result at the 1M-page corpus (NOTES.md r04): winner of the
+# mapInPandas vs mapInArrow measurement; overridable per-session via
+# spark.nidaba.fusedEngine.
+_DEFAULT_ENGINE = "pandas"
 
 
 # Input schema of the fallback patch stage: the skinny needy rows from

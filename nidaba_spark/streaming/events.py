@@ -27,18 +27,63 @@ def _as_stream_dir(source_path: str, work_dir: str) -> str:
     return src
 
 
+def append_stream_lineage(
+    spark: SparkSession,
+    query,
+    lineage_dir: str | None,
+    run_id: str = "stream",
+    stage: str = "stream_ingest",
+) -> int:
+    """Per-micro-batch lineage rows for a finished/running streaming
+    query, written through the SAME ``_lineage`` table schema the batch
+    Pipeline uses (VERDICT r03 next #8) — so one
+    ``Pipeline.lineage()`` read covers batch stages AND stream
+    batches. Metrics come from the query's progress log
+    (``q.recentProgress`` — the engine's own per-batch accounting), so
+    the exactly-once parquet sink is untouched; partition_id carries
+    the micro-batch id, bytes_* are -1 (the progress log reports rows,
+    not bytes). Returns the number of lineage rows written."""
+    import datetime as dt
+
+    from .. import schemas
+
+    if not lineage_dir:
+        return 0
+    rows = []
+    for p in query.recentProgress:
+        started = dt.datetime.fromisoformat(p["timestamp"].replace("Z", "+00:00"))
+        dur_ms = (p.get("durationMs") or {}).get("triggerExecution", 0) or 0
+        finished = started + dt.timedelta(milliseconds=int(dur_ms))
+        n_in = int(p.get("numInputRows") or 0)
+        sink_rows = (p.get("sink") or {}).get("numOutputRows", -1)
+        n_out = int(sink_rows) if sink_rows is not None and int(sink_rows) >= 0 else n_in
+        rows.append(
+            (run_id, stage, int(p["batchId"]), n_in, n_out, -1, -1,
+             started, finished, 1, "ok")
+        )
+    if rows:
+        os.makedirs(lineage_dir, exist_ok=True)
+        spark.createDataFrame(rows, schemas.LINEAGE).coalesce(1).write.mode(
+            "append"
+        ).parquet(lineage_dir)
+    return len(rows)
+
+
 def ingest_events_stream(
     spark: SparkSession,
     source_path: str,
     schema: T.StructType,
     work_dir: str,
     watermark: str = "10 minutes",
+    lineage_dir: str | None = None,
+    run_id: str = "stream",
 ) -> str:
     """readStream(parquet) → watermark → stateful dedup → parquet sink.
 
     Returns the output directory. Uses trigger(availableNow=True) so
     the call is a bounded catch-up run (the batch-mode stand-in for a
-    continuous cluster job).
+    continuous cluster job). With ``lineage_dir`` set, per-micro-batch
+    lineage rows are appended after termination (append_stream_lineage).
     """
     out_dir = os.path.join(work_dir, "out")
     ckpt = os.path.join(work_dir, "ckpt")
@@ -59,6 +104,7 @@ def ingest_events_stream(
         .start()
     )
     q.awaitTermination()
+    append_stream_lineage(spark, q, lineage_dir, run_id, "stream_ingest")
     return out_dir
 
 
@@ -68,6 +114,8 @@ def foreach_batch_upsert(
     schema: T.StructType,
     work_dir: str,
     key: str = "event_id",
+    lineage_dir: str | None = None,
+    run_id: str = "stream",
 ) -> str:
     """Stream → foreachBatch keyed upsert into a parquet "table"
     (SURVEY.md §2B B50 — the Iceberg MERGE INTO stand-in; on a cluster
@@ -100,6 +148,7 @@ def foreach_batch_upsert(
         .start()
     )
     q.awaitTermination()
+    append_stream_lineage(spark, q, lineage_dir, run_id, "stream_upsert")
     return target
 
 

@@ -62,7 +62,9 @@ in_bytes = pages.select(F.sum(F.octet_length("html"))).collect()[0][0]
 MODE = os.environ.get("NIDABA_EXTRACT_MODE", "fused")
 NPART_MULT = int(os.environ.get("NIDABA_NPART_MULT", "8"))
 
-def run(df, mode=None):
+def run(df, mode=None, engine=None):
+    if engine:
+        spark.conf.set("spark.nidaba.fusedEngine", engine)
     ext = pipeline.extract(df, nsalt=256, npartitions=cores * NPART_MULT, mode=mode or MODE)
     ext.select(F.sum(F.octet_length("text")), F.count(F.lit(1))).collect()
 
@@ -74,7 +76,7 @@ for line in sys.stdin:
     if not cmd or cmd[0] != "go":
         break
     t0 = time.perf_counter()
-    run(pages, cmd[1] if len(cmd) > 1 else None)
+    run(pages, cmd[1] if len(cmd) > 1 else None, cmd[2] if len(cmd) > 2 else None)
     sec = round(time.perf_counter() - t0, 3)
     # Outside the timed window: drop the just-finished run's
     # localCheckpoint blocks NOW (python gc releases the py4j refs,
@@ -120,8 +122,10 @@ def _spawn(cores: int):
                 return p, msg["in_bytes"]
 
 
-def _run_once(p, mode: str = "") -> float:
-    p.stdin.write(f"go {mode}".strip() + "\n")
+def _run_once(p, mode: str = "", engine: str = "") -> float:
+    if engine and not mode:
+        mode = "fused"
+    p.stdin.write(f"go {mode} {engine}".strip() + "\n")
     p.stdin.flush()
     while True:
         line = p.stdout.readline()

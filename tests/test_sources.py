@@ -53,3 +53,50 @@ def test_foreach_batch_upsert(spark, tmp_path):
         spark, os.path.join(sf, "events.parquet"), schema, str(tmp_path) + "_2"
     )
     assert spark.read.schema(schema).parquet(target2).count() == src.count()
+
+
+def test_stream_lineage_rows(spark, tmp_path):
+    """VERDICT r03 next #8: stream ingest writes per-micro-batch
+    lineage rows through the same _lineage schema the batch Pipeline
+    uses, so one lineage() read covers batch stages and stream
+    batches."""
+    from nidaba_spark import schemas
+    from nidaba_spark.sources.tables import load
+    from nidaba_spark.streaming.events import (
+        foreach_batch_upsert,
+        ingest_events_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    schema = load(spark, sf, "events").schema
+    lineage_dir = str(tmp_path / "_lineage")
+    ingest_events_stream(
+        spark,
+        os.path.join(sf, "events.parquet"),
+        schema,
+        str(tmp_path / "ing"),
+        lineage_dir=lineage_dir,
+        run_id="run_s",
+    )
+    foreach_batch_upsert(
+        spark,
+        os.path.join(sf, "events.parquet"),
+        schema,
+        str(tmp_path / "fb"),
+        lineage_dir=lineage_dir,
+        run_id="run_s",
+    )
+    lin = spark.read.schema(schemas.LINEAGE).parquet(lineage_dir)
+    by_stage: dict[str, list] = {}
+    for r in lin.collect():
+        by_stage.setdefault(r["stage"], []).append(r)
+    n_events = load(spark, sf, "events").count()
+    assert {"stream_ingest", "stream_upsert"} <= set(by_stage)
+    for stage in ("stream_ingest", "stream_upsert"):
+        rows = by_stage[stage]
+        # one row per micro-batch (availableNow may log a trailing
+        # zero-row finalization batch — real engine activity, kept)
+        assert all(r["run_id"] == "run_s" and r["status"] == "ok" for r in rows)
+        assert sum(r["input_rows"] for r in rows) == n_events
+        assert all(r["finished"] >= r["started"] for r in rows)
+        assert len({r["partition_id"] for r in rows}) == len(rows)  # batch ids unique
