@@ -103,14 +103,20 @@ class _Segmenter(HTMLParser):
         if not self.parts:
             # most flushes are empty (every block tag boundary flushes);
             # skip the join/normalize and just reset — observably
-            # identical (no text -> no block)
-            self.anchor_parts = []
+            # identical (no text -> no block). list.clear() (not a new
+            # []) so the hottest path in the whole engine allocates
+            # nothing (profiled: ~137k flushes per 3k docs).
+            if self.anchor_parts:
+                self.anchor_parts.clear()
             self.inline_tags = 0
             return
         raw = "".join(self.parts)
         text, n_words = normalize_words(raw)
         if text:
-            anchor_text, n_anchor_words = normalize_words("".join(self.anchor_parts))
+            if self.anchor_parts:
+                anchor_text, n_anchor_words = normalize_words("".join(self.anchor_parts))
+            else:
+                anchor_text, n_anchor_words = "", 0
             n_chars = len(text)
             n_anchor_chars = len(anchor_text)
             enclosing = "body"
@@ -134,8 +140,9 @@ class _Segmenter(HTMLParser):
                     text_density=n_words / lines,
                 )
             )
-        self.parts = []
-        self.anchor_parts = []
+        self.parts.clear()
+        if self.anchor_parts:
+            self.anchor_parts.clear()
         self.inline_tags = 0
 
     # -- parser callbacks -------------------------------------------------
