@@ -241,10 +241,14 @@ def fused_extract_stage(
     return src.mapInPandas(fn, schema=schemas.EXTRACTED)
 
 
-# A/B result at the 1M-page corpus (NOTES.md r04): winner of the
-# mapInPandas vs mapInArrow measurement; overridable per-session via
-# spark.nidaba.fusedEngine.
-_DEFAULT_ENGINE = "pandas"
+# A/B at the 1M-page corpus, pinned 8/32-core paired protocol
+# (scripts/ab_fused_engine.py, NOTES.md r04): arrow won every metric —
+# t8 median 57.2s vs 61.0s, t32 median 19.0s vs 22.0s, 8v32 efficiency
+# 0.783 vs 0.706 — the pandas object-array materialization of multi-MB
+# html payloads is pure allocation/copy overhead, and it bites hardest
+# exactly where the shared memory bus is busiest (32 cores).
+# Overridable per-session via spark.nidaba.fusedEngine.
+_DEFAULT_ENGINE = "arrow"
 
 
 # Input schema of the fallback patch stage: the skinny needy rows from
