@@ -67,10 +67,10 @@ def test_pipeline_single_exchange(spark, pages_path, mode):
 def test_pruned_fused_plan_shape(spark, pages_path):
     """The text-pruned hot path (mode='fused'). Phase 1: scan WITHOUT
     the crawler text column → exactly ONE Exchange (salted repartition)
-    → ONE MapInPandas. Outer plan (phase 1 sits behind the
+    → ONE Python stage (MapInArrow by default). Outer plan (phase 1 sits behind the
     localCheckpoint RDD): NO additional shuffle Exchange — only the
     BroadcastExchange of the skinny needy side — one fallback
-    MapInPandas, and no scan that re-reads html."""
+    Python stage (the fallback), and no scan that re-reads html."""
     pages = spark.read.parquet(pages_path)
     from nidaba_spark.operators.fused import fused_extract_stage
 
@@ -78,14 +78,14 @@ def test_pruned_fused_plan_shape(spark, pages_path):
     inner = fused_extract_stage(pipeline.prepare(slim), with_text=False)
     ip = _plan(inner)
     assert len(re.findall(r"\(\d+\) Exchange\b", ip)) == 1, ip[:2000]
-    assert len(re.findall(r"\(\d+\) MapInPandas\b", ip)) == 1, ip[:2000]
+    assert len(re.findall(r"\(\d+\) MapIn(?:Pandas|Arrow)\b", ip)) == 1, ip[:2000]
     m = re.search(r"ReadSchema: struct<([^>]*)>", ip)
     assert m and "text" not in m.group(1), "crawler text must be pruned from the big scan"
 
     op = _plan(pipeline.extract(pages, mode="fused"))
     assert len(re.findall(r"\(\d+\) Exchange\b", op)) == 0, "no extra shuffle beyond phase 1"
     assert len(re.findall(r"\(\d+\) BroadcastExchange\b", op)) == 1, op[:2000]
-    assert len(re.findall(r"\(\d+\) MapInPandas\b", op)) == 1  # fallback stage only
+    assert len(re.findall(r"\(\d+\) MapIn(?:Pandas|Arrow)\b", op)) == 1  # fallback stage only
     for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", op):
         assert "html" not in mm.group(1), "html must never be read twice"
 
@@ -120,7 +120,7 @@ def test_fallback_broadcast_guard(spark, pages_path):
 def test_fused_plan_has_one_python_stage(spark, pages_path):
     pages = spark.read.parquet(pages_path)
     plan = _plan(pipeline.extract(pages, mode="fused_inline"))
-    assert len(re.findall(r"\(\d+\) MapInPandas\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) MapIn(?:Pandas|Arrow)\b", plan)) == 1
     plan_staged = _plan(pipeline.extract(pages, mode="staged"))
     assert len(re.findall(r"\(\d+\) MapInPandas\b", plan_staged)) == 2
 
