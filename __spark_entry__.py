@@ -34,7 +34,16 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #     regime, VERDICT r03 next #7). All three remain implemented,
 #     exported, and pytest-gated (tests/test_lsh_recall.py,
 #     tests/test_trainingdata_ops.py).
-_RETIRED_FROM_DRIVER = ["sample_events", "approx_distinct_users", "embedding_near_dup_lsh"]
+#   * ann_ivf (added r04) is likewise rows-only by nature (iterative
+#     k-means training is not SQL-expressible) and stays off the
+#     driver surface; tests/test_ivf.py pins it to brute force
+#     (exhaustive probe == exact, planted-cluster recall gate).
+_RETIRED_FROM_DRIVER = [
+    "sample_events",
+    "approx_distinct_users",
+    "embedding_near_dup_lsh",
+    "ann_ivf",
+]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50
 

@@ -175,6 +175,23 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5)
 
 
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the index-structured scale path
+    beside ann_lsh (hash-structured): distributed k-means coarse
+    quantizer, cell-pruned probe, exact in-cell re-rank
+    (operators/ivf.py). Rows-only for the driver (centroid training
+    is iterative, not SQL-expressible); gated instead by
+    tests/test_ivf.py: exhaustive-probe == brute force EXACTLY,
+    planted-cluster recall >= 0.9 at nprobe=4/24, determinism."""
+    from ..operators import ivf
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf.ivf_topk(emb, queries, k=5, nlist=16, nprobe=4, iters=3, dim=64)
+
+
 # -------------------------------------------------------------- text stats
 def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
@@ -586,6 +603,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "embedding_near_dup_lsh_strict": q_embedding_near_dup_lsh_strict,
