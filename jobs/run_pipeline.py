@@ -40,6 +40,14 @@ def main() -> None:
     ap.add_argument("--no-resume", dest="resume", action="store_false")
     ap.add_argument("--invalidate-from", default=None, choices=[None, "decode", "segment", "classify", "merge"])
     ap.add_argument("--cores", type=int, default=None, help="local[] cores; ignored under spark-submit with a master")
+    ap.add_argument(
+        "--stream",
+        action="store_true",
+        help="run as a Structured Streaming job over --input as a drop "
+        "folder: availableNow catch-up, exactly-once parquet sink, "
+        "resumable from the engine checkpoint under --output",
+    )
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -49,6 +57,25 @@ def main() -> None:
 
     active = SparkSession.getActiveSession()
     spark = tune_session(active) if active else get_spark(app="nidaba-pipeline", cores=args.cores)
+
+    if args.stream:
+        from nidaba_spark.streaming import extract as sx
+
+        out = os.path.join(args.output, "stream_extracted")
+        sx.extract_pages_stream(
+            spark,
+            args.input,
+            out,
+            os.path.join(args.output, "stream_ckpt"),
+            nsalt=args.nsalt,
+            npartitions=args.npartitions,
+            max_files_per_trigger=args.max_files_per_trigger,
+            lineage_dir=os.path.join(args.output, "_lineage"),
+            run_id=args.run_id,
+        )
+        n = sx.read_extracted(spark, out).count()
+        print(f"stream-extracted table now holds {n} documents -> {out}")
+        return
 
     pages = (
         spark.read.table(args.input)
