@@ -81,9 +81,13 @@ def main() -> None:
             F.sum(F.octet_length("text")), F.count(F.lit(1))
         ).collect()
 
-    # warm-up once (JIT/codegen, python worker pool), then timed run
+    # warm-up once (JIT/codegen, python worker pool), then timed runs.
+    # Pipeline gets best-of-3 (not the default 2): cold-JVM measurements
+    # this host converge only on the 3rd-4th full run (r04: 15.3/10.0/
+    # 4.9/5.2s back-to-back), and a single host stall poisoning the
+    # headline costs a round of misleading BENCH history.
     run_pipeline()
-    t_pipeline = time_action(run_pipeline)
+    t_pipeline = time_action(run_pipeline, reps=3)
     queries["pipeline_extract"] = t_pipeline
 
     # -- relational / training-data headliners on SF_DIR
