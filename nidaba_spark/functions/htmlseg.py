@@ -91,6 +91,13 @@ class _Segmenter(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.stack: list[str] = []
+        # O(1) twins of the stack the hot paths consult: open-tag
+        # counts (endtag membership test) and the open BLOCK tags in
+        # stack order (enclosing-block lookup in _flush). Both are
+        # updated on every stack append/pop, so block_stack ==
+        # [t for t in stack if t in BLOCK_TAGS] at all times.
+        self.counts: dict[str, int] = {}
+        self.block_stack: list[str] = []
         self.skip_depth = 0  # >0 while inside script/style/template
         self.anchor_depth = 0
         self.parts: list[str] = []  # text fragments of the current block
@@ -119,11 +126,7 @@ class _Segmenter(HTMLParser):
                 anchor_text, n_anchor_words = "", 0
             n_chars = len(text)
             n_anchor_chars = len(anchor_text)
-            enclosing = "body"
-            for t in reversed(self.stack):
-                if t in BLOCK_TAGS:
-                    enclosing = t
-                    break
+            enclosing = self.block_stack[-1] if self.block_stack else "body"
             lines = max(1, math.ceil(n_chars / 80))
             self.blocks.append(
                 Block(
@@ -154,6 +157,8 @@ class _Segmenter(HTMLParser):
             self._flush()
             if tag not in VOID_TAGS:
                 self.stack.append(tag)
+                self.block_stack.append(tag)
+                self.counts[tag] = self.counts.get(tag, 0) + 1
             return
         if tag == "a":
             self.anchor_depth += 1
@@ -161,6 +166,7 @@ class _Segmenter(HTMLParser):
             self.inline_tags += 1
         if tag not in VOID_TAGS:
             self.stack.append(tag)
+            self.counts[tag] = self.counts.get(tag, 0) + 1
 
     def handle_endtag(self, tag: str) -> None:
         if tag in SKIP_CONTENT_TAGS:
@@ -171,9 +177,12 @@ class _Segmenter(HTMLParser):
         if tag == "a":
             self.anchor_depth = max(0, self.anchor_depth - 1)
         # Pop up to the matching open tag (tolerates unclosed children).
-        if tag in self.stack:
+        if self.counts.get(tag, 0):
             while self.stack:
                 popped = self.stack.pop()
+                self.counts[popped] -= 1
+                if popped in BLOCK_TAGS:
+                    self.block_stack.pop()
                 if popped == "a" and tag != "a":
                     self.anchor_depth = max(0, self.anchor_depth - 1)
                 if popped == tag:
