@@ -122,7 +122,8 @@ def train_centroids(
     # init: nlist rows with the smallest xxhash64(id, seed) — a seeded
     # uniform sample with no RNG state, reproducible on any partitioning
     init_rows = (
-        vectors.select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
         .orderBy("_h")
         .limit(nlist)
         .collect()
@@ -132,7 +133,9 @@ def train_centroids(
     )
     if len(cents) < nlist:
         raise ValueError(f"corpus has fewer than nlist={nlist} vectors")
-    slim = vectors.select(F.col(vec_col).alias("_v"))
+    slim = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("_v")
+    )
     for _ in range(iters):
         assigned = slim.withColumn("cell", _assign_udf(cents, dim)("_v"))
         # centroid update: dim JVM avg aggs — map-side partial agg,

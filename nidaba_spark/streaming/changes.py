@@ -69,17 +69,23 @@ def _detect(
     else:
         last_hash, seq = None, -1
     out_ts, out_hash, out_seq = [], [], []
-    for pdf in pdfs:
-        for ts, h in sorted(
-            zip(pdf["warc_ts"], pdf["content_hash"]), key=lambda p: p[0]
-        ):
-            h = int(h)
-            if last_hash is None or h != last_hash:
-                seq += 1
-                last_hash = h
-                out_ts.append(ts)
-                out_hash.append(h)
-                out_seq.append(seq)
+    # Drain the whole group before sorting: a url's rows can span
+    # multiple chunks of the iterator, and per-chunk sorting would
+    # mis-order cross-chunk revisits. Per-url-per-batch row counts
+    # are recrawl counts — tiny — so this buffers bytes, not pages.
+    rows = [
+        pair
+        for pdf in pdfs
+        for pair in zip(pdf["warc_ts"], pdf["content_hash"])
+    ]
+    for ts, h in sorted(rows, key=lambda p: p[0]):
+        h = int(h)
+        if last_hash is None or h != last_hash:
+            seq += 1
+            last_hash = h
+            out_ts.append(ts)
+            out_hash.append(h)
+            out_seq.append(seq)
     state.update((last_hash, seq))
     if out_ts:
         yield pd.DataFrame(
