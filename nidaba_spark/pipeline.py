@@ -129,6 +129,18 @@ def extract(
     """One-call pipeline: pages → EXTRACTED (lazy).
 
     mode='fused'        — text-pruned two-phase hot path (below);
+    mode='fused_noshuffle' — same two-phase plan WITHOUT the salted
+                          repartition: parse runs directly on the
+                          source's own splits. Correct whenever the
+                          input partitioning is already byte-balanced
+                          (parquet row groups / WARC segments / an
+                          Iceberg table bucketed at write time —
+                          parse cost ∝ bytes, so byte-balanced splits
+                          are load-balanced without any runtime
+                          shuffle). The salted repartition buys
+                          balance for UNBALANCED sources at the price
+                          of one full-corpus shuffle; measured A/B at
+                          the 1M corpus in NOTES.md r04.
     mode='fused_inline' — single mapInPandas pass carrying the crawler
                           text column through the shuffle;
     mode='staged'       — the four composable stage transforms (what
@@ -179,17 +191,20 @@ def extract(
         small, shuffle join otherwise — which is the 100×-safe plan.
       * ``on`` / ``off`` — force the hint / force AQE.
     """
-    if mode == "fused":
+    if mode in ("fused", "fused_noshuffle"):
         from pyspark import StorageLevel
 
         from .operators.fused import fallback_stage, fused_extract_stage
 
         slim = pages.select("url", "warc_ts", "html", "lang")
+        prepared = (
+            slim if mode == "fused_noshuffle" else prepare(slim, nsalt, npartitions)
+        )
         # DISK_ONLY: the checkpoint blocks ride the OS page cache instead
         # of competing with execution memory for heap (MEMORY_AND_DISK
         # OOMed the 16g local JVM at 500k pages under 32 readers).
         ext0 = fused_extract_stage(
-            prepare(slim, nsalt, npartitions), metrics, with_text=False
+            prepared, metrics, with_text=False
         ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
         ok = ext0.filter(F.col("n_blocks_kept") > 0)
         needy = ext0.filter(F.col("n_blocks_kept") == 0).select(

@@ -19,7 +19,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import bench_scaling as bs
 
-MODES = ["fused", "fused_inline"]
+MODES = os.environ.get("NIDABA_AB_MODES", "fused,fused_inline").split(",")
 
 
 def main() -> None:

@@ -70,7 +70,7 @@ def test_edge_variants_present_and_handled(extracted, golden, corpus_rows):
 
 @pytest.mark.parametrize(
     "npartitions,nsalt,mode",
-    [(1, 1, "fused"), (7, 4, "staged"), (32, 32, "fused")],
+    [(1, 1, "fused"), (7, 4, "staged"), (32, 32, "fused"), (8, 8, "fused_noshuffle")],
 )
 def test_partitioning_invariance(spark, pages_path, golden, npartitions, nsalt, mode):
     pages = spark.read.parquet(pages_path)
