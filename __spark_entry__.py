@@ -43,6 +43,7 @@ _RETIRED_FROM_DRIVER = [
     "approx_distinct_users",
     "embedding_near_dup_lsh",
     "ann_ivf",
+    "pack_documents",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -1,0 +1,94 @@
+"""Sequence packing: assign documents to fixed token-budget training
+examples ("packs") with a DISTRIBUTED PREFIX SUM — no global window.
+
+Training-data-pipeline component: after dedup/quality filtering, LLM
+pretraining concatenates documents in a deterministic order and
+slices the stream into fixed-budget examples. The pack assignment is
+``pack_id = floor(tokens_before_doc / budget)`` over a global
+ordering — document-contiguous chunking, the shape T5/GPT-style
+packing pipelines use (a document whose tokens straddle a boundary
+belongs to the pack where it starts; budget overflow at boundaries
+is the downstream slicer's concern).
+
+The naive Spark expression is ``sum(n_tokens) OVER (ORDER BY key)``
+— a single-partition global window, the canonical scale antipattern
+(one task sees 10^12 rows). This operator computes the same number
+with the classic two-phase distributed prefix sum:
+
+  1. range-repartition by the ordering key (Spark's range partitioner
+     samples boundaries; partition p holds a contiguous key range),
+     sortWithinPartitions — a total order ACROSS partitions without
+     any global sort-merge;
+  2. one tiny aggregation: per-partition token totals (P rows, P =
+     npartitions) → driver-side exclusive cumsum → broadcast-joined
+     back as each partition's global offset;
+  3. per-partition cumulative window (partitionBy(pid) — parallel,
+     memory-bounded) + offset = the exact global running total.
+
+Cost: one range shuffle of the skinny (key, n_tokens) projection,
+one P-row collect, one broadcast join — vs the unbounded
+single-task window. The result is IDENTICAL to the SQL global
+window, which is exactly what the DuckDB oracle checks
+(tests/test_packing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_assignments(
+    docs: DataFrame,
+    n_tokens: Column,
+    budget: int,
+    order_col: str = "doc_id",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """docs + token counts → (order_col, n_tokens, tokens_before,
+    pack_id, pack_pos) with pack_id = floor(tokens_before / budget)
+    over the global order_col ordering.
+
+    ``tokens_before`` is the exclusive prefix sum — the number of
+    tokens in all strictly-earlier documents; ``pack_pos`` numbers
+    documents within their pack (0-based)."""
+    spark = docs.sparkSession
+    n = npartitions or spark.sparkContext.defaultParallelism * 2
+    slim = (
+        docs.select(F.col(order_col), n_tokens.cast("long").alias("n_tokens"))
+        .repartitionByRange(n, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # Phase 2: per-partition totals -> exclusive cumsum on the driver.
+    # P rows cross the driver, never data rows (like IVF centroids /
+    # MLlib treeAggregate) — at 10^12 docs and 10^5 partitions this is
+    # a few MB.
+    totals = {
+        r["_pid"]: r["t"]
+        for r in slim.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(totals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += totals.get(pid, 0)
+    offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    # Phase 3: parallel per-partition running sum + broadcast offset.
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        slim.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("_offset"),
+        )
+        .withColumn("pack_id", F.floor(F.col("tokens_before") / F.lit(budget)))
+        .drop("_pid", "_offset")
+    )
+    wpack = Window.partitionBy("pack_id").orderBy(order_col)
+    return out.withColumn(
+        "pack_pos", F.row_number().over(wpack) - F.lit(1)
+    ).select(order_col, "n_tokens", "tokens_before", "pack_id", "pack_pos")

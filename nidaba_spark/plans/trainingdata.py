@@ -247,6 +247,20 @@ FROM documents
 """
 
 
+def q_pack_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): documents → fixed
+    1024-token training examples via the distributed prefix sum.
+    Off the pinned 50-entry driver surface; the SAME DuckDB global-
+    window oracle is pinned in tests/test_packing.py, plus a
+    plan-shape assertion that no single-partition window exists."""
+    from ..operators import packing
+
+    docs = load(spark, sf, "documents")
+    return packing.pack_assignments(
+        docs, textstats.token_count_ws(F.col("text")), budget=1024
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     return docs.select("doc_id", textstats.fingerprint(F.col("text")).alias("fp"))
@@ -604,6 +618,7 @@ QUERIES = {
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "pack_documents": q_pack_documents,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "embedding_near_dup_lsh_strict": q_embedding_near_dup_lsh_strict,

@@ -1,0 +1,89 @@
+"""Sequence packing (operators/packing.py).
+
+  * oracle: the distributed prefix sum must equal DuckDB's GLOBAL
+    window (sum OVER (ORDER BY doc_id)) — same numbers, computed
+    scalably.
+  * plan shape: the Spark plan must contain NO single-partition
+    exchange (the global-window antipattern the operator exists to
+    avoid); every window is partitioned.
+  * invariance: partition count must not change the result.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nidaba_spark.operators import packing
+from nidaba_spark.operators.textstats import token_count_ws
+
+SF_DIR = os.environ.get("NIDABA_TEST_SF", "/root/testdata/sf0.001")
+BUDGET = 1024
+
+ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS n_tokens
+  FROM '{os.path.join(SF_DIR, "documents.parquet")}'),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+  FROM t)
+SELECT doc_id, n_tokens, tokens_before,
+       CAST(floor(tokens_before / {BUDGET}) AS BIGINT) AS pack_id,
+       CAST(row_number() OVER (
+         PARTITION BY floor(tokens_before / {BUDGET}) ORDER BY doc_id) - 1
+         AS INT) AS pack_pos
+FROM c
+"""
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def _spark_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_matches_global_window_oracle(spark, docs):
+    got = _spark_rows(
+        packing.pack_assignments(docs, token_count_ws(F.col("text")), BUDGET)
+    )
+    want = sorted(tuple(r) for r in duckdb.connect().execute(ORACLE).fetchall())
+    assert got == want
+
+
+def test_partition_count_invariance(spark, docs):
+    a = _spark_rows(
+        packing.pack_assignments(docs, token_count_ws(F.col("text")), BUDGET, npartitions=3)
+    )
+    b = _spark_rows(
+        packing.pack_assignments(docs, token_count_ws(F.col("text")), BUDGET, npartitions=17)
+    )
+    assert a == b
+
+
+def test_no_single_partition_window(spark, docs):
+    df = packing.pack_assignments(docs, token_count_ws(F.col("text")), BUDGET)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_packs_respect_budget_structure(spark, docs):
+    """Every pack's first doc starts strictly inside its budget slot,
+    and tokens_before is exactly the running sum (internal
+    consistency without the oracle)."""
+    rows = packing.pack_assignments(
+        docs, token_count_ws(F.col("text")), BUDGET
+    ).orderBy("doc_id").collect()
+    acc = 0
+    for r in rows:
+        assert r["tokens_before"] == acc
+        assert r["pack_id"] == acc // BUDGET
+        acc += r["n_tokens"]
