@@ -44,6 +44,7 @@ _RETIRED_FROM_DRIVER = [
     "embedding_near_dup_lsh",
     "ann_ivf",
     "pack_documents",
+    "source_mix",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -1,0 +1,86 @@
+"""Weighted source mixing: deterministic down/up-weighting of corpus
+sources to target proportions.
+
+Training-data-pipeline component: pretraining mixes (CommonCrawl,
+code, books, wiki, ...) are rebalanced by per-source sampling rates.
+At 10^12 rows the sample must be (a) a pure per-row predicate — no
+global count, no shuffle, fully pushed into the scan — and
+(b) DETERMINISTIC, so reruns, resumes and downstream joins see the
+same subset (Bernoulli rand() sampling is neither reproducible
+across retries nor partition-stable).
+
+Here each row's uniform draw is derived from md5(id, salt) — md5
+(not xxhash64) so the identical number is computable in DuckDB and
+the operator is oracle-checkable end-to-end (same trade as
+textstats.fingerprint). The keep rule is ``u < rate(source)``: a
+rate change from r to r' < r keeps a strict SUBSET of the rows
+(nested samples — the property sweep/epoch experiments rely on),
+because u does not depend on the rate.
+
+Rates > 1.0 mean upsampling: ``copies`` emits floor(rate) + (u <
+frac(rate)) copies per row via a JVM-side sequence explode, the
+standard epoch-repeat trick, still deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_U32 = float(1 << 32)
+
+
+def uniform_hash(id_col: Column, salt: str = "mix") -> Column:
+    """Deterministic u ∈ [0, 1): the first 8 hex chars of
+    md5(id || ':' || salt) as a 32-bit integer, scaled. Pure codegen
+    (md5/substring/conv), no state, same value in DuckDB."""
+    h = F.substring(F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(salt))), 1, 8)
+    return F.conv(h, 16, 10).cast("long") / F.lit(_U32)
+
+
+def _rate_expr(key: Column, rates: dict[str, float], default: float) -> Column:
+    expr = F.lit(float(default))
+    for k, r in sorted(rates.items()):
+        expr = F.when(key == F.lit(k), F.lit(float(r))).otherwise(expr)
+    return expr
+
+
+def weighted_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Keep each row iff u(id) < rate(source); rates in [0, 1].
+
+    One scan, zero shuffles; the predicate is a deterministic
+    function of the row alone, so the sample is stable under
+    repartitioning, resume, and rate tightening (nested subsets)."""
+    u = uniform_hash(F.col(id_col), salt)
+    return df.filter(u < _rate_expr(F.col(key_col), rates, default))
+
+
+def weighted_copies(
+    df: DataFrame,
+    rates: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    default: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Generalized mixing with upsampling: emit n(id) copies per row,
+    n = floor(rate) + (u < rate - floor(rate)), tagged with a 0-based
+    ``copy`` column. rate <= 1 degenerates to weighted_sample (+ copy
+    = 0); rate = 2.5 emits 2 or 3 copies. Explode happens JVM-side
+    (sequence + explode) — no python, no shuffle."""
+    u = uniform_hash(F.col(id_col), salt)
+    rate = _rate_expr(F.col(key_col), rates, default)
+    n = F.floor(rate).cast("long") + (u < (rate - F.floor(rate))).cast("long")
+    return (
+        df.withColumn("_n", n)
+        .filter(F.col("_n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )

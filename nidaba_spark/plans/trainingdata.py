@@ -247,6 +247,20 @@ FROM documents
 """
 
 
+def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted source mixing (operators/mixing.py): deterministic
+    md5-hash sampling to target per-source rates — one scan, zero
+    shuffles, nested subsets under rate tightening. Off the pinned
+    driver surface; the identical md5-uniform oracle is pinned
+    cross-engine in tests/test_mixing.py."""
+    from ..operators import mixing
+
+    docs = load(spark, sf, "documents")
+    return mixing.weighted_sample(
+        docs, {"src0": 0.25, "src1": 1.0, "src2": 0.5}, default=0.75
+    ).select("doc_id", "source")
+
+
 def q_pack_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing (operators/packing.py): documents → fixed
     1024-token training examples via the distributed prefix sum.
@@ -619,6 +633,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "pack_documents": q_pack_documents,
+    "source_mix": q_source_mix,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "embedding_near_dup_lsh_strict": q_embedding_near_dup_lsh_strict,

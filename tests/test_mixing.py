@@ -1,0 +1,128 @@
+"""Weighted source mixing (operators/mixing.py).
+
+  * oracle: the kept set must equal DuckDB computing the SAME
+    md5-derived uniform and CASE rates — full cross-engine pin of
+    the sampling predicate.
+  * nested subsets: tightening a rate keeps a strict subset.
+  * proportions: realized rates within a tolerance of targets.
+  * upsampling: copy counts match floor(rate) + bernoulli(frac).
+  * determinism/partition stability: repartitioned input, same rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from nidaba_spark.operators import mixing
+
+SF_DIR = os.environ.get("NIDABA_TEST_SF", "/root/testdata/sf0.001")
+DOCS = os.path.join(SF_DIR, "documents.parquet")
+
+RATES = {"src0": 0.25, "src1": 1.0, "src2": 0.5}
+DEFAULT = 0.75
+
+_U_SQL = """
+(list_sum(list_transform(range(1, 9), j ->
+   CAST(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), j, 1)) - 1 AS BIGINT)
+   * (CAST(1 AS BIGINT) << (4 * (8 - j)))))
+ / 4294967296.0)
+"""
+
+_RATE_SQL = (
+    "CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 1.0 "
+    "WHEN 'src2' THEN 0.5 ELSE 0.75 END"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(DOCS)
+
+
+def test_matches_duckdb_oracle(spark, docs):
+    got = sorted(
+        r["doc_id"]
+        for r in mixing.weighted_sample(docs, RATES, default=DEFAULT)
+        .select("doc_id")
+        .collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.connect()
+        .execute(
+            f"SELECT doc_id FROM '{DOCS}' WHERE {_U_SQL} < {_RATE_SQL}"
+        )
+        .fetchall()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_nested_subsets_and_proportions(spark, docs):
+    half = {
+        r["doc_id"]
+        for r in mixing.weighted_sample(docs, {}, default=0.5)
+        .select("doc_id")
+        .collect()
+    }
+    tenth = {
+        r["doc_id"]
+        for r in mixing.weighted_sample(docs, {}, default=0.1)
+        .select("doc_id")
+        .collect()
+    }
+    assert tenth <= half  # tightening a rate keeps a strict subset
+    n = docs.count()
+    assert abs(len(half) / n - 0.5) < 0.08
+    assert abs(len(tenth) / n - 0.1) < 0.05
+
+
+def test_partition_stability(spark, docs):
+    a = {
+        r["doc_id"]
+        for r in mixing.weighted_sample(docs, RATES, default=DEFAULT)
+        .select("doc_id").collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in mixing.weighted_sample(
+            docs.repartition(13, "lang"), RATES, default=DEFAULT
+        ).select("doc_id").collect()
+    }
+    assert a == b
+
+
+def test_upsampling_copies(spark, docs):
+    out = (
+        mixing.weighted_copies(docs, {"src5": 2.5}, default=1.0)
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n"), F.collect_set("copy").alias("copies"))
+        .collect()
+    )
+    for r in out:
+        if r["source"] == "src5":
+            assert r["n"] in (2, 3)
+        else:
+            assert r["n"] == 1
+        assert sorted(r["copies"]) == list(range(r["n"]))  # 0-based, dense
+    src5 = [r["n"] for r in out if r["source"] == "src5"]
+    assert len(src5) == 25
+    mean = sum(src5) / len(src5)
+    assert abs(mean - 2.5) < 0.35
+
+
+def test_rate_le_1_matches_sample(spark, docs):
+    s = {
+        r["doc_id"]
+        for r in mixing.weighted_sample(docs, RATES, default=DEFAULT)
+        .select("doc_id").collect()
+    }
+    c = {
+        r["doc_id"]
+        for r in mixing.weighted_copies(docs, RATES, default=DEFAULT)
+        .select("doc_id").collect()
+    }
+    assert s == c
