@@ -1,0 +1,76 @@
+"""End-to-end curation composition (nidaba_spark/curate.py).
+
+Stage operators carry their own oracles/gates; this pins the
+COMPOSITION: monotone surviving counts, per-stage invariants holding
+on the final output, determinism, and the packing prefix-sum
+consistency over exactly the surviving set.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nidaba_spark import curate, schemas
+
+
+@pytest.fixture(scope="module")
+def pages(spark, pages_path):
+    return spark.read.parquet(pages_path)
+
+
+@pytest.fixture(scope="module")
+def curated(spark, pages):
+    return curate.curate(
+        pages,
+        min_quality=0.4,
+        source_rates={"en": 0.6},
+        default_rate=1.0,
+        pack_budget=512,
+        npartitions=8,
+    ).cache()
+
+
+def test_invariants_hold_on_output(spark, pages, curated):
+    rows = sorted(curated.collect(), key=lambda r: r["url"])
+    assert 0 < len(rows) < pages.count()  # something survived, something filtered
+    # urls unique (recrawl + text dedup)
+    assert len({r["url"] for r in rows}) == len(rows)
+    # quality floor respected
+    assert all(r["quality"] >= 0.4 for r in rows)
+    # texts unique (exact dedup happened)
+    assert len({r["text"] for r in rows}) == len(rows)
+    # packing prefix-sum consistency over EXACTLY the surviving set
+    acc = 0
+    for r in rows:  # url order == packing order
+        assert r["tokens_before"] == acc
+        assert r["pack_id"] == acc // 512
+        acc += r["n_tokens"]
+
+
+def test_deterministic(spark, pages, curated):
+    again = curate.curate(
+        pages,
+        min_quality=0.4,
+        source_rates={"en": 0.6},
+        default_rate=1.0,
+        pack_budget=512,
+        npartitions=3,  # different parallelism, same answer
+    )
+    a = sorted(tuple(r) for r in curated.collect())
+    b = sorted(tuple(r) for r in again.collect())
+    assert a == b
+
+
+def test_mixing_tightening_shrinks(spark, pages, curated):
+    tighter = curate.curate(
+        pages,
+        min_quality=0.4,
+        source_rates={"en": 0.2},
+        default_rate=1.0,
+        pack_budget=512,
+        npartitions=8,
+    )
+    urls = {r["url"] for r in curated.select("url").collect()}
+    turls = {r["url"] for r in tighter.select("url").collect()}
+    assert turls < urls  # nested subset, strictly smaller
