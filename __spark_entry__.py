@@ -45,6 +45,14 @@ _RETIRED_FROM_DRIVER = [
     "ann_ivf",
     "pack_documents",
     "source_mix",
+    # r04 corpus-hygiene additions (repetition / decontamination /
+    # PII redaction): full DuckDB oracles exist, but the 50-slot
+    # driver surface is frozen per the r03 verdict ("no other query
+    # losing its row"); tests/test_offdriver_oracles.py runs the SAME
+    # oracle comparison over these in pytest.
+    "repetition_filter",
+    "decontaminate",
+    "redact_pii",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -1,0 +1,137 @@
+"""Corpus-hygiene filters for training-data curation: intra-document
+repetition statistics (Gopher/MassiveText-style rules), eval-set
+decontamination (word-n-gram overlap), and PII redaction.
+
+All three are pure declarative plans — no Python UDFs anywhere:
+
+* ``repetition_stats``: explode word-bigrams → two hash aggregations
+  keyed on (doc_id, bigram) then doc_id. One shuffle on doc_id-salted
+  keys (the bigram string rides along only through the first partial
+  agg — map-side combine collapses repeats before the exchange), so
+  the plan is bounded by distinct (doc, bigram) pairs, not corpus
+  tokens. Published rule shape: Rae et al. 2021 (Gopher §A1.1)
+  "fraction of characters in the most common n-gram" / "duplicate
+  line fraction" — re-expressed at word-bigram granularity because
+  the synthetic corpus has no line structure.
+* ``decontaminate``: the n-gram-overlap decontamination check used by
+  GPT-3/Gopher appendix-style eval hygiene: any training doc sharing
+  a word-n-gram with the eval set is flagged. Eval side is distinct
+  n-grams (small by construction) → broadcast hash join against the
+  exploded training n-grams, count distinct overlaps per doc. At
+  10^12 rows: hash grams to 64 bits (xxhash64) and swap the broadcast
+  for a bloom-filter pushdown or a shuffle join on the hash — the
+  string-keyed broadcast here keeps the operator oracle-checkable
+  (DuckDB has no xxhash64).
+* ``redact_pii``: email / E.164-ish phone / IPv4 regexp_replace, all
+  whole-stage-codegen JVM expressions (count via regexp_extract_all,
+  replace via regexp_replace). Patterns restricted to the
+  Java-regex ∩ RE2 common subset (no lookaround) so the DuckDB oracle
+  runs the byte-identical patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD_SPLIT = "[^a-z0-9]+"
+
+# PII patterns — Java regex ∩ RE2 (no lookaround, ASCII \b only).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d{1,2} \d{3}-\d{3}-\d{4}"
+PII_IPV4 = r"\b\d{1,3}(\.\d{1,3}){3}\b"
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), _WORD_SPLIT), lambda t: t != F.lit(""))
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Array of space-joined word n-grams (empty when len(words) < n)."""
+    sz = F.size(words)
+    return F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document word-bigram repetition statistics.
+
+    Returns (doc_id, n_bigrams, top_bigram_frac, dup_bigram_frac) for
+    every doc with >= 2 words. top_bigram_frac is the Gopher "most
+    common n-gram" mass; dup_bigram_frac = 1 - distinct/total is the
+    "duplicate n-gram" mass. A doc is repetition-spam when either is
+    high (thresholding is the caller's policy — see q_repetition_filter
+    for the published 0.18 cut).
+
+    Scale note: both shuffles carry doc_id in the key, so skew is
+    bounded by the largest single document. At 10^12 rows swap the
+    bigram string for ``F.xxhash64(bigram)`` in the first groupBy key
+    to cut shuffle bytes ~10x (64-bit collisions merge counts with
+    probability ~n²/2^65 per doc — immaterial for a filter); the
+    string key is kept here because the DuckDB oracle has no xxhash64.
+    """
+    grams = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(_ngrams(_words(F.col(text_col)), 2)).alias("bigram"),
+    )
+    per_gram = grams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"),
+        F.round(F.lit(1.0) - F.count("*") / F.sum("c"), 4).alias("dup_bigram_frac"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training docs sharing any word-``n``-gram with the eval set.
+
+    Returns (doc_id, n_overlap) for contaminated docs only, where
+    n_overlap counts the DISTINCT training-doc n-grams present in the
+    eval set's distinct n-gram universe.
+    """
+    train_g = train.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(_ngrams(_words(F.col(text_col)), n)).alias("gram"),
+    ).distinct()
+    eval_g = (
+        eval_df.select(F.explode(_ngrams(_words(F.col(text_col)), n)).alias("gram"))
+        .distinct()
+    )
+    return (
+        train_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Redact emails, then IPv4s, then phone numbers (codegen exprs).
+
+    Order matters and is pinned: email first so its digit-bearing
+    local parts can't be half-eaten by the IP/phone passes.
+    """
+    redacted = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_IPV4, "<IP>")
+    return F.regexp_replace(redacted, PII_PHONE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> list[Column]:
+    """Match counts per PII class (pre-redaction), as columns."""
+    return [
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).alias("n_phone"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)).alias("n_ip"),
+    ]

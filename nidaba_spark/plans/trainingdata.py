@@ -624,6 +624,143 @@ FROM documents
 """
 
 
+# -------------------------------------------- corpus-hygiene filters
+def q_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition stats (word-bigram granularity) for
+    every document, flagging the most-common-bigram mass > 0.18 cut
+    (Rae et al. 2021 use 0.18 for top-2-gram character fraction)."""
+    from ..operators.filters import repetition_stats
+
+    docs = load(spark, sf, "documents")
+    stats = repetition_stats(docs)
+    return stats.select(
+        "doc_id",
+        "n_bigrams",
+        "top_bigram_frac",
+        "dup_bigram_frac",
+        (F.col("top_bigram_frac") > 0.18).alias("repetitive"),
+    )
+
+
+ORACLE["repetition_filter"] = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+), b AS (
+  SELECT doc_id, words[i] || ' ' || words[i+1] AS bigram
+  FROM w, UNNEST(generate_series(1, len(words)-1)) AS t(i)
+), c AS (
+  SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       sum(c) AS n_bigrams,
+       round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac,
+       round(1.0 - count(*)::DOUBLE / sum(c), 4) AS dup_bigram_frac,
+       round(max(c)::DOUBLE / sum(c), 4) > 0.18 AS repetitive
+FROM c GROUP BY doc_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination: docs with doc_id % 97 == 0 form the
+    held-out eval set; every other doc sharing a word-5-gram with it
+    is flagged with its distinct-overlap count."""
+    from ..operators.filters import decontaminate
+
+    docs = load(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(train, eval_df, n=5)
+
+
+ORACLE["decontaminate"] = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(words)-4)) AS t(i)
+), eval_g AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+), train_g AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, count(*) AS n_overlap
+FROM train_g JOIN eval_g USING (gram)
+GROUP BY doc_id
+"""
+
+
+def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over deterministically PII-augmented documents
+    (the corpus itself has no PII, so the query plants an email /
+    phone / IPv4 derived from doc_id on fixed residue classes, then
+    counts + redacts). redacted_md5 pins the byte-exact output."""
+    from ..operators.filters import pii_counts, redact_pii
+
+    docs = load(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call +1 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" from 192.168."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    augmented = docs.select(F.col("doc_id"), aug.alias("aug"))
+    return augmented.select(
+        "doc_id",
+        *pii_counts(F.col("aug")),
+        F.md5(redact_pii(F.col("aug"))).alias("redacted_md5"),
+    )
+
+
+ORACLE["redact_pii"] = r"""
+WITH a AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 192.168.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+                 ELSE '' END AS aug
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(aug, '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS n_phone,
+       len(regexp_extract_all(aug, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(aug,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+           '\+\d{1,2} \d{3}-\d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM a
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -649,4 +786,7 @@ QUERIES = {
     "stream_events_hourly": q_stream_events_hourly,
     "stream_sessionize_events": q_stream_sessionize_events,
     "extract_documents": q_extract_documents,
+    "repetition_filter": q_repetition_filter,
+    "decontaminate": q_decontaminate,
+    "redact_pii": q_redact_pii,
 }

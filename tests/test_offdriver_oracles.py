@@ -1,0 +1,143 @@
+"""Oracle parity for queries NOT on the frozen 50-slot driver surface.
+
+The driver checks only the 50 entries __spark_entry__ exposes; every
+oracle-bearing query beyond that cap gets the identical DuckDB
+comparison here (same canonicalization as tests/test_oracle_parity.py),
+so "off the driver surface" never means "unchecked".
+
+Also pins the semantics of the r04 corpus-hygiene filters directly on
+hand-built rows (repetition fractions, decontamination overlap, PII
+redaction byte-exactness) independent of the synthetic corpus.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from nidaba_spark.plans import pandas_ops, relational, trainingdata  # noqa: E402
+from nidaba_spark.sources.tables import TABLES  # noqa: E402
+
+SF_DIR = os.environ.get("NIDABA_TEST_SF", "/root/testdata/sf0.001")
+
+_ALL_Q = {**pandas_ops.QUERIES, **relational.QUERIES, **trainingdata.QUERIES}
+_ALL_O = {**pandas_ops.ORACLE, **relational.ORACLE, **trainingdata.ORACLE}
+_ON_DRIVER = set(entrymod.queries())
+OFF_DRIVER_ORACLES = sorted(set(_ALL_O) - _ON_DRIVER)
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(sf_dir, t + '.parquet')}'"
+        )
+    return con
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+
+
+def test_new_filters_have_offdriver_coverage():
+    for name in ("repetition_filter", "decontaminate", "redact_pii"):
+        assert name in OFF_DRIVER_ORACLES, f"{name} lost its oracle coverage"
+
+
+@pytest.mark.parametrize("name", OFF_DRIVER_ORACLES)
+def test_offdriver_query_matches_oracle(spark, name):
+    sdf = _ALL_Q[name](spark, SF_DIR)
+    scols = [c.lower() for c in sdf.columns]
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(SF_DIR)
+    res = con.execute(_ALL_O[name])
+    dcols = [d[0].lower() for d in res.description]
+    drows = res.fetchall()
+    con.close()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: {len(srows)} vs {len(drows)} rows"
+    sset, dset = _rowset(scols, srows), _rowset(dcols, drows)
+    diff = [(a, b) for a, b in zip(sset, dset) if a != b][:5]
+    assert sset == dset, f"{name}: value mismatch, first diffs {diff}"
+
+
+# ---------------------------------------------------------- semantics
+
+
+def test_repetition_stats_hand_case(spark):
+    from nidaba_spark.operators.filters import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # bigrams: "a b","b a","a b","b a","a b" -> top "a b" 3/5,
+            # distinct 2 -> dup = 1 - 2/5 = 0.6
+            (1, "a b a b a b"),
+            (2, "one two three four"),  # all distinct: top 1/3, dup 0
+            (3, "single"),  # <2 words: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["n_bigrams"] == 5
+    assert got[1]["top_bigram_frac"] == 0.6
+    assert got[1]["dup_bigram_frac"] == 0.6
+    assert got[2]["n_bigrams"] == 3
+    assert got[2]["top_bigram_frac"] == round(1 / 3, 4)
+    assert got[2]["dup_bigram_frac"] == 0.0
+
+
+def test_decontaminate_hand_case(spark):
+    from nidaba_spark.operators.filters import decontaminate
+
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # shares exactly "the quick brown fox jumps" with eval
+            (1, "xx the quick brown fox jumps yy"),
+            (2, "completely different words here entirely now"),
+            (3, "short text"),  # < 5 words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["n_overlap"] for r in decontaminate(train, eval_df, n=5).collect()}
+    assert got == {1: 1}
+
+
+def test_redact_pii_bytes(spark):
+    from pyspark.sql import functions as F
+
+    from nidaba_spark.operators.filters import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a@b.co x c@d.org call +1 555-010-0042 from 192.168.3.9 end",)],
+        "text string",
+    )
+    row = df.select(
+        redact_pii(F.col("text")).alias("red"), *pii_counts(F.col("text"))
+    ).collect()[0]
+    assert row["red"] == "mail <EMAIL> x <EMAIL> call <PHONE> from <IP> end"
+    assert (row["n_email"], row["n_phone"], row["n_ip"]) == (2, 1, 1)
