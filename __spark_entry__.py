@@ -53,6 +53,7 @@ _RETIRED_FROM_DRIVER = [
     "repetition_filter",
     "decontaminate",
     "redact_pii",
+    "dedup_clusters",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -761,8 +761,55 @@ FROM a
 """
 
 
+# ------------------------------------- dedup: cluster resolution (CC)
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs (exact Jaccard >= 0.4) resolved into duplicate
+    clusters via alternating large-star/small-star connected
+    components (operators/cluster.py): one row per clustered doc,
+    (node, rep) with rep = min doc_id of the component — the keep-min
+    drop policy the pairwise dedup operators stop short of."""
+    from ..operators.cluster import connected_components
+
+    pairs = dedup.ngram_jaccard_pairs(load(spark, sf, "documents"), threshold=0.4)
+    return connected_components(pairs).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rep").cast("long").alias("rep"),
+    )
+
+
+ORACLE["dedup_clusters"] = """
+WITH RECURSIVE tsets AS (
+  SELECT doc_id AS id,
+         list_distinct(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t != '')) AS ts
+  FROM documents),
+toks AS (SELECT id, unnest(ts) AS tok FROM tsets),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS o
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b
+  FROM shared
+  JOIN tsets ta ON ta.id = id_a
+  JOIN tsets tb ON tb.id = id_b
+  WHERE round(o / (len(ta.ts) + len(tb.ts) - o), 6) >= 0.4),
+e AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+walk(node, reach) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+  UNION
+  SELECT w.node, e.v FROM walk w JOIN e ON w.reach = e.u)
+SELECT CAST(node AS BIGINT) AS node, CAST(min(reach) AS BIGINT) AS rep
+FROM walk GROUP BY node
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
