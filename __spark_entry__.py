@@ -54,6 +54,7 @@ _RETIRED_FROM_DRIVER = [
     "decontaminate",
     "redact_pii",
     "dedup_clusters",
+    "unigram_logprob",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import tokens_col
+
 STOPWORDS = (
     "the a of and to in is it for on as at by an be this that with "
     "or are was not from have has but"
@@ -176,3 +178,59 @@ def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     ).mapInPandas(_lang_id_batches, schema=_LANG_SCHEMA)
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hot: int = 1024,
+) -> DataFrame:
+    """Corpus-typicality score: per-doc mean log10 probability under
+    the corpus's own unigram LM (the classic perplexity-proxy quality
+    filter — CCNet/RefinedWeb-style, with the corpus itself as the LM
+    so the operator is closed over its input and fully oracle-able).
+    Low scores = gibberish/rare-token soup; unusually high = boilerplate.
+
+    Returns (doc_id, n_tokens, avg_logprob) with avg_logprob rounded
+    to 6 places.
+
+    Plan (two passes over the token multiset, both shuffle-bounded by
+    DISTINCT keys, not token occurrences):
+
+      1. per-doc term frequencies: groupBy(doc_id, word) — map-side
+         combine collapses within-doc repeats before the exchange;
+      2. global counts: groupBy(word) over the tf rows;
+      3. tf ⋈ counts on word. The word distribution is zipfian — the
+         top handful of stopwords appear in EVERY doc, which is
+         textbook join skew at 10^12 rows. Handled explicitly with a
+         hot/cold split: the ``n_hot`` most frequent words are
+         broadcast (a KB-scale map handling the overwhelmingly hot
+         keys with ZERO shuffle), the zipf tail — whose keys are
+         near-uniform by construction — takes the ordinary shuffle
+         join. Output = identical to a single join (each tf row
+         matches exactly one side); AQE skew splitting stays on as
+         the second line of defense.
+
+    The corpus token total rides in as a literal via one driver-side
+    scalar collect (a single row — not a data collect)."""
+    words = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.explode(tokens_col(F.col(text_col))).alias("word"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
+    counts = tf.groupBy("word").agg(F.sum("k").alias("c"))
+    total = counts.agg(F.sum("c")).collect()[0][0] or 0
+    hot = counts.orderBy(F.desc("c"), "word").limit(n_hot)
+    cold = counts.join(F.broadcast(hot.select("word")), "word", "left_anti")
+    logp = F.log10(F.col("c") / F.lit(float(total)))
+    scored = tf.join(F.broadcast(hot), "word").unionByName(
+        tf.join(cold, "word")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.round(F.sum(F.col("k") * logp) / F.sum("k"), 6).alias("avg_logprob"),
+        )
+    )

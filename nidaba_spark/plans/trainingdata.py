@@ -761,6 +761,32 @@ FROM a
 """
 
 
+# ----------------------------------- quality: unigram-LM typicality
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean log10 unigram
+    probability under the corpus's own unigram LM, hot-word skew
+    handled via a broadcast/shuffle split join (operators/textstats
+    .unigram_logprob)."""
+    return textstats.unigram_logprob(load(spark, sf, "documents"))
+
+
+ORACLE["unigram_logprob"] = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+tf AS (
+  SELECT doc_id, word, count(*) AS k FROM w GROUP BY 1, 2),
+cnt AS (
+  SELECT word, sum(k) AS c FROM tf GROUP BY word),
+tot AS (
+  SELECT sum(c)::DOUBLE AS n FROM cnt)
+SELECT doc_id,
+       CAST(sum(k) AS BIGINT) AS n_tokens,
+       round(sum(k * log10(c / n)) / sum(k), 6) AS avg_logprob
+FROM tf JOIN cnt USING (word), tot
+GROUP BY doc_id
+"""
+
+
 # ------------------------------------- dedup: cluster resolution (CC)
 def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs (exact Jaccard >= 0.4) resolved into duplicate
@@ -810,6 +836,7 @@ FROM walk GROUP BY node
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
+    "unigram_logprob": q_unigram_logprob,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,

@@ -141,3 +141,34 @@ def test_redact_pii_bytes(spark):
     ).collect()[0]
     assert row["red"] == "mail <EMAIL> x <EMAIL> call <PHONE> from <IP> end"
     assert (row["n_email"], row["n_phone"], row["n_ip"]) == (2, 1, 1)
+
+
+def test_unigram_logprob_hand_case(spark):
+    import math
+
+    from nidaba_spark.operators.textstats import unigram_logprob
+
+    # corpus: "a a b" + "b c" -> counts a=2 b=2 c=1, N=5
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in unigram_logprob(docs).collect()}
+    lp = lambda c: math.log10(c / 5.0)  # noqa: E731
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["avg_logprob"] == round((2 * lp(2) + lp(2)) / 3, 6)
+    assert got[2]["n_tokens"] == 2
+    assert got[2]["avg_logprob"] == round((lp(2) + lp(1)) / 2, 6)
+
+
+def test_unigram_logprob_hot_cold_split_is_invisible(spark):
+    # n_hot=1 forces a real hot/cold split on a tiny vocab; results
+    # must equal the single-join semantics (n_hot huge).
+    from nidaba_spark.operators.textstats import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "x x y z"), (2, "x y y w"), (3, "w z z x")],
+        "doc_id long, text string",
+    )
+    a = {tuple(r) for r in unigram_logprob(docs, n_hot=1).collect()}
+    b = {tuple(r) for r in unigram_logprob(docs, n_hot=10_000).collect()}
+    assert a == b
