@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from . import pipeline
 from .functions.textnorm import normalize_words  # noqa: F401  (spec ref)
 from .operators import mixing, packing
+from .operators.filters import redact_pii, repetition_stats
 from .operators.textstats import quality_score, token_count_ws
 
 
@@ -42,13 +43,40 @@ def curate(
     pack_budget: int = 1024,
     nsalt: int = 256,
     npartitions: int | None = None,
+    pii_redact: bool = False,
+    repetition_max_frac: float | None = None,
+    decontam_eval: DataFrame | None = None,
+    near_dup_threshold: float | None = None,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
 
     Dedup here is BY EXTRACTED TEXT, keep-min-url (the exact_dedup
     rule on the derived corpus): a window-free groupBy + semi-join,
-    so the plan stays shuffle-bounded by the dedup key."""
+    so the plan stays shuffle-bounded by the dedup key.
+
+    Optional hygiene stages (each lazy, each adding only anti-joins /
+    scan-level expressions to the one plan):
+
+      pii_redact            — codegen regexp redaction applied to the
+                              extracted text BEFORE scoring/dedup, so
+                              downstream hashes see the shipped bytes;
+      repetition_max_frac   — drop docs whose top word-bigram mass
+                              exceeds the cut (Gopher rule; anti-join
+                              on the repetition_stats aggregate);
+      decontam_eval         — drop docs sharing any word-5-gram with
+                              the held-out eval DataFrame(text);
+      near_dup_threshold    — MinHash-LSH near-dup pairs at this
+                              Jaccard threshold resolved into clusters
+                              by connected components; only each
+                              cluster's representative (min 64-bit
+                              url-hash key — deterministic) survives.
+                              NOTE: this stage is iterative, so unlike
+                              every other stage it runs Spark jobs at
+                              curate() call time (the CC fixpoint
+                              loop); the surviving-set anti-join it
+                              leaves behind is lazy as usual.
+    """
     ext = pipeline.extract(pages, nsalt=nsalt, npartitions=npartitions)
     # recrawl dedup first — keep the LATEST crawl per url, so url is
     # unique downstream and the text-dedup semi-join key is sound
@@ -57,8 +85,49 @@ def curate(
     docs = ext1.filter(F.col("text") != "").select(
         "url", "text", F.col("lang").alias("source")
     )
+    if pii_redact:
+        docs = docs.withColumn("text", redact_pii(F.col("text")))
     scored = docs.withColumn("quality", quality_score(F.col("text")))
     good = scored.filter(F.col("quality") >= F.lit(min_quality))
+    if (
+        repetition_max_frac is not None
+        or decontam_eval is not None
+        or near_dup_threshold is not None
+    ):
+        # Each hygiene stage references `good` from BOTH sides of an
+        # anti-join, so chaining them would nest 2^stages copies of
+        # the whole extract plan (measured: minutes at 500 rows).
+        # Materialize the survivors once; executor-local blocks, same
+        # rationale as the extract's own phase-1 checkpoint. On the
+        # staged 10^12-row Pipeline this boundary is a real stage
+        # checkpoint (parquet/Iceberg), not block storage.
+        good = good.localCheckpoint(eager=False)
+    if repetition_max_frac is not None:
+        spam = repetition_stats(good, id_col="url").filter(
+            F.col("top_bigram_frac") > F.lit(repetition_max_frac)
+        ).select(F.col("doc_id").alias("url"))
+        good = good.join(spam, "url", "left_anti")
+    if decontam_eval is not None:
+        from .operators.filters import decontaminate
+
+        dirty = decontaminate(good, decontam_eval, n=5, id_col="url").select(
+            F.col("doc_id").alias("url")
+        )
+        good = good.join(dirty, "url", "left_anti")
+    if near_dup_threshold is not None:
+        from .operators.cluster import connected_components
+        from .operators.dedup import minhash_lsh_pairs
+
+        keyed = good.withColumn("_k", F.xxhash64("url"))
+        pairs = minhash_lsh_pairs(
+            keyed, threshold=near_dup_threshold, id_col="_k"
+        ).select("id_a", "id_b")
+        non_rep = (
+            connected_components(pairs)
+            .filter(F.col("node") != F.col("rep"))
+            .select(F.col("node").alias("_k"))
+        )
+        good = keyed.join(non_rep, "_k", "left_anti").drop("_k")
     # exact dedup on extracted text: keep the lexicographically first
     # url per text (deterministic); semi-join back to keep columns
     keep = good.groupBy(F.xxhash64("text").alias("_h")).agg(

@@ -169,9 +169,16 @@ def ngram_jaccard_pairs(
     )
 
 
-def _shingles(text: Column, k: int) -> Column:
-    """Distinct k-word shingles as strings."""
-    toks = tokens_col(text)
+def _shingles(toks: Column, k: int) -> Column:
+    """Distinct k-word shingles as strings, from a token ARRAY column.
+
+    ``toks`` MUST be a bound attribute (project ``tokens_col(text)``
+    in a prior select), never the inline tokenizer expression:
+    higher-order functions run interpreted (CodegenFallback), and
+    ``ArrayTransform.eval`` re-evaluates the lambda subtree per
+    element — an inlined split() makes shingling O(words²) per doc,
+    which pins a core for minutes on one mega-page.
+    """
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n >= k, F.array_distinct(
@@ -197,8 +204,8 @@ def minhash_signatures(
     """
     sh = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(_shingles(F.col(text_col), shingle_k)).alias("s"),
-    )
+        tokens_col(F.col(text_col)).alias("_t"),
+    ).select("id", F.explode(_shingles(F.col("_t"), shingle_k)).alias("s"))
     aggs = [
         F.min(F.xxhash64(F.col("s"), F.lit(j))).alias(f"h{j}") for j in range(num_hashes)
     ]
@@ -245,8 +252,8 @@ def minhash_lsh_pairs(
     )
     # exact verification on candidates only
     sh = docs.select(
-        F.col(id_col).alias("id"), _shingles(F.col(text_col), shingle_k).alias("sh")
-    )
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_t")
+    ).select("id", _shingles(F.col("_t"), shingle_k).alias("sh"))
     verified = (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")

@@ -47,7 +47,15 @@ def _words(text: Column) -> Column:
 
 
 def _ngrams(words: Column, n: int) -> Column:
-    """Array of space-joined word n-grams (empty when len(words) < n)."""
+    """Array of space-joined word n-grams (empty when len(words) < n).
+
+    ``words`` MUST be a bound attribute (a projected column), never the
+    inline ``_words(...)`` expression tree: higher-order functions are
+    CodegenFallback, and interpreted ``ArrayTransform.eval`` re-evaluates
+    the whole lambda subtree per element — an inlined split() makes this
+    O(words²) per document (measured: one mega-page pinned a core for
+    5+ minutes). Use ``_exploded_grams`` which projects first.
+    """
     sz = F.size(words)
     return F.when(
         sz >= n,
@@ -56,6 +64,24 @@ def _ngrams(words: Column, n: int) -> Column:
             lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _exploded_grams(
+    docs: DataFrame, id_col: str, text_col: str, n: int, out: str
+) -> DataFrame:
+    """(id_col → doc_id, exploded word-n-gram → ``out``), linear-time.
+
+    Two selects: the words array is materialized as a column in the
+    first, so the n-gram lambda slices a bound array attribute (O(n)
+    per gram) instead of re-splitting the document per gram. The
+    multiple references to ``_w`` also stop CollapseProject from
+    re-inlining the split into the lambda.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w")
+    ).select(
+        "doc_id", F.explode(_ngrams(F.col("_w"), n)).alias(out)
+    )
 
 
 def repetition_stats(
@@ -77,10 +103,7 @@ def repetition_stats(
     probability ~n²/2^65 per doc — immaterial for a filter); the
     string key is kept here because the DuckDB oracle has no xxhash64.
     """
-    grams = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(_ngrams(_words(F.col(text_col)), 2)).alias("bigram"),
-    )
+    grams = _exploded_grams(docs, id_col, text_col, 2, "bigram")
     per_gram = grams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
     return per_gram.groupBy("doc_id").agg(
         F.sum("c").alias("n_bigrams"),
@@ -102,13 +125,11 @@ def decontaminate(
     n_overlap counts the DISTINCT training-doc n-grams present in the
     eval set's distinct n-gram universe.
     """
-    train_g = train.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.explode(_ngrams(_words(F.col(text_col)), n)).alias("gram"),
-    ).distinct()
+    train_g = _exploded_grams(train, id_col, text_col, n, "gram").distinct()
     eval_g = (
-        eval_df.select(F.explode(_ngrams(_words(F.col(text_col)), n)).alias("gram"))
-        .distinct()
+        _exploded_grams(
+            eval_df, eval_df.columns[0], text_col, n, "gram"
+        ).select("gram").distinct()
     )
     return (
         train_g.join(F.broadcast(eval_g), "gram")

@@ -74,3 +74,56 @@ def test_mixing_tightening_shrinks(spark, pages, curated):
     urls = {r["url"] for r in curated.select("url").collect()}
     turls = {r["url"] for r in tighter.select("url").collect()}
     assert turls < urls  # nested subset, strictly smaller
+
+
+def test_hygiene_stages_compose(spark, pages, curated):
+    base_urls = {r["url"] for r in curated.select("url").collect()}
+    base_rows = {r["url"]: r for r in curated.collect()}
+    # eval set = one surviving doc's exact text -> decontamination must
+    # drop at least that url
+    victim = sorted(base_urls)[0]
+    eval_df = spark.createDataFrame(
+        [(base_rows[victim]["text"],)], "text string"
+    )
+    out = curate.curate(
+        pages,
+        min_quality=0.4,
+        source_rates={"en": 0.6},
+        default_rate=1.0,
+        pack_budget=512,
+        npartitions=8,
+        pii_redact=True,
+        repetition_max_frac=0.18,
+        decontam_eval=eval_df,
+        near_dup_threshold=0.9,
+    )
+    rows = sorted(out.collect(), key=lambda r: r["url"])
+    urls = {r["url"] for r in rows}
+    # hygiene only removes (PII redaction can alter text, but the
+    # surviving url set must be a subset of the baseline's)
+    assert urls <= base_urls
+    assert victim not in urls
+    # quality floor still holds and packing is still consistent over
+    # exactly the surviving set
+    acc = 0
+    for r in rows:
+        assert r["quality"] >= 0.4
+        assert r["tokens_before"] == acc
+        assert r["pack_id"] == acc // 512
+        acc += r["n_tokens"]
+    # determinism under different parallelism
+    again = curate.curate(
+        pages,
+        min_quality=0.4,
+        source_rates={"en": 0.6},
+        default_rate=1.0,
+        pack_budget=512,
+        npartitions=3,
+        pii_redact=True,
+        repetition_max_frac=0.18,
+        decontam_eval=eval_df,
+        near_dup_threshold=0.9,
+    )
+    assert sorted(tuple(r) for r in rows) == sorted(
+        tuple(r) for r in again.collect()
+    )
