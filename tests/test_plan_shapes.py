@@ -161,3 +161,37 @@ def test_media_stages_are_narrow(spark):
         plan = _plan(df)
         assert re.findall(r"\(\d+\) MapInPandas\b", plan), plan[:1500]
         assert not re.findall(r"\(\d+\) Exchange\b", plan), plan[:1500]
+
+
+def test_gram_lambdas_bind_token_array_not_inline_split(spark):
+    """The n-gram/shingle transform() lambdas must slice a BOUND array
+    attribute, never an inlined split() of the document: higher-order
+    functions run interpreted (CodegenFallback) and re-evaluate the
+    lambda subtree per element, so an inlined tokenizer is O(words²)
+    per doc — one mega-page pinned a core for 5+ minutes before the
+    fix. Plan contract: no optimized-plan expression may contain BOTH
+    a transform/lambda and a split of the raw text."""
+    from nidaba_spark.operators.dedup import minhash_signatures
+    from nidaba_spark.operators.filters import decontaminate, repetition_stats
+    from nidaba_spark.sources.tables import load
+
+    docs = load(spark, SF, "documents").select(
+        "doc_id", F.col("body").alias("text")
+    ) if "body" in load(spark, SF, "documents").columns else load(
+        spark, SF, "documents"
+    )
+    eval_df = docs.limit(2).select("text")
+    for df in (
+        repetition_stats(docs),
+        decontaminate(docs, eval_df),
+        minhash_signatures(docs),
+    ):
+        optimized = df._jdf.queryExecution().optimizedPlan().toString()
+        for line in optimized.splitlines():
+            # split() as a HOF's INPUT argument (evaluated once) is
+            # fine and appears BEFORE its lambdafunction; the
+            # quadratic pattern is split() inside a lambda BODY —
+            # i.e. anywhere after the first lambdafunction(.
+            if "lambdafunction(" in line:
+                body = line.split("lambdafunction(", 1)[1]
+                assert "split(" not in body, line[:400]
