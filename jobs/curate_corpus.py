@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""spark-submit entry for the end-to-end curation composition
+(nidaba_spark/curate.py): pages → extract → hygiene → dedup → mix →
+pack → curated parquet.
+
+Cluster usage mirrors jobs/run_pipeline.py:
+
+    zip -r engine.zip nidaba_spark
+    spark-submit --py-files engine.zip jobs/curate_corpus.py \
+        --input lake.db.pages --output /curated/run1 \
+        --rate en=0.6 --rate de=0.3 --pii-redact \
+        --repetition-max-frac 0.18 --decontam-eval /eval/heldout.parquet \
+        --near-dup-threshold 0.85
+
+The output is ONE parquet table of packed training examples
+(url, n_tokens, tokens_before, pack_id, pack_pos, quality, text) —
+the same schema tests/test_curate.py pins.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_rates(pairs: list[str]) -> dict[str, float] | None:
+    if not pairs:
+        return None
+    out: dict[str, float] = {}
+    for p in pairs:
+        k, _, v = p.partition("=")
+        if not _ or not k:
+            raise SystemExit(f"--rate expects lang=frac, got {p!r}")
+        out[k] = float(v)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="nidaba-spark corpus curation")
+    ap.add_argument("--input", required=True, help="pages parquet path or catalog table")
+    ap.add_argument("--output", required=True, help="curated parquet output path")
+    ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument(
+        "--rate", action="append", default=[], metavar="LANG=FRAC",
+        help="per-source sampling rate (repeatable); no --rate = keep all",
+    )
+    ap.add_argument("--default-rate", type=float, default=1.0)
+    ap.add_argument("--pack-budget", type=int, default=1024)
+    ap.add_argument("--nsalt", type=int, default=256)
+    ap.add_argument("--npartitions", type=int, default=None)
+    ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--pii-redact", action="store_true")
+    ap.add_argument("--repetition-max-frac", type=float, default=None)
+    ap.add_argument(
+        "--decontam-eval", default=None,
+        help="parquet path of the held-out eval set (column: text)",
+    )
+    ap.add_argument("--near-dup-threshold", type=float, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from nidaba_spark import curate
+    from nidaba_spark.session import get_spark, tune_session
+
+    active = SparkSession.getActiveSession()
+    spark = tune_session(active) if active else get_spark(app="nidaba-curate", cores=args.cores)
+
+    pages = (
+        spark.read.table(args.input)
+        if "." in args.input and not os.path.exists(args.input)
+        else spark.read.parquet(args.input)
+    )
+    eval_df = spark.read.parquet(args.decontam_eval) if args.decontam_eval else None
+    out = curate.curate(
+        pages,
+        min_quality=args.min_quality,
+        source_rates=_parse_rates(args.rate),
+        default_rate=args.default_rate,
+        pack_budget=args.pack_budget,
+        nsalt=args.nsalt,
+        npartitions=args.npartitions,
+        pii_redact=args.pii_redact,
+        repetition_max_frac=args.repetition_max_frac,
+        decontam_eval=eval_df,
+        near_dup_threshold=args.near_dup_threshold,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n = written.count()
+    npacks = written.select("pack_id").distinct().count()
+    print(f"curated {n} documents into {npacks} packs -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

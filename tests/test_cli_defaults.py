@@ -11,11 +11,12 @@ import sys
 _JOBS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "jobs")
 
 
-def _cli_default(flag: str):
+def _cli_default(flag: str, module: str = "run_pipeline"):
     sys.path.insert(0, _JOBS_DIR)
     import argparse
+    import importlib
 
-    import run_pipeline
+    job = importlib.import_module(module)
 
     captured = {}
     orig = argparse.ArgumentParser.parse_args
@@ -26,7 +27,7 @@ def _cli_default(flag: str):
 
     argparse.ArgumentParser.parse_args = fake
     try:
-        run_pipeline.main()
+        job.main()
     except SystemExit:
         pass
     finally:
@@ -39,3 +40,20 @@ def test_cli_nsalt_matches_prepare_default():
 
     lib_default = inspect.signature(pipeline.prepare).parameters["nsalt"].default
     assert _cli_default("nsalt") == lib_default == 256
+
+
+def test_curate_cli_defaults_match_library():
+    from nidaba_spark import curate
+
+    sig = inspect.signature(curate.curate).parameters
+    for cli_flag, lib_param in [
+        ("min_quality", "min_quality"),
+        ("pack_budget", "pack_budget"),
+        ("nsalt", "nsalt"),
+        ("default_rate", "default_rate"),
+        ("repetition_max_frac", "repetition_max_frac"),
+        ("near_dup_threshold", "near_dup_threshold"),
+    ]:
+        assert (
+            _cli_default(cli_flag, "curate_corpus") == sig[lib_param].default
+        ), cli_flag

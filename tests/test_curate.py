@@ -127,3 +127,42 @@ def test_hygiene_stages_compose(spark, pages, curated):
     assert sorted(tuple(r) for r in rows) == sorted(
         tuple(r) for r in again.collect()
     )
+
+
+def test_curate_cli_end_to_end(spark, pages_path, tmp_path, monkeypatch):
+    """jobs/curate_corpus.py writes the pinned packed-example schema
+    and reuses the active test session (tune_session path)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "jobs")
+    )
+    import curate_corpus
+
+    out = str(tmp_path / "curated.parquet")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        [
+            "curate_corpus.py",
+            "--input", pages_path,
+            "--output", out,
+            "--min-quality", "0.4",
+            "--rate", "en=0.6",
+            "--pack-budget", "512",
+            "--npartitions", "8",
+        ],
+    )
+    curate_corpus.main()
+    written = spark.read.parquet(out)
+    assert written.columns == [
+        "url", "n_tokens", "tokens_before", "pack_id", "pack_pos",
+        "quality", "text",
+    ]
+    rows = sorted(written.collect(), key=lambda r: r["tokens_before"])
+    assert rows
+    acc = 0
+    for r in rows:
+        assert r["tokens_before"] == acc
+        acc += r["n_tokens"]
