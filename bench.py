@@ -133,6 +133,10 @@ def main() -> None:
                 "scaling_efficiency_2v8": scaling.get("scaling_efficiency_2v8"),
                 "scaling_efficiency_4v16": scaling.get("scaling_efficiency_4v16"),
                 "scaling_canary_8v32": scaling.get("scaling_canary_8v32"),
+                "scaling_canary_8v32_recheck": scaling.get("canary_recheck_8v32"),
+                "scaling_canary_t32_wall_sec": scaling.get(
+                    "canary_recheck_t32_clean_leg_median_sec"
+                ),
                 "scaling_corpus_rows": scaling.get("corpus_rows"),
                 "cpus": CPUS,
             }
