@@ -55,6 +55,10 @@ _RETIRED_FROM_DRIVER = [
     "redact_pii",
     "dedup_clusters",
     "unigram_logprob",
+    # r04: model-based quality filter (pinned-LR codegen scoring; full
+    # DuckDB oracle runs in tests/test_offdriver_oracles.py) and
+    # host-level crawl stats/capping live off the frozen surface too.
+    "quality_model_score",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -47,6 +47,7 @@ def curate(
     repetition_max_frac: float | None = None,
     decontam_eval: DataFrame | None = None,
     near_dup_threshold: float | None = None,
+    max_docs_per_host: int | None = None,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -66,6 +67,12 @@ def curate(
                               on the repetition_stats aggregate);
       decontam_eval         — drop docs sharing any word-5-gram with
                               the held-out eval DataFrame(text);
+      max_docs_per_host     — deterministic hash-ordered cap per
+                              canonical host (operators/hoststats.py;
+                              applied before scoring so mega-hosts
+                              are cut ahead of the heavier stages —
+                              the window's row_number()<=k filter
+                              becomes a map-side WindowGroupLimit);
       near_dup_threshold    — MinHash-LSH near-dup pairs at this
                               Jaccard threshold resolved into clusters
                               by connected components; only each
@@ -85,6 +92,10 @@ def curate(
     docs = ext1.filter(F.col("text") != "").select(
         "url", "text", F.col("lang").alias("source")
     )
+    if max_docs_per_host is not None:
+        from .operators.hoststats import cap_per_host
+
+        docs = cap_per_host(docs, max_docs_per_host)
     if pii_redact:
         docs = docs.withColumn("text", redact_pii(F.col("text")))
     scored = docs.withColumn("quality", quality_score(F.col("text")))

@@ -1,0 +1,71 @@
+"""Host-level crawl curation: URL canonicalization, per-host stats,
+and deterministic per-host document capping.
+
+Web-scale corpora are curated per HOST as much as per document
+(RefinedWeb §3.1 URL filtering; Gopher's domain mixing): a handful of
+mega-hosts contribute a wildly disproportionate share of pages, and
+both blocklist decisions and diversity caps key on the registrable
+host. Three operators, all pure DataFrame transforms:
+
+* ``canonical_host`` — codegen regexp canonicalization (scheme,
+  userinfo, port, path stripped; lowercased; leading ``www.``
+  dropped). No UDF: one regexp_extract + one regexp_replace.
+* ``host_stats`` — one hash aggregation keyed on the canonical host
+  (map-side partial agg; the shuffle carries one row per host per
+  map task, not per page).
+* ``cap_per_host`` — keep a deterministic hash-ordered sample of at
+  most ``max_docs`` pages per host via ``row_number() <= k``. Spark
+  rewrites that filter into a WindowGroupLimit (asserted in
+  tests/test_hoststats.py): every map task locally truncates each
+  host group to k rows BEFORE the shuffle, so a 10^9-page mega-host
+  contributes at most k rows per upstream partition to the sort —
+  the skew exposure is k × n_map_partitions, not the host's row
+  count. Ordering by xxhash64(url) (url tiebreak) makes the kept
+  set a uniform, input-partitioning-independent sample.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# host = the authority component up to the first ':' (port), '/', '?'
+# or '#', after an optional scheme and userinfo. Accepts scheme-less
+# and protocol-relative ('//host/x') urls.
+_HOST_RE = r"^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?([^:/?#]+)"
+
+
+def canonical_host(url: Column) -> Column:
+    """Lower-cased registrable host with ``www.`` stripped."""
+    h = F.regexp_extract(F.lower(F.trim(url)), _HOST_RE, 1)
+    return F.regexp_replace(h, r"^www\.", "")
+
+
+def host_stats(pages: DataFrame, url_col: str = "url", bytes_col: str | None = None) -> DataFrame:
+    """Per-host corpus accounting: page count, distinct urls, and
+    (optionally) total payload bytes — the table host blocklists and
+    mixing weights are derived from."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct(F.col(url_col)).alias("n_urls"),
+    ]
+    if bytes_col is not None:
+        aggs.append(
+            F.coalesce(F.sum(F.octet_length(F.col(bytes_col))), F.lit(0)).alias(
+                "total_bytes"
+            )
+        )
+    return pages.groupBy(canonical_host(F.col(url_col)).alias("host")).agg(*aggs)
+
+
+def cap_per_host(pages: DataFrame, max_docs: int, url_col: str = "url") -> DataFrame:
+    """At most ``max_docs`` pages per canonical host, chosen by url
+    hash order (deterministic, partitioning-independent)."""
+    w = Window.partitionBy(canonical_host(F.col(url_col))).orderBy(
+        F.xxhash64(F.col(url_col)), F.col(url_col)
+    )
+    return (
+        pages.withColumn("_host_rn", F.row_number().over(w))
+        .filter(F.col("_host_rn") <= F.lit(max_docs))
+        .drop("_host_rn")
+    )

@@ -230,6 +230,50 @@ FROM f
 """
 
 
+def q_quality_model_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filter: the pinned LR coefficients
+    (operators/quality_model.py DEFAULT_MODEL, trained distributed via
+    pyspark.ml, clean-vs-degraded bootstrap labels) applied as a pure
+    codegen sigmoid over the surface features — inference at 100 TB is
+    whole-stage-codegen arithmetic, no Python, no model object."""
+    from ..operators import quality_model
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    feats = quality_model.featurize(docs)
+    return quality_model.score(feats).select("doc_id", "model_score")
+
+
+def _quality_model_oracle() -> str:
+    from ..operators import quality_model
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != '') AS words
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(words) AS n_words,
+         len(list_filter(words, x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop,
+         length(regexp_replace(text, '[^\\.,;:!\\?''"-]', '', 'g')) AS n_punct,
+         list_sum(list_transform(words, x -> length(x))) AS sum_wl
+  FROM w),
+g AS (
+  SELECT doc_id,
+         round(ln(1 + n_chars), 6) AS log_chars,
+         round(ln(1 + n_words), 6) AS log_words,
+         CASE WHEN n_words > 0 THEN round(n_stop / n_words, 4) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN round(n_punct / n_chars, 4) ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_words > 0 THEN round(sum_wl / n_words, 4) ELSE 0.0 END AS mean_word_len
+  FROM f)
+SELECT doc_id, {quality_model.oracle_score_sql()} AS model_score FROM g
+"""
+
+
+ORACLE["quality_model_score"] = _quality_model_oracle()
+
+
 def q_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     return docs.select(
@@ -849,6 +893,7 @@ QUERIES = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "embedding_near_dup_lsh_strict": q_embedding_near_dup_lsh_strict,
     "doc_quality": q_doc_quality,
+    "quality_model_score": q_quality_model_score,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_id": q_lang_id,

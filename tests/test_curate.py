@@ -129,6 +129,33 @@ def test_hygiene_stages_compose(spark, pages, curated):
     )
 
 
+def test_host_cap_stage_wired(spark, pages):
+    from nidaba_spark.operators import hoststats
+
+    # the synthetic corpus is one-host-per-url; collapse to 3 hosts
+    # (url stays unique — the original url rides as the path)
+    squeezed = pages.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.xxhash64("url"), F.lit(3)).cast("string"),
+            F.lit(".example/"),
+            F.col("url"),
+        ),
+    )
+    out = curate.curate(
+        squeezed, min_quality=0.0, pack_budget=512, npartitions=8,
+        max_docs_per_host=10,
+    )
+    counts = [
+        r["n"]
+        for r in out.groupBy(
+            hoststats.canonical_host(F.col("url")).alias("h")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert counts and all(n <= 10 for n in counts)
+
+
 def test_curate_cli_end_to_end(spark, pages_path, tmp_path, monkeypatch):
     """jobs/curate_corpus.py writes the pinned packed-example schema
     and reuses the active test session (tune_session path)."""

@@ -1,0 +1,119 @@
+"""Host-level curation operators: canonicalization cases, a DuckDB
+oracle for host_stats, and the cap's determinism + map-side
+WindowGroupLimit plan shape."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nidaba_spark.operators import hoststats  # noqa: E402
+
+URLS = [
+    "https://www.Example.COM:8080/path?q=1",
+    "http://example.com/",
+    "example.com/other",
+    "//cdn.example.org/asset.js",
+    "ftp://user:pw@Host.Net/x",
+    "https://sub.www.example.com/a",
+    "https://example.com/a#frag",
+    "http://www.example.com/b",
+    "https://other.net/a",
+    "https://other.net/b",
+    "https://other.net/a",  # dup url: n_pages=3, n_urls=2
+]
+
+EXPECT = {
+    "https://www.Example.COM:8080/path?q=1": "example.com",
+    "http://example.com/": "example.com",
+    "example.com/other": "example.com",
+    "//cdn.example.org/asset.js": "cdn.example.org",
+    "ftp://user:pw@Host.Net/x": "host.net",
+    "https://sub.www.example.com/a": "sub.www.example.com",
+}
+
+
+def _pages(spark, urls=URLS):
+    return spark.createDataFrame(
+        [(u, f"body of {u}") for u in urls], ["url", "text"]
+    )
+
+
+def test_canonical_host_cases(spark):
+    df = _pages(spark, list(EXPECT)).select(
+        "url", hoststats.canonical_host(F.col("url")).alias("host")
+    )
+    got = {r["url"]: r["host"] for r in df.collect()}
+    assert got == EXPECT
+
+
+def test_host_stats_matches_duckdb(spark):
+    got = sorted(
+        (r["host"], r["n_pages"], r["n_urls"], r["total_bytes"])
+        for r in hoststats.host_stats(_pages(spark), bytes_col="text").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pages AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{u}', 'body of {u}')" for u in URLS)
+        + ") t(url, text)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT regexp_replace(
+                     regexp_extract(lower(trim(url)),
+                       '^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?([^:/?#]+)', 1),
+                     '^www\\.', '') AS host,
+                   count(*) AS n_pages,
+                   count(DISTINCT url) AS n_urls,
+                   sum(strlen(text)) AS total_bytes
+            FROM pages GROUP BY 1
+            """
+        ).fetchall()
+    )
+    assert got == want
+    stats = dict((h, (p, u)) for h, p, u, _ in got)
+    assert stats["other.net"] == (3, 2)
+
+
+def test_cap_per_host_bounds_and_determinism(spark):
+    many = [f"https://big.example.com/p{i}" for i in range(40)] + [
+        f"https://small.org/p{i}" for i in range(3)
+    ]
+    pages = _pages(spark, many)
+    capped = hoststats.cap_per_host(pages, 5)
+    counts = {
+        r["host"]: r["n"]
+        for r in capped.groupBy(
+            hoststats.canonical_host(F.col("url")).alias("host")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"big.example.com": 5, "small.org": 3}
+    kept1 = sorted(r["url"] for r in capped.collect())
+    # same kept set regardless of input partitioning
+    kept2 = sorted(
+        r["url"] for r in hoststats.cap_per_host(pages.repartition(7), 5).collect()
+    )
+    assert kept1 == kept2
+    assert set(kept1) <= set(many)
+
+
+def test_cap_per_host_plan_uses_window_group_limit(spark):
+    capped = hoststats.cap_per_host(_pages(spark), 2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        capped.explain(mode="formatted")
+    plan = buf.getvalue()
+    # row_number()<=k must push a map-side group limit ahead of the
+    # shuffle — the mega-host skew bound the module docstring claims
+    assert "WindowGroupLimit" in plan, plan
