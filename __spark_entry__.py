@@ -59,6 +59,7 @@ _RETIRED_FROM_DRIVER = [
     # DuckDB oracle runs in tests/test_offdriver_oracles.py) and
     # host-level crawl stats/capping live off the frozen surface too.
     "quality_model_score",
+    "paragraph_dedup",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

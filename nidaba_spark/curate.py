@@ -48,6 +48,7 @@ def curate(
     decontam_eval: DataFrame | None = None,
     near_dup_threshold: float | None = None,
     max_docs_per_host: int | None = None,
+    paragraph_dedup: bool = False,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -73,6 +74,12 @@ def curate(
                               are cut ahead of the heavier stages —
                               the window's row_number()<=k filter
                               becomes a map-side WindowGroupLimit);
+      paragraph_dedup       — CCNet-style corpus-wide paragraph dedup
+                              on the extracted text (operators/
+                              dedup.py paragraph_dedup): boilerplate
+                              paragraphs survive only at their first
+                              occurrence, documents are rebuilt in
+                              order, emptied documents drop;
       near_dup_threshold    — MinHash-LSH near-dup pairs at this
                               Jaccard threshold resolved into clusters
                               by connected components; only each
@@ -96,6 +103,16 @@ def curate(
         from .operators.hoststats import cap_per_host
 
         docs = cap_per_host(docs, max_docs_per_host)
+    if paragraph_dedup:
+        from .operators.dedup import paragraph_dedup as _paragraph_dedup
+
+        rebuilt = _paragraph_dedup(docs, id_col="url")
+        docs = (
+            docs.drop("text")
+            .join(rebuilt, "url")
+            .filter(F.col("text") != "")
+            .select("url", "text", "source")
+        )
     if pii_redact:
         docs = docs.withColumn("text", redact_pii(F.col("text")))
     scored = docs.withColumn("quality", quality_score(F.col("text")))

@@ -26,7 +26,7 @@ Scale notes (100 TB story):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 def _shl(col, n):
@@ -57,6 +57,64 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             F.count(F.lit(1)).alias("n_dupes"),
         )
         .select("keep_id", "n_dupes")
+    )
+
+
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup (Wenzek et al. 2020 §3.1):
+    every distinct paragraph survives only at its FIRST corpus
+    occurrence (min (id, position)); each document is rebuilt from its
+    surviving paragraphs in original order (documents reduced to
+    nothing come back with text='' for a downstream empty filter).
+
+    Spark shape — ONE shuffle carries the paragraphs: posexplode →
+    ``row_number() over (partition by para order by id, pos) == 1``,
+    which compiles to a map-side WindowGroupLimit, so a boilerplate
+    paragraph duplicated 10^9 times is truncated to one row per
+    upstream partition BEFORE the exchange (reducer sees at most
+    n_map_partitions rows per paragraph — the classic dedup skew key
+    is bounded by construction). Partitioning by the paragraph text
+    itself (not a 64-bit hash) keeps the rule exact: no birthday-bound
+    false merges at 10^12-paragraph scale, and the shuffle is no wider
+    since the rebuild needs the paragraph bytes anyway. The rebuild is
+    a second shuffle keyed on the document id.
+
+    ``sep`` splits as a regex and rejoins as a literal — pass a
+    literal separator ("\\n\\n", not a character class). Empty
+    paragraphs are dropped (they carry no content and would otherwise
+    dedup across unrelated documents).
+    """
+    paras = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    ).filter(F.col("_para") != "")
+    w = Window.partitionBy("_para").orderBy("_id", "_pos")
+    kept = (
+        paras.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda x: x["_para"],
+            ),
+            sep,
+        ).alias("_text")
+    )
+    return (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("_text"), F.lit("")).alias(text_col),
+        )
     )
 
 

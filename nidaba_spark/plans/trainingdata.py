@@ -230,6 +230,39 @@ FROM f
 """
 
 
+def q_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (operators/dedup.py
+    paragraph_dedup): first occurrence of each distinct paragraph
+    survives, documents are rebuilt in order. The driver documents
+    table is single-paragraph (no newlines), so here the operator
+    degenerates to exact first-occurrence text dedup — still a full
+    cross-engine check of the explode → window-keep → rebuild
+    machinery; the multi-paragraph semantics are pinned on structured
+    rows in tests/test_offdriver_oracles.py."""
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return dedup.paragraph_dedup(docs)
+
+
+ORACLE["paragraph_dedup"] = r"""
+WITH a AS (
+  SELECT doc_id, string_split_regex(text, '\n\n') AS arr FROM documents),
+u AS (
+  SELECT doc_id, unnest(arr) AS para, unnest(generate_series(1, len(arr))) AS pos
+  FROM a),
+p AS (
+  SELECT doc_id, para, pos FROM u WHERE para != ''),
+k AS (
+  SELECT doc_id, para, pos,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM p),
+r AS (
+  SELECT doc_id, string_agg(para, E'\n\n' ORDER BY pos) AS text
+  FROM k WHERE rn = 1 GROUP BY doc_id)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN r USING (doc_id)
+"""
+
+
 def q_quality_model_score(spark: SparkSession, sf: str) -> DataFrame:
     """Model-based quality filter: the pinned LR coefficients
     (operators/quality_model.py DEFAULT_MODEL, trained distributed via
@@ -893,6 +926,7 @@ QUERIES = {
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "embedding_near_dup_lsh_strict": q_embedding_near_dup_lsh_strict,
     "doc_quality": q_doc_quality,
+    "paragraph_dedup": q_paragraph_dedup,
     "quality_model_score": q_quality_model_score,
     "token_counts": q_token_counts,
     "doc_fingerprint": q_doc_fingerprint,

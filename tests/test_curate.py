@@ -156,6 +156,19 @@ def test_host_cap_stage_wired(spark, pages):
     assert counts and all(n <= 10 for n in counts)
 
 
+def test_paragraph_dedup_stage_wired(spark, pages):
+    out = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=8,
+        paragraph_dedup=True,
+    )
+    rows = out.select("url", "text").collect()
+    assert rows
+    # the stage's defining invariant: every paragraph is corpus-unique
+    paras = [p for r in rows for p in r["text"].split("\n\n") if p]
+    assert len(paras) == len(set(paras))
+    assert all(r["text"] != "" for r in rows)
+
+
 def test_curate_cli_end_to_end(spark, pages_path, tmp_path, monkeypatch):
     """jobs/curate_corpus.py writes the pinned packed-example schema
     and reuses the active test session (tune_session path)."""

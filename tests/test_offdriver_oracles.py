@@ -58,7 +58,13 @@ def _rowset(cols, rows):
 
 
 def test_new_filters_have_offdriver_coverage():
-    for name in ("repetition_filter", "decontaminate", "redact_pii"):
+    for name in (
+        "repetition_filter",
+        "decontaminate",
+        "redact_pii",
+        "quality_model_score",
+        "paragraph_dedup",
+    ):
         assert name in OFF_DRIVER_ORACLES, f"{name} lost its oracle coverage"
 
 
@@ -125,6 +131,53 @@ def test_decontaminate_hand_case(spark):
     )
     got = {r["doc_id"]: r["n_overlap"] for r in decontaminate(train, eval_df, n=5).collect()}
     assert got == {1: 1}
+
+
+PARA_DOCS = [
+    (1, "alpha one\n\nshared para\n\nbeta two"),  # all first: unchanged
+    (2, "shared para\n\ngamma three"),  # loses the shared paragraph
+    (3, "unique three\n\nunique three"),  # intra-doc dup: first copy kept
+    (4, ""),  # empty in, empty out
+    (5, "shared para"),  # reduced to nothing -> ''
+]
+
+
+def test_paragraph_dedup_hand_case(spark):
+    from nidaba_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(PARA_DOCS, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in paragraph_dedup(docs).collect()}
+    assert got == {
+        1: "alpha one\n\nshared para\n\nbeta two",
+        2: "gamma three",
+        3: "unique three",
+        4: "",
+        5: "",
+    }
+    # the same structured rows through the DuckDB oracle SQL
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(PARA_DOCS, columns=["doc_id", "text"])
+    )
+    want = dict(con.execute(_ALL_O["paragraph_dedup"]).fetchall())
+    con.close()
+    assert got == want
+
+
+def test_paragraph_dedup_plan_has_window_group_limit(spark):
+    import contextlib
+    import io
+
+    from nidaba_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(PARA_DOCS, "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        paragraph_dedup(docs).explain(mode="formatted")
+    # duplicate paragraphs must be pruned map-side before the exchange
+    assert "WindowGroupLimit" in buf.getvalue()
 
 
 def test_redact_pii_bytes(spark):
