@@ -60,6 +60,7 @@ _RETIRED_FROM_DRIVER = [
     # host-level crawl stats/capping live off the frozen surface too.
     "quality_model_score",
     "paragraph_dedup",
+    "duplicate_spans",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -59,6 +59,8 @@ def main() -> None:
         help="parquet path of the held-out eval set (column: text)",
     )
     ap.add_argument("--near-dup-threshold", type=float, default=None)
+    ap.add_argument("--max-docs-per-host", type=int, default=None)
+    ap.add_argument("--paragraph-dedup", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -87,6 +89,8 @@ def main() -> None:
         repetition_max_frac=args.repetition_max_frac,
         decontam_eval=eval_df,
         near_dup_threshold=args.near_dup_threshold,
+        max_docs_per_host=args.max_docs_per_host,
+        paragraph_dedup=args.paragraph_dedup,
     )
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)

@@ -112,6 +112,42 @@ def repetition_stats(
     )
 
 
+def duplicate_span_stats(
+    docs: DataFrame, n: int = 50, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Substring-level duplication signal (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"),
+    approximated by rolling n-token span hashes instead of a suffix
+    array: per document, the fraction of its n-token spans that occur
+    MORE THAN ONCE corpus-wide (cross-doc boilerplate AND intra-doc
+    repeats both count). Docs above a dup_span_frac cut are the
+    substring-dedup removal candidates; the paper's 50-token window is
+    the default.
+
+    Returns (doc_id, n_spans, dup_span_frac) for docs with >= n words.
+
+    Plan: linear-time exploded spans (projected words array — see
+    _ngrams' O(words²) trap) → corpus-wide span counts via one
+    map-side-combined hash agg → join counts back on the span →
+    per-doc aggregate. Two span-keyed shuffles + one doc-keyed; AQE
+    skew-join covers hyper-duplicated spans. The same xxhash64 key
+    swap documented on repetition_stats applies at 10^12 scale; the
+    string key keeps the DuckDB oracle exact.
+    """
+    spans = _exploded_grams(docs, id_col, text_col, n, "span")
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("_cnt"))
+    return (
+        spans.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.round(F.avg((F.col("_cnt") > 1).cast("double")), 4).alias(
+                "dup_span_frac"
+            ),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

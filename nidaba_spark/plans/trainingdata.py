@@ -702,6 +702,33 @@ FROM documents
 
 
 # -------------------------------------------- corpus-hygiene filters
+def q_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level duplication stats (operators/filters.py
+    duplicate_span_stats, the Lee-et-al span-hash approximation) at a
+    10-token window — small enough that most synthetic docs carry
+    spans while exact-duplicate docs light up at dup_span_frac=1."""
+    from ..operators.filters import duplicate_span_stats
+
+    return duplicate_span_stats(load(spark, sf, "documents"), n=10)
+
+
+ORACLE["duplicate_spans"] = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents),
+g AS (
+  SELECT doc_id, array_to_string(words[i:i+9], ' ') AS span
+  FROM w, UNNEST(generate_series(1, len(words)-9)) AS t(i)),
+c AS (SELECT span, count(*) AS cnt FROM g GROUP BY span)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       round(avg(CASE WHEN c.cnt > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_span_frac
+FROM g JOIN c USING (span)
+GROUP BY doc_id
+"""
+
+
 def q_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition stats (word-bigram granularity) for
     every document, flagging the most-common-bigram mass > 0.18 cut
@@ -940,6 +967,7 @@ QUERIES = {
     "stream_sessionize_events": q_stream_sessionize_events,
     "extract_documents": q_extract_documents,
     "repetition_filter": q_repetition_filter,
+    "duplicate_spans": q_duplicate_spans,
     "decontaminate": q_decontaminate,
     "redact_pii": q_redact_pii,
 }

@@ -53,6 +53,8 @@ def test_curate_cli_defaults_match_library():
         ("default_rate", "default_rate"),
         ("repetition_max_frac", "repetition_max_frac"),
         ("near_dup_threshold", "near_dup_threshold"),
+        ("max_docs_per_host", "max_docs_per_host"),
+        ("paragraph_dedup", "paragraph_dedup"),
     ]:
         assert (
             _cli_default(cli_flag, "curate_corpus") == sig[lib_param].default

@@ -64,6 +64,7 @@ def test_new_filters_have_offdriver_coverage():
         "redact_pii",
         "quality_model_score",
         "paragraph_dedup",
+        "duplicate_spans",
     ):
         assert name in OFF_DRIVER_ORACLES, f"{name} lost its oracle coverage"
 
@@ -178,6 +179,28 @@ def test_paragraph_dedup_plan_has_window_group_limit(spark):
         paragraph_dedup(docs).explain(mode="formatted")
     # duplicate paragraphs must be pruned map-side before the exchange
     assert "WindowGroupLimit" in buf.getvalue()
+
+
+def test_duplicate_span_stats_hand_case(spark):
+    from nidaba_spark.operators.filters import duplicate_span_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 words -> 2 trigram spans: "a b c" (shared with doc 2),
+            # "b c d" (unique) -> frac 0.5
+            (1, "a b c d"),
+            (2, "a b c"),  # its only span duplicated -> frac 1.0
+            (3, "x y z w"),  # both spans unique -> frac 0.0
+            (4, "e e e e"),  # intra-doc repeat "e e e" x2 -> frac 1.0
+            (5, "too short"),  # < n words: no row
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["dup_span_frac"])
+        for r in duplicate_span_stats(docs, n=3).collect()
+    }
+    assert got == {1: (2, 0.5), 2: (1, 1.0), 3: (2, 0.0), 4: (2, 1.0)}
 
 
 def test_redact_pii_bytes(spark):
