@@ -61,6 +61,7 @@ def main() -> None:
     ap.add_argument("--near-dup-threshold", type=float, default=None)
     ap.add_argument("--max-docs-per-host", type=int, default=None)
     ap.add_argument("--paragraph-dedup", action="store_true")
+    ap.add_argument("--min-model-score", type=float, default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -91,6 +92,7 @@ def main() -> None:
         near_dup_threshold=args.near_dup_threshold,
         max_docs_per_host=args.max_docs_per_host,
         paragraph_dedup=args.paragraph_dedup,
+        min_model_score=args.min_model_score,
     )
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)

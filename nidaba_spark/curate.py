@@ -49,6 +49,7 @@ def curate(
     near_dup_threshold: float | None = None,
     max_docs_per_host: int | None = None,
     paragraph_dedup: bool = False,
+    min_model_score: float | None = None,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -74,6 +75,10 @@ def curate(
                               are cut ahead of the heavier stages —
                               the window's row_number()<=k filter
                               becomes a map-side WindowGroupLimit);
+      min_model_score       — model-based quality floor beside the
+                              heuristic one: the pinned-LR codegen
+                              sigmoid (operators/quality_model.py)
+                              as a pure scan predicate;
       paragraph_dedup       — CCNet-style corpus-wide paragraph dedup
                               on the extracted text (operators/
                               dedup.py paragraph_dedup): boilerplate
@@ -117,6 +122,15 @@ def curate(
         docs = docs.withColumn("text", redact_pii(F.col("text")))
     scored = docs.withColumn("quality", quality_score(F.col("text")))
     good = scored.filter(F.col("quality") >= F.lit(min_quality))
+    if min_model_score is not None:
+        from .operators.quality_model import featurize, score
+
+        survivors = (
+            score(featurize(good))
+            .filter(F.col("model_score") >= F.lit(min_model_score))
+            .select(*good.columns)
+        )
+        good = survivors
     if (
         repetition_max_frac is not None
         or decontam_eval is not None

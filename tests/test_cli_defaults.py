@@ -55,6 +55,7 @@ def test_curate_cli_defaults_match_library():
         ("near_dup_threshold", "near_dup_threshold"),
         ("max_docs_per_host", "max_docs_per_host"),
         ("paragraph_dedup", "paragraph_dedup"),
+        ("min_model_score", "min_model_score"),
     ]:
         assert (
             _cli_default(cli_flag, "curate_corpus") == sig[lib_param].default

@@ -169,6 +169,26 @@ def test_paragraph_dedup_stage_wired(spark, pages):
     assert all(r["text"] != "" for r in rows)
 
 
+def test_model_score_filter_wired(spark, pages):
+    out = curate.curate(
+        pages,
+        min_quality=0.4,
+        source_rates={"en": 0.6},
+        default_rate=1.0,
+        pack_budget=512,
+        npartitions=8,
+        min_model_score=0.5,
+    )
+    # every survivor clears the model floor (re-scored independently);
+    # no subset-of-baseline claim — removing a text-dedup representative
+    # legitimately promotes a different url for the same text
+    from nidaba_spark.operators.quality_model import featurize, score
+
+    rows = score(featurize(out.select("url", "text"))).select("model_score").collect()
+    assert rows, "model filter emptied the corpus"
+    assert min(r["model_score"] for r in rows) >= 0.5
+
+
 def test_curate_cli_end_to_end(spark, pages_path, tmp_path, monkeypatch):
     """jobs/curate_corpus.py writes the pinned packed-example schema
     and reuses the active test session (tune_session path)."""

@@ -181,6 +181,22 @@ def test_paragraph_dedup_plan_has_window_group_limit(spark):
     assert "WindowGroupLimit" in buf.getvalue()
 
 
+def test_duplicate_spans_plan_shape(spark):
+    import contextlib
+    import io
+
+    from nidaba_spark.plans.trainingdata import q_duplicate_spans
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_duplicate_spans(spark, SF_DIR).explain(mode="formatted")
+    plan = buf.getvalue()
+    # span counting must partial-aggregate map-side (>=2 HashAggregate
+    # pairs: span counts + per-doc rollup) and never cross-product
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
 def test_duplicate_span_stats_hand_case(spark):
     from nidaba_spark.operators.filters import duplicate_span_stats
 
