@@ -61,6 +61,9 @@ _RETIRED_FROM_DRIVER = [
     "quality_model_score",
     "paragraph_dedup",
     "duplicate_spans",
+    # r04: PQ ANN — rows-only by nature like ann_ivf (iterative
+    # codebook training); gated in tests/test_pq.py.
+    "ann_pq",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

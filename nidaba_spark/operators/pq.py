@@ -1,0 +1,279 @@
+"""Product quantization (PQ) for embedding compression + ANN search.
+
+The third leg of the similarity-search scale story (beside the
+hash-structured ann_lsh and the index-structured ivf): at 10^12
+vectors the embeddings themselves are the storage/IO problem — a
+64-dim float32 vector is 256 B, while its PQ code here is m=8 BYTES
+(32× compression). Jégou, Douze & Schmid 2011, "Product Quantization
+for Nearest Neighbor Search": split each vector into m subspaces,
+k-means each subspace into ksub codewords, store only the m codeword
+ids; query-time ADC (asymmetric distance computation) scores a code
+against a query with m table lookups into a per-query (m, ksub)
+dot-product table — the corpus floats are never touched again.
+
+Spark-first layout:
+
+* Codebook training (``train_pq_codebooks``) keeps the corpus
+  distributed and shuffles ONE combined update per Lloyd iteration:
+  a pandas UDF assigns all m sub-codes per vector in one reshaped
+  batch einsum, then posexplode(codes) keys the update by
+  (subspace, code) so a single map-side-combined groupBy carries all
+  m×ksub×dsub partial sums — only the (m, ksub, dsub) codebook tensor
+  (KB) reaches the driver per iteration, mirroring operators/ivf.py.
+* Encoding (``encode_pq``) is the same batched einsum, emitting
+  ``array<int>`` codes — at production scale this column (plus the
+  stored vector norm) is what you persist; the float vectors stay in
+  cold storage for the optional re-rank only.
+* Search (``pq_topk``) broadcasts the per-query ADC tables (numpy,
+  nq×m×ksub floats) into one mapInPandas over the coded corpus; each
+  batch emits only its per-query local top-shortlist (nq × shortlist
+  rows per batch, never n×nq), then a global window takes the
+  shortlist and an exact re-rank joins the true vectors back for the
+  final top-k — FAISS's IndexIVFPQ + refine pattern. Scoring is
+  ``LUT[:, codes].sum`` — pure numpy gathers, no per-row Python.
+
+Determinism: seeded hash-ordered init, fixed iterations, codebooks
+rounded to 6 dp per iteration (F.avg last-ulp order noise), stable
+argsorts, id tiebreaks. Null embeddings encode as zero vectors (cosine
+0 against everything), matching operators/ivf._as_matrix.
+
+Gates (tests/test_pq.py): train/encode determinism, code-range
+validity, ADC+re-rank recall vs brute force on the embeddings table,
+planted-cluster recall, and the compression arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ivf import _as_matrix
+from .similarity import _cosine_prenorm, _norm
+
+
+def _encode_udf(codebooks: np.ndarray, dim: int):
+    """pandas UDF: vec -> array<int> of m sub-codes.
+
+    One reshaped einsum per Arrow batch: (n, m, dsub) x (m, ksub, dsub)
+    -> (n, m, ksub) similarities, argmax over ksub. Euclidean argmin
+    == dot-argmax after subtracting half the codeword norms (ties to
+    the lowest code id via stable argmax)."""
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = codebooks.shape
+    # precompute -0.5*||c||^2 term so argmax(dot + term) == argmin L2
+    half_sq = 0.5 * np.einsum("mkd,mkd->mk", codebooks, codebooks)
+
+    @pandas_udf("array<int>")
+    def encode(v: pd.Series) -> pd.Series:
+        mat = _as_matrix(v, dim).reshape(len(v), m, dsub)
+        sims = np.einsum("nmd,mkd->nmk", mat, codebooks) - half_sq[None, :, :]
+        codes = np.argmax(sims, axis=2).astype(np.int32)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed per-subspace k-means; returns the
+    (m, ksub, dsub) float64 codebook tensor."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    init_rows = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(vec_col, F.xxhash64(F.col(id_col), F.lit(seed)).alias("_h"))
+        .orderBy("_h")
+        .limit(ksub)
+        .collect()
+    )
+    if len(init_rows) < ksub:
+        raise ValueError(f"corpus has fewer than ksub={ksub} vectors")
+    sample = np.array(
+        [[float(x) for x in r[vec_col]] for r in init_rows], dtype=np.float64
+    )
+    # subspace s's initial codewords = the sample's s-th slices
+    books = np.ascontiguousarray(
+        sample.reshape(ksub, m, dsub).transpose(1, 0, 2)
+    )
+    slim = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).alias("_v")
+    )
+    dsub_means = [
+        F.avg(F.col("_sv").getItem(i).cast("double")).alias(f"m{i}")
+        for i in range(dsub)
+    ]
+    for _ in range(iters):
+        coded = slim.withColumn("_codes", _encode_udf(books, dim)("_v"))
+        # ONE shuffle updates all m codebooks: key = (subspace, code),
+        # payload = the dsub-dim subvector slice
+        exploded = coded.select(
+            "_v", F.posexplode("_codes").alias("sub", "code")
+        ).select(
+            "sub",
+            "code",
+            F.slice(
+                F.col("_v"), F.col("sub") * dsub + F.lit(1), F.lit(dsub)
+            ).alias("_sv"),
+        )
+        rows = exploded.groupBy("sub", "code").agg(*dsub_means).collect()
+        nxt = books.copy()  # empty codes keep their previous codeword
+        for r in rows:
+            nxt[r["sub"], r["code"]] = [r[f"m{i}"] for i in range(dsub)]
+        books = np.round(nxt, 6)
+    return books
+
+
+def encode_pq(
+    vectors: DataFrame,
+    codebooks: np.ndarray,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>, vnorm) — the persisted PQ index columns.
+    vnorm rides along so ADC cosine needs no float-vector access."""
+    return vectors.select(
+        F.col(id_col),
+        _encode_udf(codebooks, dim)(F.col(vec_col)).alias("codes"),
+        F.round(_norm(F.col(vec_col), dim), 6).alias("vnorm"),
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    seed: int = 42,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """PQ-ADC cosine top-k with exact re-rank (FAISS refine pattern).
+
+    Stage 1 scans only the coded corpus: per Arrow batch, every
+    query's ADC score is ``LUT[q][sub, codes[sub]].sum() / vnorm`` and
+    only the per-query batch-local top-``shortlist`` rows are emitted.
+    Stage 2 takes the global shortlist per query (window) and re-ranks
+    it exactly by joining the true vectors back — the float corpus is
+    touched for shortlist×nq rows, not n×nq.
+
+    Pass precomputed ``codebooks`` to reuse a trained index
+    (production: train once on a hash-sample, persist the tensor with
+    the coded table)."""
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            vectors, m=m, ksub=ksub, dim=dim, iters=iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    m, ksub, _dsub = codebooks.shape
+    coded = encode_pq(vectors, codebooks, dim, id_col, vec_col)
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qmat = np.array(
+        [
+            [float(x) for x in r[vec_col]]
+            if r[vec_col] is not None
+            else [0.0] * dim
+        for r in qrows],
+        dtype=np.float64,
+    )
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+    # per-query ADC tables: LUT[q, sub, code] = dot(q_sub, codeword)
+    lut = np.einsum(
+        "qmd,mkd->qmk", qmat.reshape(len(qids), m, dim // m), codebooks
+    )
+
+    out_schema = f"{query_id_col} long, {id_col} long, adc double"
+
+    lut_flat = lut.reshape(len(qids), m * ksub)
+
+    def score_batches(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0 or not qids:
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
+            vnorm = np.maximum(pdf["vnorm"].to_numpy(dtype=np.float64), 1e-12)
+            # flat gather: (nq, n, m) lookups -> sum over m -> (nq, n)
+            flat = codes + np.arange(m)[None, :] * ksub
+            sims = lut_flat[:, flat].sum(axis=2)
+            sims = sims / (vnorm[None, :] * qnorm[:, None])
+            take = min(n, shortlist)
+            ids = pdf[id_col].to_numpy()
+            # batch-local top-shortlist per query with id tiebreak, so
+            # the local cut is deterministic for a given batch content
+            # (ties crossing batch boundaries are resolved by the
+            # global window; the exact re-rank absorbs the residue)
+            parts = []
+            for qi, qid in enumerate(qids):
+                order = np.lexsort((ids, -sims[qi]))[:take]
+                parts.append(
+                    pd.DataFrame(
+                        {
+                            query_id_col: qid,
+                            id_col: ids[order],
+                            "adc": np.round(sims[qi][order], 6),
+                        }
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    candidates = coded.mapInPandas(score_batches, schema=out_schema)
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc"), F.col(id_col)
+    )
+    short = (
+        candidates.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= shortlist)
+        .drop("_rn", "adc")
+    )
+    # exact re-rank: true cosine on shortlist rows only
+    corpus = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col), dim).alias("_nv"),
+    )
+    qdf = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_q"),
+        _norm(F.col(vec_col), dim).alias("_nq"),
+    )
+    rescored = (
+        short.join(corpus, id_col)
+        .join(F.broadcast(qdf), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _cosine_prenorm(
+                    F.col("_v"), F.col("_q"), F.col("_nv"), F.col("_nq"), dim
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )

