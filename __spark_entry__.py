@@ -64,6 +64,7 @@ _RETIRED_FROM_DRIVER = [
     # r04: PQ ANN — rows-only by nature like ann_ivf (iterative
     # codebook training); gated in tests/test_pq.py.
     "ann_pq",
+    "ann_ivfpq",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -151,6 +151,153 @@ def encode_pq(
     )
 
 
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    seed: int = 42,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    centroids: np.ndarray | None = None,
+    codebooks: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-PQ (FAISS IndexIVFPQ + refine): the two pruning axes
+    composed — the coarse quantizer prunes (nlist-nprobe)/nlist of
+    the CELLS before any scoring, and within probed cells the ADC
+    tables score m-byte codes instead of float vectors. At 10^12 rows
+    the coded table is written partitioned BY cell (the
+    sources/iceberg.py scheme), so a query touches nprobe partitions
+    of 8-byte-code rows and the float corpus only for the
+    shortlist×nq re-rank.
+
+    Plan: probed (query, cell) pairs broadcast-join the coded corpus
+    on its int cell key → one scalar pandas UDF computes the ADC
+    gather per joined row batch (query index → its LUT row) → global
+    per-query shortlist window → exact re-rank. Training reuses
+    ivf.train_centroids (coarse) and train_pq_codebooks (fine);
+    pass both to reuse a persisted index."""
+    from .ivf import _assign_udf, _probe_udf, train_centroids
+
+    if centroids is None:
+        centroids = train_centroids(
+            vectors, nlist=nlist, dim=dim, iters=iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            vectors, m=m, ksub=ksub, dim=dim, iters=iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+    m, ksub, _dsub = codebooks.shape
+    # the persisted IVF-PQ index row: (id, m-byte codes, norm, cell)
+    coded = vectors.select(
+        F.col(id_col),
+        _encode_udf(codebooks, dim)(F.col(vec_col)).alias("codes"),
+        F.round(_norm(F.col(vec_col), dim), 6).alias("vnorm"),
+        _assign_udf(centroids, dim)(F.col(vec_col)).alias("cell"),
+    )
+
+    qrows = queries.select(query_id_col, vec_col).collect()
+    qids = [r[query_id_col] for r in qrows]
+    qindex = {qid: i for i, qid in enumerate(qids)}
+    qmat = np.array(
+        [
+            [float(x) for x in r[vec_col]] if r[vec_col] is not None else [0.0] * dim
+            for r in qrows
+        ],
+        dtype=np.float64,
+    )
+    qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
+    lut_flat = np.einsum(
+        "qmd,mkd->qmk", qmat.reshape(len(qids), m, dim // m), codebooks
+    ).reshape(len(qids), m * ksub)
+    sub_off = np.arange(m) * ksub
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def adc(qid: pd.Series, codes: pd.Series, vnorm: pd.Series) -> pd.Series:
+        if len(qid) == 0:
+            return pd.Series([], dtype="float64")
+        qi = qid.map(qindex).to_numpy(dtype=np.int64)
+        c = np.array(codes.tolist(), dtype=np.int64) + sub_off[None, :]
+        sims = np.take_along_axis(lut_flat[qi], c, axis=1).sum(axis=1)
+        v = np.maximum(vnorm.to_numpy(dtype=np.float64), 1e-12)
+        return pd.Series(np.round(sims / (v * qnorm[qi]), 6))
+
+    qprobe = queries.select(
+        F.col(query_id_col),
+        _probe_udf(centroids, dim, nprobe)(F.col(vec_col)).alias("_cells"),
+    ).select(query_id_col, F.explode("_cells").alias("cell"))
+    scored = coded.join(F.broadcast(qprobe), "cell").select(
+        query_id_col,
+        id_col,
+        adc(F.col(query_id_col), F.col("codes"), F.col("vnorm")).alias("adc"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("adc"), F.col(id_col))
+    short = (
+        scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= shortlist)
+        .drop("_rn", "adc")
+    )
+    return _exact_rerank(
+        short, vectors, queries, k, dim, id_col, vec_col, query_id_col
+    )
+
+
+def _exact_rerank(
+    short: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """True-cosine re-rank of a (query_id, id) shortlist (shared by
+    pq_topk and ivfpq_topk): floats are joined back for shortlist×nq
+    rows only."""
+    corpus = vectors.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_v"),
+        _norm(F.col(vec_col), dim).alias("_nv"),
+    )
+    qdf = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_q"),
+        _norm(F.col(vec_col), dim).alias("_nq"),
+    )
+    rescored = (
+        short.join(corpus, id_col)
+        .join(F.broadcast(qdf), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                _cosine_prenorm(
+                    F.col("_v"), F.col("_q"), F.col("_nv"), F.col("_nq"), dim
+                ),
+                6,
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "sim", "rank")
+    )
+
+
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -246,34 +393,6 @@ def pq_topk(
         .filter(F.col("_rn") <= shortlist)
         .drop("_rn", "adc")
     )
-    # exact re-rank: true cosine on shortlist rows only
-    corpus = vectors.select(
-        F.col(id_col),
-        F.col(vec_col).alias("_v"),
-        _norm(F.col(vec_col), dim).alias("_nv"),
-    )
-    qdf = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_q"),
-        _norm(F.col(vec_col), dim).alias("_nq"),
-    )
-    rescored = (
-        short.join(corpus, id_col)
-        .join(F.broadcast(qdf), query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            F.round(
-                _cosine_prenorm(
-                    F.col("_v"), F.col("_q"), F.col("_nv"), F.col("_nq"), dim
-                ),
-                6,
-            ).alias("sim"),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
-    return (
-        rescored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "sim", "rank")
+    return _exact_rerank(
+        short, vectors, queries, k, dim, id_col, vec_col, query_id_col
     )

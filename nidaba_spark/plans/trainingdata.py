@@ -193,6 +193,25 @@ def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
     return pq.pq_topk(emb, queries, k=5, m=8, ksub=16, iters=3, shortlist=50)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composed index (operators/pq.py ivfpq_topk — the FAISS
+    IndexIVFPQ + refine analog): coarse cells prune the scan, ADC
+    tables score m-byte codes within probed cells, exact re-rank on
+    the shortlist. Rows-only (iterative training); gated by
+    tests/test_pq.py: wide-open probe+shortlist == brute force
+    EXACTLY, planted-cluster recall >= 0.9."""
+    from ..operators import pq
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq.ivfpq_topk(
+        emb, queries, k=5, nlist=16, nprobe=4, m=8, ksub=16, iters=3,
+        shortlist=50,
+    )
+
+
 def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF (inverted-file) ANN — the index-structured scale path
     beside ann_lsh (hash-structured): distributed k-means coarse
@@ -966,6 +985,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_pq": q_ann_pq,
+    "ann_ivfpq": q_ann_ivfpq,
     "pack_documents": q_pack_documents,
     "source_mix": q_source_mix,
     "embedding_near_dup": q_embedding_near_dup,

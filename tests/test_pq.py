@@ -124,6 +124,36 @@ def test_codes_shape_and_compression(spark, emb, books):
     assert m * 1 * 32 == 64 * 4
 
 
+def test_ivfpq_exhaustive_equals_brute_force(spark, emb, books):
+    """nprobe == nlist and shortlist == corpus: both pruning axes
+    wide open -> must equal the exact answer."""
+    n = emb.count()
+    q = _queries(emb)
+    exact = similarity.brute_force_topk(emb, q, k=K, dim=64).collect()
+    approx = pq.ivfpq_topk(
+        emb, q, k=K, nlist=8, nprobe=8, iters=2, codebooks=books, shortlist=n
+    ).collect()
+    tup = lambda rows: sorted(
+        (r["query_id"], r["vec_id"], r["sim"], r["rank"]) for r in rows
+    )
+    assert tup(exact) == tup(approx)
+
+
+def test_ivfpq_planted_cluster_recall(spark, clustered):
+    """Partial probe AND partial shortlist on the clustered fixture."""
+    q = _queries(clustered)
+    exact = _hits(
+        similarity.brute_force_topk(clustered, q, k=K, dim=64).collect()
+    )
+    approx = _hits(
+        pq.ivfpq_topk(
+            clustered, q, k=K, nlist=24, nprobe=4, iters=3, shortlist=50
+        ).collect()
+    )
+    r = _recall(exact, approx)
+    assert r >= 0.9, f"IVF-PQ recall on planted clusters {r:.3f} < 0.9"
+
+
 def test_null_embedding_safe(spark, emb, books):
     with_null = emb.limit(50).union(
         spark.createDataFrame(
