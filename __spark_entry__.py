@@ -52,6 +52,9 @@ _RETIRED_FROM_DRIVER = [
     # oracle comparison over these in pytest.
     "repetition_filter",
     "decontaminate",
+    # bloom variant of decontaminate (scale path, zero train-side
+    # shuffles); full oracle runs off-driver at fpp=1e-9.
+    "decontaminate_bloom",
     "redact_pii",
     "dedup_clusters",
     "unigram_logprob",

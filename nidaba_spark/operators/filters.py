@@ -2,7 +2,11 @@
 repetition statistics (Gopher/MassiveText-style rules), eval-set
 decontamination (word-n-gram overlap), and PII redaction.
 
-All three are pure declarative plans — no Python UDFs anywhere:
+The three published filters are pure declarative plans — no Python
+UDFs anywhere (the one exception is ``decontaminate_bloom``'s
+membership probe, a vectorized Arrow-batched pandas UDF over a
+broadcast bit array — the deliberate trade that removes every
+train-side shuffle at 10^12-row scale):
 
 * ``repetition_stats``: explode word-bigrams → two hash aggregations
   keyed on (doc_id, bigram) then doc_id. One shuffle on doc_id-salted
@@ -31,6 +35,8 @@ All three are pure declarative plans — no Python UDFs anywhere:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -171,6 +177,198 @@ def decontaminate(
         train_g.join(F.broadcast(eval_g), "gram")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlap"))
+    )
+
+
+def _gram_hashes(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc_id, gram_hashes: array<bigint>) — per-doc DISTINCT word-n-gram
+    xxhash64s, computed without exploding (one row in, one row out).
+
+    The n-gram lambda slices the bound ``_w`` attribute (linear time —
+    see _ngrams' O(words²) trap); xxhash64 inside the transform lambda
+    is O(1) per element over the bound grams array.
+    """
+    return docs.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w")
+    ).select(
+        "doc_id", F.array_distinct(_ngrams(F.col("_w"), n)).alias("_g")
+    ).select(
+        "doc_id",
+        F.transform(F.col("_g"), lambda g: F.xxhash64(g)).alias("gram_hashes"),
+    )
+
+
+def _bloom_params(expected_items: int, fpp: float, chunk_bytes: int) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n ln p / (ln 2)^2 bits, k = m/n ln 2.
+
+    m is rounded up to a whole number of ``chunk_bytes`` chunks so the
+    distributed build's OR-reduce keys are uniform.
+    """
+    import math as _math
+
+    n = max(1, int(expected_items))
+    m = int(_math.ceil(-n * _math.log(fpp) / (_math.log(2) ** 2)))
+    chunk_bits = chunk_bytes * 8
+    m = ((m + chunk_bits - 1) // chunk_bits) * chunk_bits
+    k = max(1, round(m / n * _math.log(2)))
+    return m, k
+
+
+def _bloom_probes(hashes, m_bits: int, k: int):
+    """(n_hashes, k) uint64 bit indices via Kirsch–Mitzenmacher double
+    hashing: probe_i = (h1 + i*h2) mod m, h1/h2 = the xxhash64 halves
+    (h2 forced odd). One vectorized numpy expression."""
+    h = hashes.astype(np.int64).view(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m_bits)
+
+
+def build_ngram_bloom(
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str | None = None,
+    fpp: float = 1e-4,
+    expected_items: int | None = None,
+    chunk_bytes: int = 1 << 15,
+) -> tuple[bytes, int, int]:
+    """Distributed Bloom filter over the eval set's distinct word-n-gram
+    xxhash64s. Returns (bit_array_bytes, m_bits, k).
+
+    Build plan (all sizes bounded by the FILTER, never the corpus):
+      distinct gram hashes → mapInPandas sets bits into one per-task
+      numpy bit array and emits only the NONZERO ``chunk_bytes`` chunks
+      (chunk_id, bits) → groupBy(chunk_id) OR-reduce via applyInPandas
+      → collect ≤ m_bits/8/chunk_bytes small rows → driver assembles.
+    The shuffle after the map side therefore carries at most
+    tasks × m/8 bytes (dense worst case) and typically far less; the
+    final collect is exactly the filter's own size, which must fit on
+    the driver anyway to be broadcast.
+
+    Sizing: PySpark exposes no DataFrame bloomFilter builder (the
+    Scala-only ``df.stat.bloomFilter``), so this is the public-formula
+    numpy equivalent. When ``expected_items`` is None one count() job
+    sizes the filter first (eval sets are small by construction; pass
+    the known cardinality at 10^12 scale to skip it).
+    """
+    id_col = id_col or eval_df.columns[0]
+    hashes = (
+        _exploded_grams(eval_df, id_col, text_col, n, "gram")
+        .select(F.xxhash64("gram").alias("h"))
+        .distinct()
+    )
+    if expected_items is None:
+        hashes = hashes.localCheckpoint(eager=False)
+        expected_items = hashes.count()
+    m_bits, k = _bloom_params(expected_items, fpp, chunk_bytes)
+    n_chunks = m_bits // 8 // chunk_bytes
+
+    def _set_bits(batches):
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        for pdf in batches:
+            if len(pdf):
+                idx = _bloom_probes(pdf["h"].to_numpy(), m_bits, k).ravel()
+                np.bitwise_or.at(
+                    bits, (idx >> np.uint64(3)).astype(np.int64),
+                    (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+                )
+        chunked = bits.reshape(n_chunks, chunk_bytes)
+        live = np.flatnonzero(chunked.any(axis=1))
+        yield pd.DataFrame(
+            {"chunk_id": live.astype("int32"),
+             "bits": [chunked[c].tobytes() for c in live]}
+        )
+
+    def _or_reduce(key, pdf):
+        acc = np.zeros(chunk_bytes, dtype=np.uint8)
+        for b in pdf["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"chunk_id": [key[0]], "bits": [acc.tobytes()]})
+
+    rows = (
+        hashes.mapInPandas(_set_bits, "chunk_id int, bits binary")
+        .groupBy("chunk_id")
+        .applyInPandas(_or_reduce, "chunk_id int, bits binary")
+        .collect()
+    )
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in rows:
+        off = r["chunk_id"] * chunk_bytes
+        out[off : off + chunk_bytes] = np.frombuffer(r["bits"], dtype=np.uint8)
+    return out.tobytes(), m_bits, k
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fpp: float = 1e-4,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Bloom-filter decontamination — the 10^12-row swap the exact
+    ``decontaminate`` docstring documents, implemented.
+
+    Same contract: (doc_id, n_overlap) for flagged docs only, where
+    n_overlap counts the doc's distinct n-grams whose xxhash64 the eval
+    Bloom filter accepts. Guarantees, by construction:
+      * NO false negatives — a truly contaminated doc is always
+        flagged (its gram's exact hash was inserted at build time;
+        membership of an inserted key is certain), and its bloom
+        n_overlap >= the exact n_overlap;
+      * false positives over-flag ~fpp per distinct gram — an
+        acceptable one-sided error for hygiene filtering (documents
+        are only ever over-REMOVED, never leaked).
+
+    Scale: the train side is ONE scan with ZERO shuffles — per-doc
+    distinct gram hashes stay an array column (no explode), and
+    membership is a vectorized Arrow-batched pandas UDF probing the
+    broadcast bit array (k gathers per gram, one numpy expression per
+    batch). The exact variant shuffles the exploded train grams
+    through a distinct + join; at 10^12 rows that distinct alone
+    dwarfs this whole plan. Filter size is independent of the train
+    corpus (1e8 eval grams @ fpp 1e-4 ≈ 229 MB, broadcast once).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    bits_bytes, m_bits, k = build_ngram_bloom(
+        eval_df, n=n, text_col=text_col, fpp=fpp, expected_items=expected_items
+    )
+    bc = train.sparkSession.sparkContext.broadcast(bits_bytes)
+
+    @pandas_udf("integer")
+    def bloom_hits(gram_hashes: pd.Series) -> pd.Series:
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
+        lengths = np.fromiter(
+            (0 if x is None else len(x) for x in gram_hashes), dtype=np.int64
+        )
+        out = np.zeros(len(gram_hashes), dtype=np.int32)
+        if lengths.sum():
+            flat = np.concatenate(
+                [
+                    np.asarray(x, dtype=np.int64)
+                    for x in gram_hashes
+                    if x is not None and len(x)
+                ]
+            )
+            idx = _bloom_probes(flat, m_bits, k)
+            hit = (
+                (bits[(idx >> np.uint64(3)).astype(np.int64)]
+                 >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+            ).all(axis=1)
+            rows = np.repeat(np.arange(len(gram_hashes)), lengths)
+            np.add.at(out, rows, hit.astype(np.int32))
+        return pd.Series(out)
+
+    return (
+        _gram_hashes(train, id_col, text_col, n)
+        .select("doc_id", bloom_hits(F.col("gram_hashes")).alias("n_overlap"))
+        .filter(F.col("n_overlap") > 0)
     )
 
 

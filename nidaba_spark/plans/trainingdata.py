@@ -836,6 +836,30 @@ GROUP BY doc_id
 """
 
 
+def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter decontamination (the 10^12-row scale path): same
+    eval split as q_decontaminate, but the train side probes a
+    broadcast Bloom filter of the eval grams' xxhash64s — ONE scan,
+    ZERO train-side shuffles (no explode, no distinct, no join).
+
+    Oracle = the exact-decontamination SQL: bloom membership of an
+    inserted key is certain (no false negatives ever), and at
+    fpp=1e-9 the expected false-positive count over this corpus's
+    distinct train grams is < 1e-3, so the deterministic output
+    coincides with the exact result (the superset guarantee at looser
+    fpp is pinned separately in tests/test_bloom_decontaminate.py).
+    """
+    from ..operators.filters import decontaminate_bloom
+
+    docs = load(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_bloom(train, eval_df, n=5, fpp=1e-9)
+
+
+ORACLE["decontaminate_bloom"] = ORACLE["decontaminate"]
+
+
 def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction over deterministically PII-augmented documents
     (the corpus itself has no PII, so the query plants an email /
@@ -1008,5 +1032,6 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "duplicate_spans": q_duplicate_spans,
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "redact_pii": q_redact_pii,
 }
