@@ -58,6 +58,12 @@ def main() -> None:
         "--decontam-eval", default=None,
         help="parquet path of the held-out eval set (column: text)",
     )
+    ap.add_argument(
+        "--decontam-bloom-fpp", type=float, default=None,
+        help="use the Bloom-filter decontamination scale path at this "
+        "false-positive rate (zero train-side shuffles; ~fpp one-sided "
+        "over-removal) instead of the exact broadcast join",
+    )
     ap.add_argument("--near-dup-threshold", type=float, default=None)
     ap.add_argument("--max-docs-per-host", type=int, default=None)
     ap.add_argument("--paragraph-dedup", action="store_true")
@@ -89,6 +95,7 @@ def main() -> None:
         pii_redact=args.pii_redact,
         repetition_max_frac=args.repetition_max_frac,
         decontam_eval=eval_df,
+        decontam_bloom_fpp=args.decontam_bloom_fpp,
         near_dup_threshold=args.near_dup_threshold,
         max_docs_per_host=args.max_docs_per_host,
         paragraph_dedup=args.paragraph_dedup,

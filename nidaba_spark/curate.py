@@ -46,6 +46,7 @@ def curate(
     pii_redact: bool = False,
     repetition_max_frac: float | None = None,
     decontam_eval: DataFrame | None = None,
+    decontam_bloom_fpp: float | None = None,
     near_dup_threshold: float | None = None,
     max_docs_per_host: int | None = None,
     paragraph_dedup: bool = False,
@@ -69,6 +70,14 @@ def curate(
                               on the repetition_stats aggregate);
       decontam_eval         — drop docs sharing any word-5-gram with
                               the held-out eval DataFrame(text);
+      decontam_bloom_fpp    — when set alongside decontam_eval, use
+                              the Bloom-filter scale path instead of
+                              the exact broadcast join: the train
+                              side adds ZERO shuffles (per-doc gram
+                              hashes probed against a broadcast bit
+                              array) at the cost of ~fpp one-sided
+                              over-removal — the right trade at
+                              10^12 rows;
       max_docs_per_host     — deterministic hash-ordered cap per
                               canonical host (operators/hoststats.py;
                               applied before scoring so mega-hosts
@@ -150,11 +159,16 @@ def curate(
         ).select(F.col("doc_id").alias("url"))
         good = good.join(spam, "url", "left_anti")
     if decontam_eval is not None:
-        from .operators.filters import decontaminate
+        from .operators.filters import decontaminate, decontaminate_bloom
 
-        dirty = decontaminate(good, decontam_eval, n=5, id_col="url").select(
-            F.col("doc_id").alias("url")
-        )
+        if decontam_bloom_fpp is not None:
+            dirty = decontaminate_bloom(
+                good, decontam_eval, n=5, id_col="url", fpp=decontam_bloom_fpp
+            ).select(F.col("doc_id").alias("url"))
+        else:
+            dirty = decontaminate(good, decontam_eval, n=5, id_col="url").select(
+                F.col("doc_id").alias("url")
+            )
         good = good.join(dirty, "url", "left_anti")
     if near_dup_threshold is not None:
         from .operators.cluster import connected_components

@@ -186,13 +186,23 @@ def _gram_hashes(
     """(doc_id, gram_hashes: array<bigint>) — per-doc DISTINCT word-n-gram
     xxhash64s, computed without exploding (one row in, one row out).
 
-    The n-gram lambda slices the bound ``_w`` attribute (linear time —
-    see _ngrams' O(words²) trap); xxhash64 inside the transform lambda
-    is O(1) per element over the bound grams array.
+    The words array is pinned as a PHYSICAL attribute via a lazy
+    localCheckpoint before the gram lambdas touch it. Projection
+    separation is NOT enough here: without a generator (the explode
+    that saves _exploded_grams) the optimizer collapses the chain and
+    the words split() lands inside the per-gram slice lambda —
+    interpreted HOF eval then re-splits the document per gram,
+    O(words²) per doc (jstack-verified: Slice(ArrayFilter(StringSplit))
+    inside ArrayTransform.eval; a 100k-word page took 253s collapsed
+    vs ~2s pinned). The checkpoint adds NO Exchange; it materializes
+    (doc_id, words) once, executor-local — at the 10^12-row design
+    point this is the stage boundary the curation pipeline already
+    keeps here.
     """
-    return docs.select(
+    words = docs.select(
         F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w")
-    ).select(
+    ).localCheckpoint(eager=False)
+    return words.select(
         "doc_id", F.array_distinct(_ngrams(F.col("_w"), n)).alias("_g")
     ).select(
         "doc_id",
@@ -201,10 +211,16 @@ def _gram_hashes(
 
 
 def _bloom_params(expected_items: int, fpp: float, chunk_bytes: int) -> tuple[int, int]:
-    """Standard Bloom sizing: m = -n ln p / (ln 2)^2 bits, k = m/n ln 2.
+    """Standard Bloom sizing: m = -n ln p / (ln 2)^2 bits, k = ln(1/p)/ln 2.
 
-    m is rounded up to a whole number of ``chunk_bytes`` chunks so the
-    distributed build's OR-reduce keys are uniform.
+    k comes from fpp alone — at the optimal (unpadded) m, m/n·ln2
+    reduces to log2(1/p). It must NOT be derived from the padded m:
+    m is rounded up to a whole number of ``chunk_bytes`` chunks (so
+    the distributed build's OR-reduce keys are uniform), and a tiny
+    eval set pads m far past optimal — k = m_padded/n·ln2 then
+    explodes (measured: n=1, fpp=1e-9 → k=181,682 probes PER GRAM, a
+    multi-minute stall; the correct k is 30). Padding m with k fixed
+    only lowers the realized fpp below target.
     """
     import math as _math
 
@@ -212,7 +228,7 @@ def _bloom_params(expected_items: int, fpp: float, chunk_bytes: int) -> tuple[in
     m = int(_math.ceil(-n * _math.log(fpp) / (_math.log(2) ** 2)))
     chunk_bits = chunk_bytes * 8
     m = ((m + chunk_bits - 1) // chunk_bits) * chunk_bits
-    k = max(1, round(m / n * _math.log(2)))
+    k = max(1, round(-_math.log(fpp) / _math.log(2)))
     return m, k
 
 
@@ -326,10 +342,11 @@ def decontaminate_bloom(
         are only ever over-REMOVED, never leaked).
 
     Scale: the train side is ONE scan with ZERO shuffles — per-doc
-    distinct gram hashes stay an array column (no explode), and
-    membership is a vectorized Arrow-batched pandas UDF probing the
-    broadcast bit array (k gathers per gram, one numpy expression per
-    batch). The exact variant shuffles the exploded train grams
+    distinct gram hashes stay an array column (no explode), pinned by
+    an executor-local materialization (no Exchange; see the inlining
+    note below), and membership is a vectorized Arrow-batched pandas
+    UDF probing the broadcast bit array (k gathers per gram, one
+    numpy expression per batch). The exact variant shuffles the exploded train grams
     through a distinct + join; at 10^12 rows that distinct alone
     dwarfs this whole plan. Filter size is independent of the train
     corpus (1e8 eval grams @ fpp 1e-4 ≈ 229 MB, broadcast once).
@@ -365,6 +382,9 @@ def decontaminate_bloom(
             np.add.at(out, rows, hit.astype(np.int32))
         return pd.Series(out)
 
+    # _gram_hashes pins the words array behind a localCheckpoint so
+    # the gram lambdas slice a physical attribute — see its docstring
+    # for the O(words²) inlining trap this avoids.
     return (
         _gram_hashes(train, id_col, text_col, n)
         .select("doc_id", bloom_hits(F.col("gram_hashes")).alias("n_overlap"))

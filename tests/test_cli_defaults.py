@@ -56,6 +56,7 @@ def test_curate_cli_defaults_match_library():
         ("max_docs_per_host", "max_docs_per_host"),
         ("paragraph_dedup", "paragraph_dedup"),
         ("min_model_score", "min_model_score"),
+        ("decontam_bloom_fpp", "decontam_bloom_fpp"),
     ]:
         assert (
             _cli_default(cli_flag, "curate_corpus") == sig[lib_param].default

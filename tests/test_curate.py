@@ -129,6 +129,26 @@ def test_hygiene_stages_compose(spark, pages, curated):
     )
 
 
+def test_decontam_bloom_path_matches_exact(spark, pages, curated):
+    """curate(decontam_bloom_fpp=tight) must produce byte-identical
+    output to the exact broadcast-join path: bloom membership of an
+    inserted key is certain, and at fpp=1e-9 the deterministic
+    false-positive set over this corpus is empty."""
+    base_rows = {r["url"]: r for r in curated.collect()}
+    victim = sorted(base_rows)[0]
+    eval_df = spark.createDataFrame([(base_rows[victim]["text"],)], "text string")
+    kwargs = dict(
+        min_quality=0.4, pack_budget=512, npartitions=8, decontam_eval=eval_df
+    )
+    exact = sorted(tuple(r) for r in curate.curate(pages, **kwargs).collect())
+    bloom = sorted(
+        tuple(r)
+        for r in curate.curate(pages, decontam_bloom_fpp=1e-9, **kwargs).collect()
+    )
+    assert bloom == exact
+    assert victim not in {t[0] for t in bloom}
+
+
 def test_host_cap_stage_wired(spark, pages):
     from nidaba_spark.operators import hoststats
 
