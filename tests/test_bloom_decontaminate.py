@@ -88,6 +88,15 @@ def test_train_side_plan_has_zero_shuffles(split):
     assert not re.findall(r"\(\d+\) Exchange\b", plan), plan[:2000]
     assert not re.findall(r"\(\d+\) BroadcastExchange\b", plan), plan[:2000]
     assert "ArrowEvalPython" in plan, plan[:2000]
+    # regression pin for the O(words²) collapse: the words split() must
+    # stay behind the localCheckpoint leaf — no optimized-plan lambda
+    # body may contain split( (same contract as
+    # test_plan_shapes.py::test_gram_lambdas_bind_token_array_not_inline_split)
+    optimized = out._jdf.queryExecution().optimizedPlan().toString()
+    for line in optimized.splitlines():
+        if "lambdafunction(" in line:
+            body = line.split("lambdafunction(", 1)[1]
+            assert "split(" not in body, line.strip()[:300]
 
 
 def test_filter_build_roundtrip(spark):
