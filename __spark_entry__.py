@@ -55,6 +55,10 @@ _RETIRED_FROM_DRIVER = [
     # bloom variant of decontaminate (scale path, zero train-side
     # shuffles); full oracle runs off-driver at fpp=1e-9.
     "decontaminate_bloom",
+    # mergeable HLL sketch rollup — rows-only by nature (DuckDB's
+    # approx sketch differs); error/mergeability gates in
+    # tests/test_sketches.py.
+    "hll_tokens_per_lang",
     "redact_pii",
     "dedup_clusters",
     "unigram_logprob",

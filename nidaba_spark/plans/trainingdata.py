@@ -860,6 +860,20 @@ def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["decontaminate_bloom"] = ORACLE["decontaminate"]
 
 
+def q_hll_tokens_per_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language distinct-token estimates via DataSketches HLL
+    (mergeable sketch rows — the rescan-free rollup pattern). Rows-only
+    by nature (DuckDB's approx_count_distinct is a different sketch);
+    tests/test_sketches.py gates the 5% error bound vs exact and pins
+    union(per-bucket sketches) == direct(whole corpus) estimates."""
+    from ..operators.sketches import token_hll_sketches
+
+    docs = load(spark, sf, "documents")
+    return token_hll_sketches(docs).select(
+        "lang", "n_tokens", F.round("distinct_tokens_est", 2).alias("distinct_tokens_est")
+    ).orderBy("lang")
+
+
 def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
     """PII redaction over deterministically PII-augmented documents
     (the corpus itself has no PII, so the query plants an email /
@@ -1033,5 +1047,6 @@ QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "hll_tokens_per_lang": q_hll_tokens_per_lang,
     "redact_pii": q_redact_pii,
 }
