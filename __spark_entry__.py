@@ -59,6 +59,9 @@ _RETIRED_FROM_DRIVER = [
     # approx sketch differs); error/mergeability gates in
     # tests/test_sketches.py.
     "hll_tokens_per_lang",
+    # incremental LSH dedup vs a persisted index — rows-only
+    # (xxhash64 chain); gates in tests/test_incremental_lsh.py.
+    "dedup_incremental_lsh",
     "redact_pii",
     "dedup_clusters",
     "unigram_logprob",

@@ -329,6 +329,115 @@ def minhash_lsh_pairs(
     return verified
 
 
+def minhash_index(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Persistable LSH index rows: (id, band, bucket, sig).
+
+    One row per (doc, band); ``sig`` is the full K-minhash signature
+    (array<bigint>) riding along so the incremental verifier never
+    needs the historical TEXT. Exactly associative by construction:
+    index(A ∪ B) == index(A) ∪ index(B) as a row set (each row
+    depends only on its own document), which is what makes the
+    incremental path sound — pinned in tests/test_incremental_lsh.py.
+
+    At the 10^12-row design point: write this table partitioned (or
+    bucketed) by (band, bucket) so each new batch's candidate join is
+    storage-co-located, and split sig into its own id-keyed table to
+    avoid storing it ``bands`` times (kept inline here for API
+    simplicity at test scale).
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_k, text_col, id_col)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * r + j}") for j in range(r)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    sig_arr = F.array(*[F.col(f"h{j}") for j in range(num_hashes)])
+    return sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb"), sig_arr.alias("sig")
+    ).select("id", "bb.band", "bb.bucket", "sig")
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs TOUCHING a new crawl batch, against a persisted
+    historical index — the historical corpus is NEVER rescanned.
+
+    Returns (id_a, id_b, est_jaccard) for new-vs-historical and
+    new-vs-new pairs; historical-vs-historical pairs are excluded by
+    construction (the join's left side is the new batch only).
+    Jaccard is the standard unbiased minhash estimator — the fraction
+    of agreeing signature components (E[est] = J, per-component
+    collision prob = J) — because exact verification would need the
+    historical documents' text, defeating the point; the batch
+    ``minhash_lsh_pairs`` remains the exact-verified variant.
+
+    Scale shape: index the new batch (one shuffle over new docs only),
+    band-bucket join against index ∪ new-index (shuffle keyed on the
+    16-byte (band,bucket) — with the index table stored partitioned by
+    (band,bucket) this side is storage-co-located), estimator = one
+    zip_with/filter over two bound 64-long arrays per surviving
+    candidate. Everything is proportional to the NEW batch plus its
+    collision neighborhood.
+    """
+    new_idx = minhash_index(
+        new_docs, num_hashes, bands, shingle_k, text_col, id_col
+    )
+    all_idx = index.unionByName(new_idx)
+    cand = (
+        new_idx.alias("x")
+        .join(
+            all_idx.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.id") != F.col("y.id")),
+        )
+        .select(
+            F.least("x.id", "y.id").alias("id_a"),
+            F.greatest("x.id", "y.id").alias("id_b"),
+            F.when(F.col("x.id") < F.col("y.id"), F.col("x.sig"))
+            .otherwise(F.col("y.sig"))
+            .alias("sig_a"),
+            F.when(F.col("x.id") < F.col("y.id"), F.col("y.sig"))
+            .otherwise(F.col("x.sig"))
+            .alias("sig_b"),
+        )
+        # sig_a/sig_b are functionally determined by (id_a, id_b):
+        # deterministic in value (same contract as similarity.py:359)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda t: t
+        )
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard", F.round(agree / F.lit(num_hashes), 6)
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def simhash_table(
     docs: DataFrame, bits: int = 64, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -64,6 +64,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load(spark, sf, "documents"), threshold=0.4)
 
 
+def q_dedup_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup: odd doc_ids are the NEW crawl batch,
+    deduped against the even-id historical corpus via its persisted
+    MinHash-LSH index — the historical text is never rescanned.
+    Rows-only (xxhash64 chain); recall/soundness gates in
+    tests/test_incremental_lsh.py (index associativity, parquet
+    round-trip parity, no historical-only pairs, batch-pipeline
+    recall >= 0.8)."""
+    docs = load(spark, sf, "documents")
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup.minhash_lsh_pairs_incremental(
+        new, dedup.minhash_index(hist), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
 # ---------------------------------------------------- dedup: SimHash (rows-only)
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.simhash_pairs(load(spark, sf, "documents"), max_hamming=3)
@@ -1018,6 +1034,7 @@ QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_incremental_lsh": q_dedup_incremental_lsh,
     "dedup_simhash": q_dedup_simhash,
     "ann_brute_force": q_ann_brute_force,
     "ann_lsh": q_ann_lsh,

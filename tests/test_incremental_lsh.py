@@ -1,0 +1,112 @@
+"""Gates for incremental MinHash-LSH dedup against a persisted index.
+
+Soundness rests on index associativity — index(A ∪ B) == index(A) ∪
+index(B) as exact row sets — pinned first. Then: the incremental path
+over (new=B, index(A)) must find the batch pipeline's exact-verified
+pairs that touch B (recall gate), must never emit historical-only
+pairs, its estimator must track exact Jaccard, and a persisted
+(parquet round-tripped) index must behave identically to a live one.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nidaba_spark.operators.dedup import (  # noqa: E402
+    minhash_index,
+    minhash_lsh_pairs,
+    minhash_lsh_pairs_incremental,
+)
+
+SF = "/root/testdata/sf0.001"
+THRESHOLD = 0.5
+
+
+@pytest.fixture(scope="module")
+def split(spark):
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    hist = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    return docs, hist, new
+
+
+def test_index_is_associative(split):
+    docs, hist, new = split
+    def rows(df):
+        return {
+            (r["id"], r["band"], r["bucket"], tuple(r["sig"])) for r in df.collect()
+        }
+
+    whole = rows(minhash_index(docs))
+    parts = rows(minhash_index(hist)) | rows(minhash_index(new))
+    assert whole == parts and len(whole) > 0
+
+
+def test_incremental_finds_batch_pairs_touching_new(split):
+    docs, hist, new = split
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, threshold=THRESHOLD).collect()
+    }
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    touching = {p for p in exact if p[0] in new_ids or p[1] in new_ids}
+    inc = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs_incremental(
+            new, minhash_index(hist), threshold=THRESHOLD
+        ).collect()
+    }
+    # no historical-only pairs, ever
+    for a, b in inc:
+        assert a in new_ids or b in new_ids, (a, b)
+    assert touching, "fixture must contain near-dup pairs touching the new batch"
+    found = len(touching & set(inc))
+    assert found / len(touching) >= 0.8, (found, len(touching))
+    # the estimator tracks exact Jaccard on the commonly-found pairs
+    for p in touching & set(inc):
+        assert abs(inc[p] - exact[p]) <= 0.25, (p, inc[p], exact[p])
+
+
+def test_persisted_index_round_trip(split, tmp_path, spark):
+    docs, hist, new = split
+    path = str(tmp_path / "lsh_index.parquet")
+    minhash_index(hist).write.parquet(path)
+    live = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs_incremental(
+            new, minhash_index(hist), threshold=THRESHOLD
+        ).collect()
+    )
+    persisted = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs_incremental(
+            new, spark.read.parquet(path), threshold=THRESHOLD
+        ).collect()
+    )
+    assert live == persisted and len(live) > 0
+
+
+def test_incremental_determinism(split):
+    _, hist, new = split
+    a = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs_incremental(
+            new, minhash_index(hist), threshold=THRESHOLD
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs_incremental(
+            new.repartition(7), minhash_index(hist.repartition(5)), threshold=THRESHOLD
+        ).collect()
+    )
+    assert a == b
