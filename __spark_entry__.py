@@ -62,6 +62,9 @@ _RETIRED_FROM_DRIVER = [
     # incremental LSH dedup vs a persisted index — rows-only
     # (xxhash64 chain); gates in tests/test_incremental_lsh.py.
     "dedup_incremental_lsh",
+    # learned-BPE tokenization — rows-only (iterative training);
+    # Sennrich worked-example/round-trip gates in tests/test_bpe.py.
+    "bpe_token_counts",
     "redact_pii",
     "dedup_clusters",
     "unigram_logprob",

@@ -1,0 +1,149 @@
+"""Distributed BPE tokenizer training + corpus tokenization.
+
+The standard scalable shape (Sennrich et al. 2016 §3: BPE merges are
+learned from a WORD-FREQUENCY dictionary, not the raw stream): the
+cluster does the one heavy reduction — distinct (word, count) over
+the corpus, map-side-combined so the shuffle carries the vocabulary,
+not the tokens — and the merge loop then runs driver-side over that
+compact dictionary (even a 10^12-token web corpus has ~1e7-1e8
+distinct words after the frequency floor; a 100 TB corpus reduces to
+a dictionary measured in MBs). Tokenization with the learned merges
+is an Arrow-batched pandas UDF that memoizes segmentation per
+DISTINCT word within each batch — Zipf makes the memo hit rate the
+dominant term, so the per-token Python cost is amortized to a dict
+lookup.
+
+Determinism: merge selection ties break on the lexicographically
+smallest pair; word counts are exact integers; no floats anywhere —
+two trainings on the same corpus produce byte-identical merge lists
+(pinned in tests/test_bpe.py, along with parity against a plain
+reference implementation and the detokenization round-trip).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD_SPLIT = "[^a-z0-9]+"
+EOW = "</w>"  # end-of-word marker (Sennrich et al. convention)
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, count) over the lowercased corpus — the ONE distributed
+    reduction BPE training needs. Partial aggregation collapses
+    repeats map-side; the exchange carries the vocabulary."""
+    w = F.filter(
+        F.split(F.lower(F.col(text_col)), _WORD_SPLIT), lambda t: t != F.lit("")
+    )
+    return (
+        docs.select(F.explode(w).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("count"))
+    )
+
+
+def _merge_word(symbols: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and (symbols[i], symbols[i + 1]) == pair:
+            out.append(symbols[i] + symbols[i + 1])
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return tuple(out)
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 200,
+    text_col: str = "text",
+    min_freq: int = 1,
+    max_vocab_words: int | None = None,
+) -> list[tuple[str, str]]:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    ``min_freq`` floors rare words out of the dictionary (the lever
+    that bounds driver memory at web scale); ``max_vocab_words``
+    additionally caps it to the most frequent N (deterministic
+    count-desc, word-asc order). Returns the ordered merge list.
+    """
+    wc = word_counts(docs, text_col).filter(F.col("count") >= min_freq)
+    if max_vocab_words is not None:
+        wc = wc.orderBy(F.desc("count"), F.asc("word")).limit(max_vocab_words)
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["word"]) + (EOW,): r["count"] for r in wc.collect()
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for symbols, cnt in vocab.items():
+            for a, b in zip(symbols, symbols[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + cnt
+        if not pairs:
+            break
+        # max count, ties -> lexicographically smallest pair (determinism)
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        vocab = {_merge_word(s, best): c for s, c in vocab.items()}
+    return merges
+
+
+def segment_word(word: str, ranks: dict[tuple[str, str], int]) -> tuple[str, ...]:
+    """Apply learned merges to one word (greedy lowest-rank-first —
+    the standard BPE inference order)."""
+    symbols = tuple(word) + (EOW,)
+    while len(symbols) > 1:
+        best_rank, best_pair = None, None
+        for p in zip(symbols, symbols[1:]):
+            r = ranks.get(p)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, p
+        if best_pair is None:
+            break
+        symbols = _merge_word(symbols, best_pair)
+    return symbols
+
+
+def bpe_tokens_col(merges: list[tuple[str, str]]):
+    """pandas UDF factory: text → array<string> of BPE tokens.
+
+    The merge list ships in the closure (KBs); segmentation is
+    memoized per distinct word within each Arrow batch.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    splitter = re.compile(_WORD_SPLIT)
+
+    @pandas_udf("array<string>")
+    def tok(text: pd.Series) -> pd.Series:
+        memo: dict[str, tuple[str, ...]] = {}
+        out = []
+        for t in text:
+            toks: list[str] = []
+            for w in splitter.split(t.lower() if t else ""):
+                if not w:
+                    continue
+                seg = memo.get(w)
+                if seg is None:
+                    seg = segment_word(w, ranks)
+                    memo[w] = seg
+                toks.extend(seg)
+            out.append(toks)
+        return pd.Series(out)
+
+    return tok
+
+
+def detokenize(tokens: Column) -> Column:
+    """Inverse of bpe_tokens_col up to whitespace normalization:
+    concat tokens, turn each end-of-word marker back into a space."""
+    return F.trim(F.replace(F.array_join(tokens, ""), F.lit(EOW), F.lit(" ")))

@@ -876,6 +876,23 @@ def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["decontaminate_bloom"] = ORACLE["decontaminate"]
 
 
+def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned-BPE token counts: train 40 merges on the corpus's word
+    dictionary (one distributed reduction + driver merge loop), then
+    tokenize every doc with the learned merges (memoized Arrow UDF).
+    Rows-only by nature (iterative training); the Sennrich worked
+    example, determinism, and round-trip gates live in
+    tests/test_bpe.py."""
+    from ..operators.bpe import bpe_tokens_col, train_bpe
+
+    docs = load(spark, sf, "documents")
+    merges = train_bpe(docs, num_merges=40)
+    tok = bpe_tokens_col(merges)(F.col("text"))
+    return docs.select(
+        "doc_id", F.size(tok).alias("n_bpe_tokens")
+    ).orderBy("doc_id")
+
+
 def q_hll_tokens_per_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language distinct-token estimates via DataSketches HLL
     (mergeable sketch rows — the rescan-free rollup pattern). Rows-only
@@ -1065,5 +1082,6 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,
+    "bpe_token_counts": q_bpe_token_counts,
     "redact_pii": q_redact_pii,
 }
