@@ -78,6 +78,20 @@ def test_tokenize_round_trip(spark, docs):
         assert r["n_tokens"] >= r["n_words"]
 
 
+def test_pair_occurring_twice_in_one_word(spark):
+    """Regression: a word containing the winning pair twice (abxab)
+    must merge cleanly — the incremental bookkeeping's first
+    occurrence empties the pair's word-set before the second one."""
+    rows = [(0, " ".join(["abxab"] * 5 + ["ab"] * 2))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, num_merges=3)
+    assert merges[0] == ("a", "b")
+    ranks = {p: i for i, p in enumerate(merges)}
+    seg = segment_word("abxab", ranks)
+    # both ab occurrences merged: no adjacent (a, b) survives
+    assert ("a", "b") not in set(zip(seg, seg[1:])), seg
+
+
 def test_vocab_levers(spark, docs):
     # freq floor on the controlled corpus: min_freq=3 drops lower(x2)
     sc = _sennrich_corpus(docs.sparkSession)
