@@ -65,6 +65,9 @@ _RETIRED_FROM_DRIVER = [
     # learned-BPE tokenization — rows-only (iterative training);
     # Sennrich worked-example/round-trip gates in tests/test_bpe.py.
     "bpe_token_counts",
+    # PageRank domain authority — rows-only (iterative float algo);
+    # numpy-reference parity gates in tests/test_graphrank.py.
+    "source_pagerank",
     "redact_pii",
     "dedup_clusters",
     "unigram_logprob",

@@ -1,0 +1,90 @@
+"""PageRank over an edge DataFrame — domain-authority ranking, the
+standard link-graph quality signal corpus curation uses to weight or
+floor hosts (the CCNet/Gopher-era pipelines rank domains before
+sampling).
+
+Pure DataFrame shape (Brin & Page 1998 with the uniform
+dangling-mass correction; rank vector sums to 1):
+
+  r'(v) = (1-d)/N + d * ( Σ_{u→v} r(u)·w(u,v)/out(u) + dangling/N )
+
+Per iteration: ONE shuffle (the contribution groupBy on dst — the
+rank-edge join reuses the edge table's partitioning via AQE) plus a
+one-row dangling-mass aggregate to the driver (the same scalar
+reduce every distributed PageRank does). The rank lineage is
+truncated with a lazy localCheckpoint each iteration, so iteration k
+plans against a leaf, not k nested joins — the same per-round
+truncation `operators/cluster.connected_components` uses. Edge
+normalization (w/out-degree) is computed ONCE and checkpointed;
+iterations never touch raw weights again.
+
+tests/test_graphrank.py pins a hand case, exact parity with a numpy
+reference on a 200-node random graph (same damping/iterations),
+dangling-node mass conservation (ranks always sum to 1), and
+partition-invariant determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """(node, rank) after ``iters`` power iterations; Σ rank == 1.
+
+    ``edges`` may contain duplicate (src, dst) rows (summed) and
+    dangling nodes (dst-only — their mass is redistributed uniformly,
+    the standard correction, so rank never leaks).
+    """
+    w = F.col(weight) if weight else F.lit(1.0)
+    e = edges.groupBy(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).agg(F.sum(w).alias("_w"))
+    out_w = e.groupBy("_src").agg(F.sum("_w").alias("_ow"))
+    # normalized transition fractions, computed once
+    trans = (
+        e.join(out_w, "_src")
+        .select("_src", "_dst", (F.col("_w") / F.col("_ow")).alias("_frac"))
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("_src").alias("node"))
+        .union(e.select(F.col("_dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    has_out = out_w.select(F.col("_src").alias("node"))
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for _ in range(iters):
+        dangling = (
+            ranks.join(has_out, "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contribs = (
+            ranks.join(trans, ranks["node"] == trans["_src"])
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("_frac")).alias("_c"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("_c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

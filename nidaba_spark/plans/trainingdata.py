@@ -876,6 +876,35 @@ def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["decontaminate_bloom"] = ORACLE["decontaminate"]
 
 
+def q_source_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Domain-authority ranking over a deterministic planted link
+    graph: every doc links to its 7-block head doc (doc_id - doc_id%7)
+    and to its successor, edge endpoints being the docs' sources (the
+    corpus has no link column — same planting convention as
+    q_redact_pii; the block-head rule skews in-links so ranks are
+    non-degenerate). Rows-only (iterative float algorithm); exact
+    numpy-reference parity gates live in tests/test_graphrank.py."""
+    from ..operators.graphrank import pagerank
+
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    targets = docs.select(
+        F.col("doc_id").alias("_t"), F.col("source").alias("dst")
+    )
+    by_head = docs.withColumn("_t", F.col("doc_id") - F.col("doc_id") % 7)
+    by_next = docs.withColumn("_t", F.col("doc_id") + 1)
+    edges = (
+        by_head.unionByName(by_next)
+        .join(targets, "_t")
+        .filter(F.col("source") != F.col("dst"))
+        .select(F.col("source").alias("src"), "dst")
+    )
+    return (
+        pagerank(edges, damping=0.85, iters=10)
+        .select("node", F.round("rank", 6).alias("rank"))
+        .orderBy("node")
+    )
+
+
 def q_bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Learned-BPE token counts: train 40 merges on the corpus's word
     dictionary (one distributed reduction + driver merge loop), then
@@ -1083,5 +1112,6 @@ QUERIES = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,
     "bpe_token_counts": q_bpe_token_counts,
+    "source_pagerank": q_source_pagerank,
     "redact_pii": q_redact_pii,
 }
