@@ -86,6 +86,16 @@ for line in sys.stdin:
     import gc as _gc
     _gc.collect()
     spark.sparkContext._jvm.System.gc()
+    # System.gc() returns before the ContextCleaner/block-manager
+    # async queues drain; the third r04 canary pack showed the
+    # signature (EVERY pair's first wide leg 25-140% slower than its
+    # second, which follows ~55s of natural idle while the narrow
+    # session runs). NIDABA_LEG_SETTLE seconds of post-gc idle puts
+    # the same settled start in front of every leg. Default 0 keeps
+    # the official protocol byte-compatible.
+    _settle = float(os.environ.get("NIDABA_LEG_SETTLE", "0"))
+    if _settle:
+        time.sleep(_settle)
     print(json.dumps({"cores": cores, "sec": sec}), flush=True)
 spark.stop()
 """
