@@ -68,6 +68,9 @@ _RETIRED_FROM_DRIVER = [
     # PageRank domain authority — rows-only (iterative float algo);
     # numpy-reference parity gates in tests/test_graphrank.py.
     "source_pagerank",
+    # stratified split assignment — full DuckDB oracle off-driver
+    # (tests/test_offdriver_oracles.py); gates in tests/test_mixing.py.
+    "split_assign",
     "redact_pii",
     "dedup_clusters",
     "unigram_logprob",

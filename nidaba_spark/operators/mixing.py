@@ -84,3 +84,46 @@ def weighted_copies(
         .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
         .drop("_n")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning every row to exactly one named
+    split (train/val/test-style) by cumulative thresholds over the
+    same md5-uniform as weighted_sample.
+
+    Properties, all by construction:
+      * exhaustive + disjoint — one scan, zero shuffles, no global
+        count, the assignment is a pure function of (id, salt);
+      * stratified — u is independent of every data column, so each
+        split hits its fraction within any subgroup (per source, per
+        lang, ...), not just globally;
+      * monotone — growing a split's fraction (keeping the dict order)
+        only MOVES rows across the boundary it shares with its
+        neighbor: a train fraction raised from 0.8 to 0.9 keeps the
+        old train as a strict subset (epoch-over-epoch stability);
+      * resample-proof — a different ``salt`` draws an independent
+        assignment (so the split never correlates with a
+        weighted_sample that used salt='mix').
+
+    Threshold order = the dict's insertion order (pin it in code).
+    Fractions must sum to 1 (validated).
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = uniform_hash(F.col(id_col), salt)
+    names = list(fractions)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    branches = []
+    for name in names[:-1]:
+        acc += fractions[name]
+        branches.append((acc, name))
+    for acc, name in reversed(branches):
+        expr = F.when(u < F.lit(acc), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

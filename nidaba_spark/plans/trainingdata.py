@@ -391,6 +391,39 @@ def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified train/val/test assignment
+    (operators/mixing.split_assign): cumulative thresholds over the
+    md5-uniform — one scan, zero shuffles, exhaustive/disjoint/
+    stratified by construction. Full DuckDB oracle (the identical md5
+    arithmetic); stratification/monotonicity gates in
+    tests/test_mixing.py."""
+    from ..operators import mixing
+
+    docs = load(spark, sf, "documents")
+    return mixing.split_assign(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+ORACLE["split_assign"] = """
+WITH u AS (
+  SELECT doc_id,
+         (list_sum(list_transform(range(1, 9), j ->
+            CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':split'), j, 1)) - 1 AS BIGINT)
+            * (CAST(1 AS BIGINT) << (4 * (8 - j)))))
+          / 4294967296.0) AS uu
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN uu < 0.8 THEN 'train'
+            WHEN uu < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+"""
+
+
 def q_pack_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing (operators/packing.py): documents → fixed
     1024-token training examples via the distributed prefix sum.
@@ -1113,5 +1146,6 @@ QUERIES = {
     "hll_tokens_per_lang": q_hll_tokens_per_lang,
     "bpe_token_counts": q_bpe_token_counts,
     "source_pagerank": q_source_pagerank,
+    "split_assign": q_split_assign,
     "redact_pii": q_redact_pii,
 }

@@ -126,3 +126,58 @@ def test_rate_le_1_matches_sample(spark, docs):
         .select("doc_id").collect()
     }
     assert s == c
+
+
+def test_split_assign_partition_properties(spark, docs):
+    from nidaba_spark.operators.mixing import split_assign
+
+    out = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    n = docs.count()
+    rows = out.select("doc_id", "split", "source").collect()
+    assert len(rows) == n  # exhaustive, one row each (disjoint by construction)
+    by = {}
+    for r in rows:
+        by.setdefault(r["split"], []).append(r)
+    # global proportions within binomial tolerance
+    assert abs(len(by["train"]) / n - 0.8) < 0.08
+    assert abs(len(by["val"]) / n - 0.1) < 0.06
+    # stratified: per-source train share also near 0.8
+    per_src = {}
+    for r in rows:
+        t, c = per_src.get(r["source"], (0, 0))
+        per_src[r["source"]] = (t + (r["split"] == "train"), c + 1)
+    for src, (t, c) in per_src.items():
+        if c >= 15:
+            assert abs(t / c - 0.8) < 0.25, (src, t, c)
+
+
+def test_split_assign_monotone_growth(spark, docs):
+    from nidaba_spark.operators.mixing import split_assign
+
+    small = split_assign(docs, {"train": 0.7, "val": 0.2, "test": 0.1})
+    big = split_assign(docs, {"train": 0.9, "val": 0.05, "test": 0.05})
+    small_train = {
+        r["doc_id"] for r in small.filter("split = 'train'").collect()
+    }
+    big_train = {r["doc_id"] for r in big.filter("split = 'train'").collect()}
+    assert small_train < big_train  # strict nested growth
+
+
+def test_split_assign_validates_and_deterministic(spark, docs):
+    import pytest as _pytest
+
+    from nidaba_spark.operators.mixing import split_assign
+
+    with _pytest.raises(ValueError):
+        split_assign(docs, {"train": 0.8, "val": 0.1})
+    a = sorted(
+        (r["doc_id"], r["split"])
+        for r in split_assign(docs, {"train": 0.8, "val": 0.2}, salt="s2").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["split"])
+        for r in split_assign(
+            docs.repartition(9), {"train": 0.8, "val": 0.2}, salt="s2"
+        ).collect()
+    )
+    assert a == b
