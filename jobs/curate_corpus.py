@@ -68,6 +68,12 @@ def main() -> None:
     ap.add_argument("--max-docs-per-host", type=int, default=None)
     ap.add_argument("--paragraph-dedup", action="store_true")
     ap.add_argument("--min-model-score", type=float, default=None)
+    ap.add_argument(
+        "--split", action="append", default=[], metavar="NAME=FRAC",
+        help="stratified split assignment, e.g. --split train=0.8 "
+        "--split val=0.1 --split test=0.1 (fractions must sum to 1; "
+        "adds a 'split' column, does not filter)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -100,6 +106,7 @@ def main() -> None:
         max_docs_per_host=args.max_docs_per_host,
         paragraph_dedup=args.paragraph_dedup,
         min_model_score=args.min_model_score,
+        splits=_parse_rates(args.split),
     )
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)

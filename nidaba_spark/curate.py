@@ -51,6 +51,7 @@ def curate(
     max_docs_per_host: int | None = None,
     paragraph_dedup: bool = False,
     min_model_score: float | None = None,
+    splits: dict[str, float] | None = None,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -84,6 +85,11 @@ def curate(
                               are cut ahead of the heavier stages —
                               the window's row_number()<=k filter
                               becomes a map-side WindowGroupLimit);
+      splits                — optional {name: fraction} (sum 1):
+                              append a deterministic stratified
+                              'split' column (mixing.split_assign)
+                              AFTER packing — an assignment, never a
+                              filter, so pack ids stay stable;
       min_model_score       — model-based quality floor beside the
                               heuristic one: the pinned-LR codegen
                               sigmoid (operators/quality_model.py)
@@ -202,9 +208,16 @@ def curate(
         mixed, token_count_ws(F.col("text")), pack_budget, order_col="url",
         npartitions=npartitions,
     )
-    return packs.join(
+    out = packs.join(
         mixed.select("url", "quality", "text"), "url"
     ).select(
         "url", "n_tokens", "tokens_before", "pack_id", "pack_pos",
         "quality", "text",
     )
+    if splits is not None:
+        # assignment, not a filter: packing stays computed over the
+        # whole survivor set; the trainer filters by split at read
+        # time. md5(url)-keyed, so it is stable across reruns and
+        # independent of the mixing sample (different salt).
+        out = mixing.split_assign(out, splits, id_col="url")
+    return out

@@ -149,6 +149,20 @@ def test_decontam_bloom_path_matches_exact(spark, pages, curated):
     assert victim not in {t[0] for t in bloom}
 
 
+def test_split_stage_wired(spark, pages, curated):
+    base = sorted(tuple(r) for r in curated.collect())
+    out = curate.curate(
+        pages, min_quality=0.4, source_rates={"en": 0.6}, default_rate=1.0,
+        pack_budget=512, npartitions=8,
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    rows = out.collect()
+    assert set(out.columns) == set(curated.columns) | {"split"}
+    # assignment, not a filter: same rows, same pack ids
+    assert sorted(tuple(r)[:-1] for r in rows) == base
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+
+
 def test_host_cap_stage_wired(spark, pages):
     from nidaba_spark.operators import hoststats
 
