@@ -264,3 +264,16 @@ def test_unigram_logprob_hot_cold_split_is_invisible(spark):
     a = {tuple(r) for r in unigram_logprob(docs, n_hot=1).collect()}
     b = {tuple(r) for r in unigram_logprob(docs, n_hot=10_000).collect()}
     assert a == b
+
+
+OFF_DRIVER_ROWS_ONLY = sorted(set(_ALL_Q) - _ON_DRIVER - set(_ALL_O))
+
+
+@pytest.mark.parametrize("name", OFF_DRIVER_ROWS_ONLY)
+def test_off_driver_rows_only_queries_run(spark, name):
+    """Every exported-but-off-driver rows-only QUERY FUNCTION still
+    runs with a stable schema (their semantics are gated in dedicated
+    test files; this catches wiring regressions in the q_ plumbing)."""
+    df = _ALL_Q[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
