@@ -76,6 +76,9 @@ _RETIRED_FROM_DRIVER = [
     # stratified split assignment — full DuckDB oracle off-driver
     # (tests/test_offdriver_oracles.py); gates in tests/test_mixing.py.
     "split_assign",
+    # zlib compressibility quality signal — rows-only (no zlib in
+    # DuckDB); monotonicity gates in tests/test_trainingdata_ops.py.
+    "compression_ratio",
     "redact_pii",
     "dedup_clusters",
     "unigram_logprob",

@@ -234,3 +234,37 @@ def unigram_logprob(
             F.round(F.sum(F.col("k") * logp) / F.sum("k"), 6).alias("avg_logprob"),
         )
     )
+
+
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """(doc_id, n_bytes, compression_ratio) — zlib compressed/raw size
+    per document: the RefinedWeb/MassiveWeb-family "too compressible"
+    quality signal (boilerplate/repetition compresses far below
+    natural prose; random gibberish barely compresses at all — filter
+    BOTH tails).
+
+    Arrow-batched pandas UDF, zlib (stdlib C) per doc — the per-row
+    loop is the same deliberate trade as lang_id (the work inside is
+    C). Deterministic for a fixed zlib version + level (pinned
+    explicitly); ratios rounded JVM-side. Rows-only (DuckDB has no
+    zlib); monotonicity gates in tests/test_trainingdata_ops.py.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(text: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in text:
+            b = (t or "").encode("utf-8")
+            out.append(len(zlib.compress(b, level)) / len(b) if b else 1.0)
+        return pd.Series(out)
+
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.octet_length(text_col).alias("n_bytes"),
+        F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio"),
+    )

@@ -391,6 +391,16 @@ def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """RefinedWeb-style compressibility quality signal: zlib
+    compressed/raw bytes per doc (repetition/boilerplate → low ratio,
+    gibberish → ~1). Rows-only (DuckDB has no zlib); monotonicity
+    gates in tests/test_trainingdata_ops.py."""
+    from ..operators.textstats import compression_ratio
+
+    return compression_ratio(load(spark, sf, "documents")).orderBy("doc_id")
+
+
 def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic stratified train/val/test assignment
     (operators/mixing.split_assign): cumulative thresholds over the
@@ -1147,5 +1157,6 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "source_pagerank": q_source_pagerank,
     "split_assign": q_split_assign,
+    "compression_ratio": q_compression_ratio,
     "redact_pii": q_redact_pii,
 }

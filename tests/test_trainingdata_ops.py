@@ -207,3 +207,24 @@ def test_multimodal_sample_frames(spark):
     assert [r["ts_ms"] for r in rows] == [0, 1000, 2000]
     assert all(r["n_bytes"] == 32 for r in rows)
     assert bytes(rows[0]["frame"]) == b"a" * 32
+
+
+def test_compression_ratio_signal(spark):
+    from nidaba_spark.operators.textstats import compression_ratio
+
+    rows = [
+        (0, "the " * 500),                                   # pure repetition
+        (1, " ".join(f"word{i} and some natural prose here" for i in range(100))),
+        (2, "kqzjxv bwpmtr yfhgdl " * 2 + "cnsqwe rvtyuo plmkij"),  # gibberish-ish
+        (3, ""),                                             # empty -> 1.0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    assert got[0]["compression_ratio"] < 0.05                # repetition crushes
+    assert got[0]["compression_ratio"] < got[1]["compression_ratio"]
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"]
+    assert got[3]["compression_ratio"] == 1.0
+    assert got[1]["n_bytes"] > 0
+    # determinism under repartition
+    again = {r["doc_id"]: r for r in compression_ratio(df.repartition(3)).collect()}
+    assert all(got[k]["compression_ratio"] == again[k]["compression_ratio"] for k in got)
