@@ -69,6 +69,12 @@ def main() -> None:
     ap.add_argument("--paragraph-dedup", action="store_true")
     ap.add_argument("--min-model-score", type=float, default=None)
     ap.add_argument(
+        "--compression-band", default=None, metavar="LO:HI",
+        help="keep only docs whose zlib compression ratio lies in "
+        "[LO, HI] (e.g. 0.25:0.9 — cuts repetition below and "
+        "gibberish above)",
+    )
+    ap.add_argument(
         "--split", action="append", default=[], metavar="NAME=FRAC",
         help="stratified split assignment, e.g. --split train=0.8 "
         "--split val=0.1 --split test=0.1 (fractions must sum to 1; "
@@ -106,6 +112,11 @@ def main() -> None:
         max_docs_per_host=args.max_docs_per_host,
         paragraph_dedup=args.paragraph_dedup,
         min_model_score=args.min_model_score,
+        compression_band=(
+            tuple(float(x) for x in args.compression_band.split(":"))
+            if args.compression_band
+            else None
+        ),
         splits=_parse_rates(args.split),
     )
     out.write.mode("overwrite").parquet(args.output)

@@ -51,6 +51,7 @@ def curate(
     max_docs_per_host: int | None = None,
     paragraph_dedup: bool = False,
     min_model_score: float | None = None,
+    compression_band: tuple[float, float] | None = None,
     splits: dict[str, float] | None = None,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
@@ -85,6 +86,11 @@ def curate(
                               are cut ahead of the heavier stages —
                               the window's row_number()<=k filter
                               becomes a map-side WindowGroupLimit);
+      compression_band      — (lo, hi) zlib compression-ratio band
+                              (RefinedWeb "too compressible" rule —
+                              repetition sinks below lo, gibberish
+                              floats above hi; semi-join on the
+                              in-band set);
       splits                — optional {name: fraction} (sum 1):
                               append a deterministic stratified
                               'split' column (mixing.split_assign)
@@ -146,6 +152,15 @@ def curate(
             .select(*good.columns)
         )
         good = survivors
+    if compression_band is not None:
+        from .operators.textstats import compression_ratio
+
+        lo, hi = compression_band
+        in_band = compression_ratio(good, id_col="url").filter(
+            (F.col("compression_ratio") >= F.lit(lo))
+            & (F.col("compression_ratio") <= F.lit(hi))
+        ).select(F.col("doc_id").alias("url"))
+        good = good.join(in_band, "url", "left_semi")
     if (
         repetition_max_frac is not None
         or decontam_eval is not None

@@ -149,6 +149,22 @@ def test_decontam_bloom_path_matches_exact(spark, pages, curated):
     assert victim not in {t[0] for t in bloom}
 
 
+def test_compression_band_stage_wired(spark, pages, curated):
+    base_urls = {r["url"] for r in curated.select("url").collect()}
+    out = curate.curate(
+        pages, min_quality=0.4, source_rates={"en": 0.6}, default_rate=1.0,
+        pack_budget=512, npartitions=8, compression_band=(0.0, 1.0),
+    )
+    all_band = {r["url"] for r in out.select("url").collect()}
+    assert all_band == base_urls  # full band is a no-op on the url set
+    tight = curate.curate(
+        pages, min_quality=0.4, source_rates={"en": 0.6}, default_rate=1.0,
+        pack_budget=512, npartitions=8, compression_band=(0.45, 1.0),
+    )
+    tight_urls = {r["url"] for r in tight.select("url").collect()}
+    assert tight_urls < base_urls  # the most compressible docs dropped
+
+
 def test_split_stage_wired(spark, pages, curated):
     base = sorted(tuple(r) for r in curated.collect())
     out = curate.curate(
