@@ -100,3 +100,75 @@ def test_stream_lineage_rows(spark, tmp_path):
         assert sum(r["input_rows"] for r in rows) == n_events
         assert all(r["finished"] >= r["started"] for r in rows)
         assert len({r["partition_id"] for r in rows}) == len(rows)  # batch ids unique
+
+
+def _warc_record(rtype: str, uri: str, date: str, payload: bytes) -> bytes:
+    head = (
+        f"WARC/1.0\r\nWARC-Type: {rtype}\r\nWARC-Target-URI: {uri}\r\n"
+        f"WARC-Date: {date}\r\nContent-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return head + payload + b"\r\n\r\n"
+
+
+def _http(body: bytes) -> bytes:
+    return b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+
+
+def test_warc_parse_pure(tmp_path):
+    from nidaba_spark.sources.rawfiles import parse_warc_records
+
+    data = (
+        _warc_record("warcinfo", "", "2026-01-01T00:00:00Z", b"software: test\r\n")
+        + _warc_record(
+            "response", "https://a.example/x", "2026-01-02T03:04:05Z",
+            _http(b"<html><body>hello</body></html>"),
+        )
+        + _warc_record(
+            "conversion", "https://b.example/y", "2026-01-03T00:00:00Z",
+            "plain wet text é".encode(),
+        )
+    )
+    recs = list(parse_warc_records(data))
+    assert [h["warc-type"] for h, _ in recs] == ["warcinfo", "response", "conversion"]
+    # per-record gzip (Common Crawl member framing) round-trips too
+    import gzip
+
+    members = b"".join(
+        gzip.compress(_warc_record("response", f"https://g.example/{i}",
+                                   "2026-01-04T00:00:00Z", _http(b"gz" + bytes([48 + i]))))
+        for i in range(3)
+    )
+    recs = list(parse_warc_records(members))
+    assert len(recs) == 3
+    assert all(h["warc-type"] == "response" for h, _ in recs)
+
+
+def test_warc_ingest_through_pipeline(spark, tmp_path):
+    from nidaba_spark.sources.rawfiles import read_warc_pages
+
+    rows = corpus.generate_rows(6)
+    data = b"".join(
+        _warc_record("response", r["url"], "2026-01-02T03:04:05Z", _http(r["html"]))
+        for r in rows[:4]
+    ) + _warc_record("warcinfo", "", "2026-01-01T00:00:00Z", b"x")
+    wet = _warc_record(
+        "conversion", "https://wet.example/1", "2026-01-05T00:00:00Z",
+        b"crawler text only here"
+    )
+    (tmp_path / "drop1.warc").write_bytes(data)
+    (tmp_path / "drop2.warc").write_bytes(wet)
+    pages = read_warc_pages(spark, str(tmp_path))
+    got = {r["url"]: r for r in pages.collect()}
+    assert len(got) == 5  # warcinfo skipped
+    for r in rows[:4]:
+        assert bytes(got[r["url"]]["html"]) == r["html"]
+    assert got["https://wet.example/1"]["text"] == "crawler text only here"
+    assert bytes(got["https://wet.example/1"]["html"]) == b""
+    # flows through the real extract pipeline; html bodies extract
+    # byte-identically to the direct-parquet path
+    ext = {r["url"]: r["text"] for r in pipeline.extract(pages, npartitions=4).collect()}
+    for r in rows[:4]:
+        # WARC response records carry no crawler text -> None fallback
+        want, _ = oracle.extract(r["html"], None)
+        assert ext[r["url"]] == want
+    assert any(ext[r["url"]] for r in rows[:4])  # not vacuously empty
