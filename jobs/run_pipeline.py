@@ -48,6 +48,14 @@ def main() -> None:
         "resumable from the engine checkpoint under --output",
     )
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "warc"],
+        help="batch input: 'parquet' (pages table/path) or 'warc' "
+        "(directory of WARC/WET segments, ISO 28500 multi-record "
+        "framing incl. Common Crawl gzip — sources/rawfiles.py)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -77,11 +85,16 @@ def main() -> None:
         print(f"stream-extracted table now holds {n} documents -> {out}")
         return
 
-    pages = (
-        spark.read.table(args.input)
-        if "." in args.input and not os.path.exists(args.input)
-        else spark.read.parquet(args.input)
-    )
+    if args.input_format == "warc":
+        from nidaba_spark.sources.rawfiles import read_warc_pages
+
+        pages = read_warc_pages(spark, args.input)
+    else:
+        pages = (
+            spark.read.table(args.input)
+            if "." in args.input and not os.path.exists(args.input)
+            else spark.read.parquet(args.input)
+        )
     p = Pipeline(spark, args.output, run_id=args.run_id, nsalt=args.nsalt, npartitions=args.npartitions)
     if args.invalidate_from:
         p.invalidate_from(args.invalidate_from)
