@@ -79,6 +79,9 @@ _RETIRED_FROM_DRIVER = [
     # zlib compressibility quality signal — rows-only (no zlib in
     # DuckDB); monotonicity gates in tests/test_trainingdata_ops.py.
     "compression_ratio",
+    # BM25 top-k search — full DuckDB oracle off-driver; hand-case
+    # gates in tests/test_search.py.
+    "bm25_search",
     "redact_pii",
     "dedup_clusters",
     "unigram_logprob",

@@ -1,0 +1,110 @@
+"""BM25 top-k full-text search over the corpus — the ad-hoc
+"find me documents about X" capability a corpus-analytics engine
+needs (inspect dedup clusters, pull eval-adjacent docs, spot-check a
+filter's victims).
+
+Pure declarative plan (Robertson/Spärck Jones BM25, the Okapi
+formula):
+
+    idf(t)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+    score(d)  = Σ_t idf(t) · tf / (tf + k1·(1 - b + b·len_d/avglen))
+
+Shape: the exploded token stream is filtered to the QUERY TERMS
+BEFORE any aggregation (a handful of terms — the tf table is tiny no
+matter the corpus), doc lengths come from one map-side-combined agg
+over the same scan, and the two corpus scalars (N, avg length) ride
+in on a broadcast single-row cross join so the whole thing stays ONE
+lazy plan — no driver round-trip. Top-k compiles to TakeOrderedAndProject
+(map-side per-partition top-k, k-row merge) ordered by
+(score desc, doc_id asc) — deterministic under ties, no
+SinglePartition window.
+
+Scale: at 10^12 docs the only big objects are the two corpus scans
+(token explode + length agg, both map-side combined); everything
+keyed downstream is bounded by |query terms| × docs-containing-them.
+Serve repeated queries from a PERSISTED (term → doc, tf) postings
+table partitioned by term — this operator is the one-shot/ad-hoc
+path and the builder of that table.
+
+Float note: scores are rounded (default 4dp) INSIDE the operator so
+the DuckDB oracle (identical formula) reproduces the exact doubles;
+per-doc sums run over ≤|query| terms, so cross-engine addend-order
+error is ~1e-15, far inside the rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WORD_SPLIT = "[^a-z0-9]+"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """(doc_id, score) — top-``k`` BM25 matches for ``query`` terms
+    (terms are lowercased; docs containing none score nothing)."""
+    terms = sorted({t.lower() for t in query if t})
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), _WORD_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    doclen = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        words.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "part",
+            F.col("idf")
+            * F.col("tf")
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), round_to).alias("score"))
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject — map-side
+    # per-partition top-k then a k-row merge, never a SinglePartition
+    # window (the same antipattern packing avoids); (score, doc_id)
+    # order makes ties deterministic.
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "score")
+    )

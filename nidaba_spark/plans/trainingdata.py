@@ -391,6 +391,46 @@ def q_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-20 full-text search (operators/search.py) for a fixed
+    3-term query over documents — scores rounded 4dp inside the
+    operator so the identical-formula DuckDB oracle reproduces the
+    exact doubles; deterministic (score desc, doc_id) tie-break."""
+    from ..operators.search import bm25_topk
+
+    docs = load(spark, sf, "documents")
+    return bm25_topk(docs, ["data", "model", "quality"], k=20)
+
+
+ORACLE["bm25_search"] = """
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''
+         )) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM w
+  WHERE term IN ('data', 'model', 'quality')
+  GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+)
+SELECT doc_id,
+       round(sum(
+         ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+         * tf.tf / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+       ), 4) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def q_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     """RefinedWeb-style compressibility quality signal: zlib
     compressed/raw bytes per doc (repetition/boilerplate → low ratio,
@@ -1158,5 +1198,6 @@ QUERIES = {
     "source_pagerank": q_source_pagerank,
     "split_assign": q_split_assign,
     "compression_ratio": q_compression_ratio,
+    "bm25_search": q_bm25_search,
     "redact_pii": q_redact_pii,
 }

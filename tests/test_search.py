@@ -1,0 +1,92 @@
+"""BM25 gates (operators/search.py): hand-computed reference on a
+tiny controlled corpus, ranking sanity (tf and doc-length effects),
+deterministic tie-break, plan shape (TakeOrdered, no SinglePartition
+window), and partition invariance. The corpus-scale oracle row runs
+in tests/test_offdriver_oracles.py."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import math
+import os
+import re
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nidaba_spark.operators.search import bm25_topk  # noqa: E402
+
+DOCS = [
+    (0, "apple banana cherry date"),
+    (1, "apple apple apple banana"),
+    (2, "zebra yak xylophone walrus"),
+    (3, "apple"),
+    (4, "banana banana cherry cherry cherry fig grape honey iris jack"),
+]
+
+
+def _ref_bm25(query, k1=1.2, b=0.75):
+    words = {i: t.split() for i, t in DOCS}
+    n = len(words)
+    avgdl = sum(len(w) for w in words.values()) / n
+    out = {}
+    for i, w in words.items():
+        s = 0.0
+        for t in set(query):
+            tf = w.count(t)
+            if not tf:
+                continue
+            df = sum(1 for ww in words.values() if t in ww)
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            s += idf * tf / (tf + k1 * (1 - b + b * len(w) / avgdl))
+        if s:
+            out[i] = round(s, 4)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_matches_hand_reference(spark, docs):
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(docs, ["apple", "banana"], k=10).collect()}
+    assert got == _ref_bm25(["apple", "banana"])
+
+
+def test_ranking_semantics(spark, docs):
+    rows = bm25_topk(docs, ["apple"], k=10).collect()
+    order = [r["doc_id"] for r in rows]
+    # doc 1 (tf=3, dl=4: 3/4.082 = 0.735·idf) edges doc 3 (tf=1, dl=1:
+    # 1/1.496 = 0.668·idf) — tf saturation vs length normalization —
+    # then doc 0 (tf=1, dl=4); docs 2/4 (no apple) absent
+    assert order == [1, 3, 0]
+    rows = bm25_topk(docs, ["cherry"], k=10).collect()
+    assert [r["doc_id"] for r in rows] == [4, 0]  # 3x cherry wins
+
+
+def test_topk_and_tie_break(spark, docs):
+    assert len(bm25_topk(docs, ["apple", "banana", "cherry"], k=2).collect()) == 2
+    # identical docs tie -> lower doc_id first
+    two = spark.createDataFrame(
+        [(7, "same words here"), (5, "same words here")], "doc_id long, text string"
+    )
+    rows = bm25_topk(two, ["same"], k=2).collect()
+    assert [r["doc_id"] for r in rows] == [5, 7]
+    assert rows[0]["score"] == rows[1]["score"]
+
+
+def test_plan_shape_and_partition_invariance(spark, docs):
+    df = bm25_topk(docs.repartition(5), ["apple", "banana"], k=10)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert not re.findall(r"\(\d+\) Window\b", plan), plan[:1500]
+    a = [tuple(r) for r in df.collect()]
+    b = [tuple(r) for r in bm25_topk(docs.repartition(2), ["apple", "banana"], k=10).collect()]
+    assert a == b
