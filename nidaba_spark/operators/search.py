@@ -74,6 +74,24 @@ def bm25_topk(
         .agg(F.count("*").alias("tf"))
     )
     df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # scoring + top-k shared with the postings-index path; the top-k
+    # compiles to TakeOrderedAndProject — map-side per-partition
+    # top-k then a k-row merge, never a SinglePartition window — with
+    # a deterministic (score desc, doc_id) tie-break.
+    return _bm25_score(tf, df_t, doclen, stats, k1, b, k, round_to)
+
+
+# ----------------------------------------------------- postings index
+# The persisted-index path the module docstring promises: pay the
+# corpus scan ONCE (build_postings), then every query reads only the
+# term-hash buckets its terms live in — partition pruning does the
+# work of an inverted index. At 10^12 docs the postings table is the
+# searchable artifact; 256 buckets keeps directories sane while a
+# |q|-term query scans |q|/256 of it (plan-asserted in
+# tests/test_search.py).
+
+
+def _bm25_score(tf, df_t, doclen, stats, k1, b, k, round_to):
     scored = (
         tf.join(F.broadcast(df_t), "term")
         .join(doclen, "doc_id")
@@ -99,12 +117,78 @@ def bm25_topk(
         .groupBy("doc_id")
         .agg(F.round(F.sum("part"), round_to).alias("score"))
     )
-    # orderBy().limit() compiles to TakeOrderedAndProject — map-side
-    # per-partition top-k then a k-row merge, never a SinglePartition
-    # window (the same antipattern packing avoids); (score, doc_id)
-    # order makes ties deterministic.
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
         .select("doc_id", "score")
     )
+
+
+def build_postings(
+    docs: DataFrame,
+    path: str,
+    buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One corpus pass → three tables under ``path``:
+    postings/ (term, doc_id, tf; parquet PARTITIONED by
+    bucket = pmod(xxhash64(term), buckets)), doclen/ (doc_id, dl),
+    stats/ (n_docs, avgdl). df(term) is derived at query time from the
+    pruned postings themselves — no fourth table."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), _WORD_SPLIT),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tf.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path + "/postings")
+    doclen = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    doclen.write.mode("overwrite").parquet(path + "/doclen")
+    doclen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
+        "overwrite"
+    ).parquet(path + "/stats")
+
+
+def bm25_topk_postings(
+    spark,
+    path: str,
+    query: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    buckets: int = 256,
+    round_to: int = 4,
+) -> DataFrame:
+    """Same contract as bm25_topk, served from a build_postings index:
+    the postings scan carries a PartitionFilter on the query terms'
+    hash buckets, so only |query| of the ``buckets`` partitions are
+    read — the corpus text is never touched."""
+    terms = sorted({t.lower() for t in query if t})
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    # bucket literals via the SAME JVM hash that wrote the partitions
+    bucket_vals = sorted(
+        {
+            r["bkt"]
+            for r in spark.createDataFrame([(t,) for t in terms], "term string")
+            .select(F.pmod(F.xxhash64("term"), F.lit(buckets)).alias("bkt"))
+            .collect()
+        }
+    )
+    tf = (
+        spark.read.parquet(path + "/postings")
+        .filter(F.col("bucket").isin(bucket_vals))
+        .filter(F.col("term").isin(terms))
+        .select("doc_id", "term", "tf")
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    doclen = spark.read.parquet(path + "/doclen")
+    stats = spark.read.parquet(path + "/stats")
+    return _bm25_score(tf, df_t, doclen, stats, k1, b, k, round_to)

@@ -90,3 +90,29 @@ def test_plan_shape_and_partition_invariance(spark, docs):
     a = [tuple(r) for r in df.collect()]
     b = [tuple(r) for r in bm25_topk(docs.repartition(2), ["apple", "banana"], k=10).collect()]
     assert a == b
+
+
+def test_postings_index_parity_and_pruning(spark, docs, tmp_path):
+    from nidaba_spark.operators.search import (
+        bm25_topk,
+        bm25_topk_postings,
+        build_postings,
+    )
+
+    path = str(tmp_path / "idx")
+    build_postings(docs, path, buckets=16)
+    for q in (["apple", "banana"], ["cherry"], ["apple", "zebra", "fig"]):
+        direct = [tuple(r) for r in bm25_topk(docs, q, k=10).collect()]
+        via_idx = [
+            tuple(r)
+            for r in bm25_topk_postings(spark, path, q, k=10, buckets=16).collect()
+        ]
+        assert via_idx == direct, q
+    # the postings scan is partition-pruned to the query's hash buckets
+    df = bm25_topk_postings(spark, path, ["apple"], k=10, buckets=16)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
+    assert m, plan[:2500]
