@@ -84,7 +84,9 @@ def parse_warc_records(data: bytes):
     while pos < n:
         if data[pos:pos + 5] != b"WARC/":
             break  # trailing padding/garbage
-        head_end = data.index(b"\r\n\r\n", pos)
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break  # truncated mid-header (partial download tail)
         headers = {}
         for line in data[pos:head_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
@@ -93,6 +95,8 @@ def parse_warc_records(data: bytes):
             )
         length = int(headers["content-length"])
         body_start = head_end + 4
+        if body_start + length > n:
+            break  # truncated mid-payload — drop the partial record
         yield headers, data[body_start:body_start + length]
         pos = body_start + length + 4  # skip the record's CRLFCRLF
 

@@ -172,3 +172,20 @@ def test_warc_ingest_through_pipeline(spark, tmp_path):
         want, _ = oracle.extract(r["html"], None)
         assert ext[r["url"]] == want
     assert any(ext[r["url"]] for r in rows[:4])  # not vacuously empty
+
+
+def test_warc_truncated_tail_drops_partial_record():
+    from nidaba_spark.sources.rawfiles import parse_warc_records
+
+    good = _warc_record("response", "https://ok.example/1",
+                        "2026-01-02T03:04:05Z", _http(b"fine"))
+    partial = _warc_record("response", "https://cut.example/2",
+                           "2026-01-02T03:04:05Z", _http(b"x" * 100))
+    for cut in (len(good) + 10, len(good) + len(partial) - 10):
+        recs = list(parse_warc_records((good + partial)[:cut]))
+        assert len(recs) == 1  # the complete record survives, partial dropped
+        assert recs[0][0]["warc-target-uri"] == "https://ok.example/1"
+    # a record whose payload is complete but whose CRLFCRLF terminator
+    # was cut is still a full record — kept
+    recs = list(parse_warc_records((good + partial)[: len(good) + len(partial) - 3]))
+    assert len(recs) == 2
