@@ -124,18 +124,29 @@ def _bm25_score(tf, df_t, doclen, stats, k1, b, k, round_to):
     )
 
 
-def build_postings(
+def append_postings(
     docs: DataFrame,
     path: str,
+    batch_id: int = 0,
     buckets: int = 256,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:
-    """One corpus pass → three tables under ``path``:
-    postings/ (term, doc_id, tf; parquet PARTITIONED by
-    bucket = pmod(xxhash64(term), buckets)), doclen/ (doc_id, dl),
-    stats/ (n_docs, avgdl). df(term) is derived at query time from the
-    pruned postings themselves — no fourth table."""
+    """Add one ingest batch to the index under ``path`` — three
+    batch_id-partitioned tables, each write an idempotent OVERWRITE of
+    its own batch subdirectory (a crash-replayed batch converges, the
+    same pattern as streaming/dedup.py):
+
+      postings/batch=N/bucket=H  (term, doc_id, tf) — bucket =
+          pmod(xxhash64(term), buckets), so queries prune to their
+          terms' buckets ACROSS all batches;
+      doclen/batch=N             (doc_id, dl);
+      stats/batch=N              (n_docs, total_dl) — mergeable
+          integers (never a stored average), the query sums them.
+
+    df(term) is derived at query time from the pruned postings —
+    no fourth table. Doc ids must be unique across batches (upstream
+    recrawl-dedup owns that, as with dedup.minhash_index)."""
     words = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -148,12 +159,23 @@ def build_postings(
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     tf.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))).write.mode(
         "overwrite"
-    ).partitionBy("bucket").parquet(path + "/postings")
+    ).partitionBy("bucket").parquet(f"{path}/postings/batch={batch_id}")
     doclen = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    doclen.write.mode("overwrite").parquet(path + "/doclen")
-    doclen.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")).write.mode(
-        "overwrite"
-    ).parquet(path + "/stats")
+    doclen.write.mode("overwrite").parquet(f"{path}/doclen/batch={batch_id}")
+    doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).write.mode("overwrite").parquet(f"{path}/stats/batch={batch_id}")
+
+
+def build_postings(
+    docs: DataFrame,
+    path: str,
+    buckets: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build the index from scratch = append batch 0."""
+    append_postings(docs, path, 0, buckets, text_col, id_col)
 
 
 def bm25_topk_postings(
@@ -189,6 +211,10 @@ def bm25_topk_postings(
         .select("doc_id", "term", "tf")
     )
     df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    doclen = spark.read.parquet(path + "/doclen")
-    stats = spark.read.parquet(path + "/stats")
+    doclen = spark.read.parquet(path + "/doclen").select("doc_id", "dl")
+    # per-batch mergeable integers -> global scalars
+    stats = spark.read.parquet(path + "/stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("total_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
     return _bm25_score(tf, df_t, doclen, stats, k1, b, k, round_to)

@@ -116,3 +116,32 @@ def test_postings_index_parity_and_pruning(spark, docs, tmp_path):
     plan = buf.getvalue()
     m = re.search(r"PartitionFilters: \[[^\]]*bucket[^\]]*\]", plan)
     assert m, plan[:2500]
+
+
+def test_postings_incremental_append(spark, docs, tmp_path):
+    from nidaba_spark.operators.search import (
+        append_postings,
+        bm25_topk,
+        bm25_topk_postings,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "inc_idx")
+    append_postings(docs.filter(F.col("doc_id") < 3), path, batch_id=0, buckets=16)
+    append_postings(docs.filter(F.col("doc_id") >= 3), path, batch_id=1, buckets=16)
+    for q in (["apple", "banana"], ["cherry"]):
+        whole = [tuple(r) for r in bm25_topk(docs, q, k=10).collect()]
+        inc = [
+            tuple(r)
+            for r in bm25_topk_postings(spark, path, q, k=10, buckets=16).collect()
+        ]
+        assert inc == whole, q
+    # idempotent replay: rewriting batch 1 changes nothing
+    append_postings(docs.filter(F.col("doc_id") >= 3), path, batch_id=1, buckets=16)
+    again = [
+        tuple(r)
+        for r in bm25_topk_postings(
+            spark, path, ["apple", "banana"], k=10, buckets=16
+        ).collect()
+    ]
+    assert again == [tuple(r) for r in bm25_topk(docs, ["apple", "banana"], k=10).collect()]
