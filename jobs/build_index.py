@@ -1,0 +1,72 @@
+"""Build the serving indexes for a (curated) corpus in one job:
+
+    spark-submit jobs/build_index.py \
+        --input /curated/docs --output /indexes --batch-id 3
+
+Writes, under --output:
+  bm25/       — term-hash-bucketed postings + doclen + mergeable stats
+                (operators/search.py; queries prune to their terms'
+                buckets; batch-appendable)
+  lsh/batch=N — MinHash-LSH index rows (operators/dedup.minhash_index;
+                exactly associative, so future crawl batches dedup
+                against the union without rescanning this one)
+  hll/batch=N — per-lang HLL sketch rows + token counts
+                (operators/sketches.py; union-aggregatable forever)
+
+Re-running with the same --batch-id overwrites exactly that batch's
+subdirectories — idempotent replay, the same convergence contract as
+streaming/dedup.py and append_postings.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="build corpus serving indexes")
+    ap.add_argument("--input", required=True, help="docs parquet (id, text[, lang])")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--batch-id", type=int, default=0)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from nidaba_spark.operators.dedup import minhash_index
+    from nidaba_spark.operators.search import append_postings
+    from nidaba_spark.operators.sketches import token_hll_sketches
+    from nidaba_spark.session import get_spark, tune_session
+
+    active = SparkSession.getActiveSession()
+    spark = tune_session(active) if active else get_spark(
+        app="nidaba-index", cores=args.cores
+    )
+    docs = spark.read.parquet(args.input)
+
+    append_postings(
+        docs, os.path.join(args.output, "bm25"), args.batch_id,
+        buckets=args.buckets, text_col=args.text_col, id_col=args.id_col,
+    )
+    minhash_index(docs, text_col=args.text_col, id_col=args.id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.output, "lsh", f"batch={args.batch_id}"))
+    hll_src = docs if "lang" in docs.columns else docs.withColumn("lang", F.lit("all"))
+    token_hll_sketches(hll_src, text_col=args.text_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(args.output, "hll", f"batch={args.batch_id}"))
+
+    n = docs.count()
+    print(f"indexed {n} docs (batch {args.batch_id}) -> {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -145,3 +145,27 @@ def test_postings_incremental_append(spark, docs, tmp_path):
         ).collect()
     ]
     assert again == [tuple(r) for r in bm25_topk(docs, ["apple", "banana"], k=10).collect()]
+
+
+def test_build_index_cli(spark, tmp_path, monkeypatch):
+    """jobs/build_index.py end-to-end: one run produces a queryable
+    BM25 index, LSH index rows, and union-able HLL sketch rows."""
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    job = importlib.import_module("build_index")
+    out = str(tmp_path / "idx")
+    monkeypatch.setattr(_sys, "argv", [
+        "build_index.py", "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--buckets", "16",
+    ])
+    job.main()
+    from nidaba_spark.operators.search import bm25_topk_postings
+    from nidaba_spark.operators.sketches import union_hll
+
+    hits = bm25_topk_postings(spark, out + "/bm25", ["data"], k=3, buckets=16).collect()
+    assert len(hits) == 3 and hits[0]["score"] >= hits[-1]["score"]
+    assert spark.read.parquet(out + "/lsh").count() == 500 * 16  # docs x bands
+    assert union_hll(spark.read.parquet(out + "/hll")) > 0
