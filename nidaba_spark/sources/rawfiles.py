@@ -59,14 +59,21 @@ def read_raw_pages(
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress concatenated gzip members (CC per-record gzip)."""
+    """Decompress concatenated gzip members (CC per-record gzip).
+
+    Tolerant at the tail like the record parser: a truncated or
+    corrupt trailing member (partial download) yields everything
+    decoded so far; trailing non-gzip garbage stops the loop."""
     import zlib
 
     out = []
-    while data:
+    while data[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        try:
+            out.append(d.decompress(data))
+            out.append(d.flush())
+        except zlib.error:
+            break
         data = d.unused_data
     return b"".join(out)
 

@@ -189,3 +189,60 @@ def test_warc_truncated_tail_drops_partial_record():
     # was cut is still a full record — kept
     recs = list(parse_warc_records((good + partial)[: len(good) + len(partial) - 3]))
     assert len(recs) == 2
+
+
+def test_warc_framing_fuzz():
+    """Length-based framing must survive adversarial payloads —
+    including bodies that CONTAIN 'WARC/1.0', CRLFCRLF, or gzip magic
+    bytes. Serialize random records, parse, demand an exact
+    round-trip of (type, uri, payload)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from nidaba_spark.sources.rawfiles import parse_warc_records
+
+    payloads = st.binary(min_size=0, max_size=200) | st.sampled_from([
+        b"WARC/1.0\r\nfake: record\r\n\r\n",
+        b"\r\n\r\n\r\n\r\n",
+        b"\x1f\x8b not actually gzip",
+        b"Content-Length: 99999\r\n\r\n",
+    ])
+    records = st.lists(
+        st.tuples(
+            st.sampled_from(["response", "conversion", "metadata"]),
+            st.text(alphabet="abcXYZ09:/._-", min_size=1, max_size=40),
+            payloads,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(records)
+    def run(recs):
+        blob = b"".join(
+            _warc_record(t, u, "2026-01-01T00:00:00Z", p) for t, u, p in recs
+        )
+        parsed = [
+            (h["warc-type"], h["warc-target-uri"], bytes(p))
+            for h, p in parse_warc_records(blob)
+        ]
+        assert parsed == [(t, u, p) for t, u, p in recs]
+
+    run()
+
+
+def test_warc_gzip_truncated_trailing_member():
+    import gzip
+
+    from nidaba_spark.sources.rawfiles import parse_warc_records
+
+    m1 = gzip.compress(_warc_record("response", "https://ok.example/1",
+                                    "2026-01-01T00:00:00Z", _http(b"fine")))
+    m2 = gzip.compress(_warc_record("response", "https://cut.example/2",
+                                    "2026-01-01T00:00:00Z", _http(b"y" * 500)))
+    recs = list(parse_warc_records(m1 + m2[: len(m2) // 2]))
+    assert [h["warc-target-uri"] for h, _ in recs] == ["https://ok.example/1"]
+    # trailing non-gzip garbage after a full member is ignored too
+    recs = list(parse_warc_records(m1 + b"JUNKJUNK"))
+    assert len(recs) == 1
