@@ -28,7 +28,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_WORD_SPLIT = "[^a-z0-9]+"
+# canonical word definition shared across operators (filters._words /
+# filters._WORD_SPLIT) — train-time (JVM split) and tokenize-time
+# (Python re.split) MUST agree on what a word is
+from .filters import _WORD_SPLIT
 EOW = "</w>"  # end-of-word marker (Sennrich et al. convention)
 
 
@@ -36,11 +39,10 @@ def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) over the lowercased corpus — the ONE distributed
     reduction BPE training needs. Partial aggregation collapses
     repeats map-side; the exchange carries the vocabulary."""
-    w = F.filter(
-        F.split(F.lower(F.col(text_col)), _WORD_SPLIT), lambda t: t != F.lit("")
-    )
+    from .filters import _words as _words_col
+
     return (
-        docs.select(F.explode(w).alias("word"))
+        docs.select(F.explode(_words_col(F.col(text_col))).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("count"))
     )

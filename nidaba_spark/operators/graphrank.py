@@ -62,7 +62,12 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
-    has_out = out_w.select(F.col("_src").alias("node"))
+    if n == 0:
+        raise ValueError("pagerank needs a non-empty edge set")
+    # derive from the CHECKPOINTED trans, not the raw out_w lineage —
+    # otherwise every iteration's dangling aggregate re-scans and
+    # re-aggregates the raw edge table (review-pass finding)
+    has_out = trans.select(F.col("_src").alias("node")).distinct()
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for _ in range(iters):
         dangling = (

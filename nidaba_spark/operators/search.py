@@ -37,7 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_WORD_SPLIT = "[^a-z0-9]+"
+# canonical word definition shared across operators (filters._words):
+# index-time and query-time tokenization MUST be the same expression
+from .filters import _WORD_SPLIT  # noqa: F401  (re-exported for callers)
+from .filters import _words as _words_col
 
 
 def bm25_topk(
@@ -57,12 +60,7 @@ def bm25_topk(
         raise ValueError("query must contain at least one term")
     words = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), _WORD_SPLIT),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("term"),
+        F.explode(_words_col(F.col(text_col))).alias("term"),
     )
     doclen = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = doclen.agg(
@@ -146,24 +144,31 @@ def append_postings(
 
     df(term) is derived at query time from the pruned postings —
     no fourth table. Doc ids must be unique across batches (upstream
-    recrawl-dedup owns that, as with dedup.minhash_index)."""
+    recrawl-dedup owns that, as with dedup.minhash_index).
+
+    The stats rows also RECORD the bucket count: it is a layout
+    contract, and a query run with a different modulus would prune
+    away the very buckets holding its terms and silently return
+    nothing (review-pass finding) — bm25_topk_postings reads the
+    stored value back instead of trusting its caller. The exploded
+    words are pinned with a lazy localCheckpoint so the corpus is
+    tokenized ONCE for all three writes, not three times."""
     words = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), _WORD_SPLIT),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("term"),
-    )
+        F.explode(_words_col(F.col(text_col))).alias("term"),
+    ).localCheckpoint(eager=False)
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     tf.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))).write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(f"{path}/postings/batch={batch_id}")
-    doclen = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    doclen = words.groupBy("doc_id").agg(F.count("*").alias("dl")).localCheckpoint(
+        eager=False
+    )
     doclen.write.mode("overwrite").parquet(f"{path}/doclen/batch={batch_id}")
     doclen.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        F.lit(buckets).alias("buckets"),
     ).write.mode("overwrite").parquet(f"{path}/stats/batch={batch_id}")
 
 
@@ -185,7 +190,7 @@ def bm25_topk_postings(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    buckets: int = 256,
+    buckets: int | None = None,
     round_to: int = 4,
 ) -> DataFrame:
     """Same contract as bm25_topk, served from a build_postings index:
@@ -195,6 +200,17 @@ def bm25_topk_postings(
     terms = sorted({t.lower() for t in query if t})
     if not terms:
         raise ValueError("query must contain at least one term")
+    stats_raw = spark.read.parquet(path + "/stats")
+    stored = {r["buckets"] for r in stats_raw.select("buckets").distinct().collect()}
+    if len(stored) != 1:
+        raise ValueError(f"index at {path} has mixed bucket counts: {stored}")
+    (stored_buckets,) = stored
+    if buckets is not None and buckets != stored_buckets:
+        raise ValueError(
+            f"bucket count mismatch: index built with {stored_buckets}, "
+            f"caller passed {buckets}"
+        )
+    buckets = stored_buckets
     # bucket literals via the SAME JVM hash that wrote the partitions
     bucket_vals = sorted(
         {
@@ -213,7 +229,7 @@ def bm25_topk_postings(
     df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     doclen = spark.read.parquet(path + "/doclen").select("doc_id", "dl")
     # per-batch mergeable integers -> global scalars
-    stats = spark.read.parquet(path + "/stats").agg(
+    stats = stats_raw.agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum("total_dl") / F.sum("n_docs")).alias("avgdl"),
     )

@@ -28,12 +28,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_WORD_SPLIT = "[^a-z0-9]+"
+# canonical word definition shared across operators (filters._words)
+from .filters import _words as _words_col
 
 
-def _words_exploded(docs: DataFrame, text_col: str) -> DataFrame:
-    w = F.filter(F.split(F.lower(F.col(text_col)), _WORD_SPLIT), lambda t: t != F.lit(""))
-    return docs.select(F.col("lang"), F.explode(w).alias("word"))
+def _words_exploded(docs: DataFrame, text_col: str, extra: list[str] | None = None) -> DataFrame:
+    """Exploded (…extra cols, word) token stream. ``extra`` carries
+    grouping columns; token_cms passes none, so inputs without a
+    ``lang`` column work (review-pass finding: the helper used to
+    hard-select lang and broke lang-less corpora)."""
+    return docs.select(
+        *[F.col(c) for c in (extra or [])],
+        F.explode(_words_col(F.col(text_col))).alias("word"),
+    )
 
 
 def token_hll_sketches(
@@ -48,7 +55,7 @@ def token_hll_sketches(
     tokens.
     """
     return (
-        _words_exploded(docs, text_col)
+        _words_exploded(docs, text_col, extra=["lang"])
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -69,7 +76,7 @@ def union_hll(sketches: DataFrame, sketch_col: str = "sketch") -> int:
     row = sketches.select(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias("est")
     ).collect()[0]
-    return int(row["est"])
+    return int(row["est"]) if row["est"] is not None else 0
 
 
 def token_cms(
@@ -112,6 +119,8 @@ def cms_estimate(spark: SparkSession, sketch: bytes, item: str) -> int:
 def cms_merge(spark: SparkSession, sketches: list[bytes]) -> bytes:
     """Merge serialized CMS rows (same eps/confidence/seed) into one —
     the per-day-sketch-table rollup, driver-side over tiny payloads."""
+    if not sketches:
+        raise ValueError("cms_merge needs at least one sketch")
     jvm = spark.sparkContext._jvm
     acc = None
     for s in sketches:

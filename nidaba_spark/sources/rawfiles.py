@@ -97,7 +97,9 @@ def parse_warc_records(data: bytes):
         headers = {}
         for line in data[pos:head_end].split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
-            headers[k.strip().decode("ascii").lower()] = v.strip().decode(
+            # header NAMES get the same tolerant decode as values — a
+            # single mojibake byte must not kill the whole file's task
+            headers[k.strip().decode("utf-8", "replace").lower()] = v.strip().decode(
                 "utf-8", "replace"
             )
         length = int(headers["content-length"])
@@ -143,11 +145,16 @@ def read_warc_pages(
                     if rtype not in ("response", "conversion"):
                         continue
                     rows["url"].append(h.get("warc-target-uri", ""))
+                    # utc=True normalizes 'Z' AND '+hh:mm' offsets to
+                    # one tz, errors='coerce' turns malformed dates
+                    # into NaT — mixed-offset or junk dates must not
+                    # produce an object column (Arrow would reject it)
+                    # or kill the task (review-pass finding)
+                    ts = pd.to_datetime(
+                        h.get("warc-date"), utc=True, errors="coerce"
+                    )
                     rows["warc_ts"].append(
-                        pd.Timestamp(h.get("warc-date", "1970-01-01T00:00:00Z"))
-                        .tz_convert(None)
-                        if "Z" in h.get("warc-date", "Z")
-                        else pd.Timestamp(h.get("warc-date"))
+                        ts.tz_localize(None) if ts is not pd.NaT else pd.NaT
                     )
                     if rtype == "response":
                         rows["html"].append(_http_body(payload))

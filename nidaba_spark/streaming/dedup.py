@@ -41,11 +41,19 @@ _INDEX_COLS = ["id", "band", "bucket", "sig"]
 
 
 def _read_dir(spark: SparkSession, path: str, cols: list[str] | None = None):
-    if not os.path.isdir(path) or not any(
-        e.startswith("batch=") for e in os.listdir(path)
-    ):
+    """Read a batch=*-partitioned table, or None before the first
+    batch. Existence is probed through Spark's Hadoop FS layer (NOT
+    driver-local os.path — a review pass caught that an hdfs://-or-
+    s3a:// work_dir would silently read as absent and disable
+    cross-batch dedup)."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force resolution so missing paths surface here
+    except (AnalysisException, Py4JJavaError):
         return None
-    df = spark.read.parquet(path)
     return df.select(*cols) if cols else df
 
 

@@ -90,3 +90,9 @@ def test_partition_invariant_determinism(spark, random_graph):
     )
     for (na, ra), (nb, rb) in zip(a, b):
         assert na == nb and abs(ra - rb) < 1e-12
+
+
+def test_empty_edges_raise_cleanly(spark):
+    df = spark.createDataFrame([], "src int, dst int, w double")
+    with pytest.raises(ValueError):
+        pagerank(df, weight="w")

@@ -169,3 +169,17 @@ def test_build_index_cli(spark, tmp_path, monkeypatch):
     assert len(hits) == 3 and hits[0]["score"] >= hits[-1]["score"]
     assert spark.read.parquet(out + "/lsh").count() == 500 * 16  # docs x bands
     assert union_hll(spark.read.parquet(out + "/hll")) > 0
+
+
+def test_postings_bucket_contract_enforced(spark, docs, tmp_path):
+    """The bucket modulus is a persisted layout contract: queries
+    auto-detect it, and a wrong caller override fails loudly instead
+    of silently pruning away the terms' buckets."""
+    from nidaba_spark.operators.search import bm25_topk_postings, build_postings
+
+    path = str(tmp_path / "bidx")
+    build_postings(docs, path, buckets=32)
+    auto = bm25_topk_postings(spark, path, ["apple"], k=5).collect()
+    assert len(auto) > 0  # buckets auto-read from the index
+    with pytest.raises(ValueError, match="mismatch"):
+        bm25_topk_postings(spark, path, ["apple"], k=5, buckets=16)

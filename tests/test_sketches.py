@@ -116,3 +116,16 @@ def test_hll_plan_is_partial_agg_no_python(spark, docs):
     assert not re.findall(r"EvalPython|MapInPandas", plan), plan[:2000]
     assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1, plan[:2000]
     assert len(re.findall(r"ObjectHashAggregate|HashAggregate", plan)) >= 2, plan[:2000]
+
+
+def test_cms_works_without_lang_column(spark, docs):
+    sketch = token_cms(docs.select("doc_id", "text"), eps=0.01)
+    assert cms_estimate(spark, sketch, "the") >= 0
+
+
+def test_empty_inputs_behave(spark, docs):
+    import pytest as _pytest
+
+    assert union_hll(token_hll_sketches(docs).limit(0)) == 0
+    with _pytest.raises(ValueError):
+        cms_merge(spark, [])

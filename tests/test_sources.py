@@ -246,3 +246,21 @@ def test_warc_gzip_truncated_trailing_member():
     # trailing non-gzip garbage after a full member is ignored too
     recs = list(parse_warc_records(m1 + b"JUNKJUNK"))
     assert len(recs) == 1
+
+
+def test_warc_mixed_and_malformed_dates(spark, tmp_path):
+    from nidaba_spark.sources.rawfiles import read_warc_pages
+
+    data = (
+        _warc_record("response", "https://z.example/1", "2026-01-02T03:04:05Z",
+                     _http(b"a"))
+        + _warc_record("response", "https://off.example/2",
+                       "2026-01-02T03:04:05+00:00", _http(b"b"))
+        + _warc_record("response", "https://bad.example/3", "not-a-date",
+                       _http(b"c"))
+    )
+    (tmp_path / "mix.warc").write_bytes(data)
+    got = {r["url"]: r for r in read_warc_pages(spark, str(tmp_path)).collect()}
+    assert len(got) == 3
+    assert got["https://z.example/1"]["warc_ts"] == got["https://off.example/2"]["warc_ts"]
+    assert got["https://bad.example/3"]["warc_ts"] is None  # coerced, not crashed
