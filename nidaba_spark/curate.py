@@ -119,9 +119,23 @@ def curate(
     """
     ext = pipeline.extract(pages, nsalt=nsalt, npartitions=npartitions)
     # recrawl dedup first — keep the LATEST crawl per url, so url is
-    # unique downstream and the text-dedup semi-join key is sound
-    latest = ext.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
-    ext1 = ext.join(latest, ["url", "warc_ts"], "left_semi")
+    # unique downstream and the text-dedup semi-join key is sound.
+    # row_number()==1, NOT groupBy(max)+semi-join: two crawls of a url
+    # at the IDENTICAL max warc_ts would both survive the semi-join,
+    # fanning out every downstream url-keyed join (ADVICE r04). Ties
+    # break deterministically by min text hash; rn<=1 compiles to a
+    # map-side WindowGroupLimit so a hot url is bounded per upstream
+    # partition before the one url-keyed shuffle.
+    from pyspark.sql import Window
+
+    w_url = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.xxhash64("text"), F.col("lang")
+    )
+    ext1 = (
+        ext.withColumn("_rn", F.row_number().over(w_url))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     docs = ext1.filter(F.col("text") != "").select(
         "url", "text", F.col("lang").alias("source")
     )

@@ -59,6 +59,15 @@ def pack_assignments(
         .repartitionByRange(n, F.col(order_col))
         .sortWithinPartitions(order_col)
         .withColumn("_pid", F.spark_partition_id())
+        # Materialize ONCE: phases 2 and 3 both consume this plan, and
+        # re-executing it would re-sample the range partitioner /
+        # re-run any nondeterministic upstream (sample/limit/unstable
+        # file listing), silently pairing phase-3 rows with phase-2
+        # offsets from DIFFERENT physical partitions (ADVICE r04).
+        # Lazy localCheckpoint: the totals collect materializes it,
+        # the output job re-reads the same blocks. The checkpointed
+        # projection is skinny (key + long), not the documents.
+        .localCheckpoint(eager=False)
     )
     # Phase 2: per-partition totals -> exclusive cumsum on the driver.
     # P rows cross the driver, never data rows (like IVF centroids /

@@ -147,7 +147,11 @@ def encode_pq(
     return vectors.select(
         F.col(id_col),
         _encode_udf(codebooks, dim)(F.col(vec_col)).alias("codes"),
-        F.round(_norm(F.col(vec_col), dim), 6).alias("vnorm"),
+        # null embedding -> vnorm 0 (NOT null): a null vnorm becomes NaN
+        # in the Arrow batch and NaN ADC scores sort ABOVE every real
+        # double under F.desc, stealing shortlist slots (ADVICE r04).
+        # Zero-norm rows are masked out of ADC scoring downstream.
+        F.coalesce(F.round(_norm(F.col(vec_col), dim), 6), F.lit(0.0)).alias("vnorm"),
     )
 
 
@@ -201,7 +205,9 @@ def ivfpq_topk(
     coded = vectors.select(
         F.col(id_col),
         _encode_udf(codebooks, dim)(F.col(vec_col)).alias("codes"),
-        F.round(_norm(F.col(vec_col), dim), 6).alias("vnorm"),
+        # coalesce: see encode_pq — null vnorm would NaN-poison the
+        # shortlist ordering (ADVICE r04)
+        F.coalesce(F.round(_norm(F.col(vec_col), dim), 6), F.lit(0.0)).alias("vnorm"),
         _assign_udf(centroids, dim)(F.col(vec_col)).alias("cell"),
     )
 
@@ -230,8 +236,14 @@ def ivfpq_topk(
         qi = qid.map(qindex).to_numpy(dtype=np.int64)
         c = np.array(codes.tolist(), dtype=np.int64) + sub_off[None, :]
         sims = np.take_along_axis(lut_flat[qi], c, axis=1).sum(axis=1)
-        v = np.maximum(vnorm.to_numpy(dtype=np.float64), 1e-12)
-        return pd.Series(np.round(sims / (v * qnorm[qi]), 6))
+        vraw = vnorm.to_numpy(dtype=np.float64)
+        v = np.maximum(vraw, 1e-12)
+        out = np.round(sims / (v * qnorm[qi]), 6)
+        # zero/NaN-norm docs (null embeddings): -inf so they sort LAST
+        # under F.desc('adc') — the docstring's 'cosine 0 against
+        # everything' contract, not shortlist-stealing NaNs (ADVICE r04)
+        out[~(np.isfinite(vraw) & (vraw > 0))] = -np.inf
+        return pd.Series(out)
 
     qprobe = queries.select(
         F.col(query_id_col),
@@ -349,14 +361,28 @@ def pq_topk(
         "qmd,mkd->qmk", qmat.reshape(len(qids), m, dim // m), codebooks
     )
 
-    out_schema = f"{query_id_col} long, {id_col} long, adc double"
+    # id field types come from the INPUT schemas, not a hardcoded long:
+    # string/int ids would otherwise fail or silently coerce in the
+    # mapInPandas stage (ADVICE r04; ivfpq_topk preserves types via join)
+    qid_t = queries.schema[query_id_col].dataType.simpleString()
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"{query_id_col} {qid_t}, {id_col} {id_t}, adc double"
 
     lut_flat = lut.reshape(len(qids), m * ksub)
 
     def score_batches(it):
         for pdf in it:
+            if not qids:
+                continue
+            # drop zero/NaN-norm docs (null embeddings) BEFORE scoring:
+            # their ADC would be NaN/garbage and NaN sorts above every
+            # real double under desc (ADVICE r04); contract is cosine 0
+            vraw = pdf["vnorm"].to_numpy(dtype=np.float64)
+            ok = np.isfinite(vraw) & (vraw > 0)
+            if not ok.all():
+                pdf = pdf[ok]
             n = len(pdf)
-            if n == 0 or not qids:
+            if n == 0:
                 continue
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (n, m)
             vnorm = np.maximum(pdf["vnorm"].to_numpy(dtype=np.float64), 1e-12)

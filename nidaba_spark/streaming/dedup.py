@@ -42,18 +42,21 @@ _INDEX_COLS = ["id", "band", "bucket", "sig"]
 
 def _read_dir(spark: SparkSession, path: str, cols: list[str] | None = None):
     """Read a batch=*-partitioned table, or None before the first
-    batch. Existence is probed through Spark's Hadoop FS layer (NOT
-    driver-local os.path — a review pass caught that an hdfs://-or-
-    s3a:// work_dir would silently read as absent and disable
-    cross-batch dedup)."""
-    from py4j.protocol import Py4JJavaError
-    from pyspark.errors import AnalysisException
-
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force resolution so missing paths surface here
-    except (AnalysisException, Py4JJavaError):
+    batch. Existence is probed EXPLICITLY through Spark's Hadoop FS
+    layer (works for hdfs://-or-s3a:// work_dirs, unlike driver-local
+    os.path) and ONLY a genuinely-absent path maps to None: a broad
+    except around the read would swallow transient FS/permission
+    errors too, silently disabling cross-batch dedup for that
+    micro-batch while its kept/index writes still commit — duplicates
+    would leak into the curated corpus permanently (ADVICE r04).
+    Genuine read errors propagate and fail the batch, which the
+    engine-checkpoint replay then retries."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return None
+    df = spark.read.parquet(path)
     return df.select(*cols) if cols else df
 
 

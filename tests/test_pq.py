@@ -162,3 +162,55 @@ def test_null_embedding_safe(spark, emb, books):
     )
     coded = pq.encode_pq(with_null, books).collect()
     assert len(coded) == 51
+    # vnorm is 0.0 (not null): a null vnorm becomes a NaN ADC score
+    # which sorts ABOVE every real double under desc (ADVICE r04)
+    null_row = [r for r in coded if r["vec_id"] == 999999][0]
+    assert null_row["vnorm"] == 0.0
+
+
+def test_null_embeddings_never_steal_shortlist_slots(spark, emb, books):
+    """ADVICE r04: with a TIGHT shortlist (== k), every slot a
+    null-embedding doc steals is an unrecoverable recall loss — the
+    exact re-rank can only reorder the shortlist. Top-k over a corpus
+    with many nulls must equal top-k over the non-null corpus alone,
+    in both pq_topk and ivfpq_topk."""
+    base = emb.limit(50)
+    nulls = spark.createDataFrame(
+        [(900000 + i, None) for i in range(40)],
+        schema="vec_id long, embedding array<float>",
+    )
+    q = _queries(emb)
+    tup = lambda rows: sorted(
+        (r["query_id"], r["vec_id"], r["sim"], r["rank"]) for r in rows
+    )
+    clean = pq.pq_topk(base, q, k=K, codebooks=books, shortlist=K).collect()
+    dirty = pq.pq_topk(
+        base.union(nulls), q, k=K, codebooks=books, shortlist=K
+    ).collect()
+    assert tup(clean) == tup(dirty)
+    clean_i = pq.ivfpq_topk(
+        base, q, k=K, nlist=4, nprobe=4, iters=2, codebooks=books, shortlist=K
+    ).collect()
+    dirty_i = pq.ivfpq_topk(
+        base.union(nulls), q, k=K, nlist=4, nprobe=4, iters=2,
+        codebooks=books, shortlist=K,
+    ).collect()
+    assert tup(clean_i) == tup(dirty_i)
+
+
+def test_pq_topk_preserves_id_types(spark, emb, books):
+    """ADVICE r04: out_schema was hardcoded 'long, long' — string ids
+    failed or coerced in the mapInPandas stage."""
+    svecs = emb.limit(30).select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("vec_id"), "embedding"
+    )
+    squeries = _queries(emb).select(
+        F.concat(F.lit("q-"), F.col("query_id")).alias("query_id"), "embedding"
+    )
+    rows = pq.pq_topk(
+        svecs, squeries, k=3, codebooks=books, shortlist=10
+    ).collect()
+    assert rows and all(
+        r["query_id"].startswith("q-") and r["vec_id"].startswith("doc-")
+        for r in rows
+    )
