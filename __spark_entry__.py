@@ -43,58 +43,45 @@ SF_SMOKE = "/root/testdata/sf0.001"
 #     k-means training is not SQL-expressible) and stays off the
 #     driver surface; tests/test_ivf.py pins it to brute force
 #     (exhaustive probe == exact, planted-cluster recall gate).
+# r05 ROTATION (VERDICT r04 next #2): the 11 oracled training-data /
+# hygiene queries that were waiting off-surface (paragraph_dedup,
+# quality_model_score, decontaminate, decontaminate_bloom,
+# repetition_filter, redact_pii, split_assign, bm25_search,
+# duplicate_spans, unigram_logprob, pack_documents) now hold driver
+# rows; 11 long-green trivial relational rows (green since r01/r02,
+# including the vacuous 0-row customers_without_orders) rotate out to
+# tests/test_offdriver_oracles.py, which runs the IDENTICAL DuckDB
+# comparison — off the driver surface never means unchecked.
 _RETIRED_FROM_DRIVER = [
-    "sample_events",
-    "approx_distinct_users",
-    "embedding_near_dup_lsh",
-    "ann_ivf",
-    "pack_documents",
-    "source_mix",
-    # r04 corpus-hygiene additions (repetition / decontamination /
-    # PII redaction): full DuckDB oracles exist, but the 50-slot
-    # driver surface is frozen per the r03 verdict ("no other query
-    # losing its row"); tests/test_offdriver_oracles.py runs the SAME
-    # oracle comparison over these in pytest.
-    "repetition_filter",
-    "decontaminate",
-    # bloom variant of decontaminate (scale path, zero train-side
-    # shuffles); full oracle runs off-driver at fpp=1e-9.
-    "decontaminate_bloom",
-    # mergeable HLL sketch rollup — rows-only by nature (DuckDB's
-    # approx sketch differs); error/mergeability gates in
-    # tests/test_sketches.py.
-    "hll_tokens_per_lang",
-    # incremental LSH dedup vs a persisted index — rows-only
-    # (xxhash64 chain); gates in tests/test_incremental_lsh.py.
-    "dedup_incremental_lsh",
-    # learned-BPE tokenization — rows-only (iterative training);
-    # Sennrich worked-example/round-trip gates in tests/test_bpe.py.
-    "bpe_token_counts",
-    # PageRank domain authority — rows-only (iterative float algo);
-    # numpy-reference parity gates in tests/test_graphrank.py.
-    "source_pagerank",
-    # stratified split assignment — full DuckDB oracle off-driver
-    # (tests/test_offdriver_oracles.py); gates in tests/test_mixing.py.
-    "split_assign",
-    # zlib compressibility quality signal — rows-only (no zlib in
-    # DuckDB); monotonicity gates in tests/test_trainingdata_ops.py.
-    "compression_ratio",
-    # BM25 top-k search — full DuckDB oracle off-driver; hand-case
-    # gates in tests/test_search.py.
-    "bm25_search",
-    "redact_pii",
-    "dedup_clusters",
-    "unigram_logprob",
-    # r04: model-based quality filter (pinned-LR codegen scoring; full
-    # DuckDB oracle runs in tests/test_offdriver_oracles.py) and
-    # host-level crawl stats/capping live off the frozen surface too.
-    "quality_model_score",
-    "paragraph_dedup",
-    "duplicate_spans",
-    # r04: PQ ANN — rows-only by nature like ann_ivf (iterative
-    # codebook training); gated in tests/test_pq.py.
-    "ann_pq",
-    "ann_ivfpq",
+    # rows-only by nature (no SQL-expressible oracle); each carries
+    # dedicated pytest gates:
+    "sample_events",  # B37 sampling — tests/test_trainingdata_ops.py
+    "approx_distinct_users",  # B16 HLL — tests/test_sketches.py
+    "embedding_near_dup_lsh",  # permissive regime; strict variant on-driver
+    "ann_ivf",  # iterative k-means — tests/test_ivf.py
+    "ann_pq",  # iterative codebooks — tests/test_pq.py
+    "ann_ivfpq",  # tests/test_pq.py
+    "hll_tokens_per_lang",  # mergeable sketches — tests/test_sketches.py
+    "dedup_incremental_lsh",  # tests/test_incremental_lsh.py
+    "bpe_token_counts",  # iterative training — tests/test_bpe.py
+    "source_pagerank",  # iterative float algo — tests/test_graphrank.py
+    "compression_ratio",  # no zlib in DuckDB — monotonicity gates
+    "dedup_clusters",  # iterative connected components — tests/test_cluster.py
+    "source_mix",  # full oracle off-driver (tests/test_offdriver_oracles.py)
+    # r05 rotated-out long-green relational rows (all green in every
+    # round since r01/r02; identical oracle comparison continues in
+    # tests/test_offdriver_oracles.py):
+    "events_per_hour",
+    "acctbal_buckets",
+    "props_map",
+    "events_json",
+    "region_event_grid",
+    "intersect_except_customers",
+    "distinct_users_per_type",
+    "supplier_nation",
+    "top_docs_by_chars",
+    "top_words",
+    "customers_without_orders",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

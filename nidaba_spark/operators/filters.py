@@ -387,7 +387,12 @@ def decontaminate_bloom(
     # for the O(words²) inlining trap this avoids.
     return (
         _gram_hashes(train, id_col, text_col, n)
-        .select("doc_id", bloom_hits(F.col("gram_hashes")).alias("n_overlap"))
+        # long, matching exact decontaminate's count(*) dtype exactly
+        # (the driver's compare is pandas-dtype-sensitive)
+        .select(
+            "doc_id",
+            bloom_hits(F.col("gram_hashes")).cast("long").alias("n_overlap"),
+        )
         .filter(F.col("n_overlap") > 0)
     )
 

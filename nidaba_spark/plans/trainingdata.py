@@ -477,15 +477,38 @@ FROM u
 def q_pack_documents(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing (operators/packing.py): documents → fixed
     1024-token training examples via the distributed prefix sum.
-    Off the pinned 50-entry driver surface; the SAME DuckDB global-
-    window oracle is pinned in tests/test_packing.py, plus a
-    plan-shape assertion that no single-partition window exists."""
+    Driver-oracled since the r05 surface rotation: the oracle is the
+    naive SQL GLOBAL window (the single-partition antipattern the
+    operator exists to avoid) — same numbers, computed scalably; a
+    plan-shape assertion in tests/test_packing.py pins the absence of
+    any SinglePartition exchange."""
     from ..operators import packing
 
     docs = load(spark, sf, "documents")
     return packing.pack_assignments(
         docs, textstats.token_count_ws(F.col("text")), budget=1024
     )
+
+
+# tokens_before is sum(BIGINT) -> HUGEINT in DuckDB; CAST keeps the
+# driver's dtype-sensitive compare aligned with Spark's long.
+ORACLE["pack_documents"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+  FROM t)
+SELECT doc_id, n_tokens, tokens_before,
+       CAST(floor(tokens_before / 1024) AS BIGINT) AS pack_id,
+       CAST(row_number() OVER (
+         PARTITION BY floor(tokens_before / 1024) ORDER BY doc_id) - 1
+         AS INT) AS pack_pos
+FROM c
+"""
 
 
 def q_doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
@@ -895,7 +918,7 @@ WITH w AS (
   SELECT doc_id, bigram, count(*) AS c FROM b GROUP BY doc_id, bigram
 )
 SELECT doc_id,
-       sum(c) AS n_bigrams,
+       CAST(sum(c) AS BIGINT) AS n_bigrams,
        round(max(c)::DOUBLE / sum(c), 4) AS top_bigram_frac,
        round(1.0 - count(*)::DOUBLE / sum(c), 4) AS dup_bigram_frac,
        round(max(c)::DOUBLE / sum(c), 4) > 0.18 AS repetitive
@@ -929,7 +952,7 @@ WITH w AS (
 ), train_g AS (
   SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0
 )
-SELECT doc_id, count(*) AS n_overlap
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
 FROM train_g JOIN eval_g USING (gram)
 GROUP BY doc_id
 """
@@ -1074,9 +1097,9 @@ WITH a AS (
   FROM documents
 )
 SELECT doc_id,
-       len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-       len(regexp_extract_all(aug, '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS n_phone,
-       len(regexp_extract_all(aug, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS n_ip,
+       CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+       CAST(len(regexp_extract_all(aug, '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(aug, '\b\d{1,3}(\.\d{1,3}){3}\b')) AS INTEGER) AS n_ip,
        md5(regexp_replace(regexp_replace(regexp_replace(aug,
            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
            '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),

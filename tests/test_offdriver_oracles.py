@@ -57,16 +57,39 @@ def _rowset(cols, rows):
     return sorted(tuple(_canon(r[i]) for i in order) for r in rows)
 
 
-def test_new_filters_have_offdriver_coverage():
+def test_rotation_keeps_every_oracle_checked():
+    """r05 surface rotation (VERDICT r04 next #2): the 11 hygiene /
+    training-data queries moved ONTO the driver surface, 11 long-green
+    relational rows moved off. Rotated-out rows must keep the identical
+    comparison here; rotated-in rows must actually hold driver slots."""
+    for name in (
+        "events_per_hour",
+        "acctbal_buckets",
+        "props_map",
+        "events_json",
+        "region_event_grid",
+        "intersect_except_customers",
+        "distinct_users_per_type",
+        "supplier_nation",
+        "top_docs_by_chars",
+        "top_words",
+        "customers_without_orders",
+    ):
+        assert name in OFF_DRIVER_ORACLES, f"{name} lost its oracle coverage"
     for name in (
         "repetition_filter",
         "decontaminate",
+        "decontaminate_bloom",
         "redact_pii",
         "quality_model_score",
         "paragraph_dedup",
         "duplicate_spans",
+        "split_assign",
+        "bm25_search",
+        "unigram_logprob",
+        "pack_documents",
     ):
-        assert name in OFF_DRIVER_ORACLES, f"{name} lost its oracle coverage"
+        assert name in _ON_DRIVER, f"{name} fell off the driver surface"
 
 
 @pytest.mark.parametrize("name", OFF_DRIVER_ORACLES)
