@@ -45,6 +45,23 @@ RELATIONAL_HEADLINERS = [
 ]
 
 
+PROBE_FLOOR = float(os.environ.get("NIDABA_PROBE_FLOOR", "7.0"))
+MAX_PIPELINE_REPS = int(os.environ.get("NIDABA_MAX_PIPELINE_REPS", "8"))
+
+
+def _cpu_probe() -> float:
+    """Single-core busy-loop rate (M iters/s): the shared host's
+    effective speed drifts 2-3x over minutes (NOTES.md); stamping the
+    probe INTO the bench artifact lets a headline regression be
+    adjudicated from the JSON itself (VERDICT r04 next #1) instead of
+    from out-of-band session notes."""
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < 0.5:
+        x += 1
+    return round(x / 0.5 / 1e6, 1)
+
+
 def time_action(fn, reps: int = 2) -> float:
     """Best-of-N action timing: the shared host's speed drifts 2-3x
     over minutes (NOTES.md), so a single sample can tax an unlucky
@@ -56,6 +73,32 @@ def time_action(fn, reps: int = 2) -> float:
         fn()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
+
+
+def time_action_probe_qualified(fn, min_reps: int, max_reps: int):
+    """Probe-qualified best-of-N for the headline metric: each rep is
+    bracketed by host-speed probes; a rep QUALIFIES if both probes are
+    >= PROBE_FLOOR (the r04-adjudicated window in which wall-clock on
+    this host is meaningful). Runs at least ``min_reps`` and keeps
+    going until a qualifying rep exists (or max_reps), then returns
+    (best_qualifying_sec_or_overall_min, reps_log, qualified_flag).
+    The full per-rep log (sec + both probes) goes into the JSON so
+    the artifact exonerates or convicts the code on its own."""
+    log = []
+    for i in range(max_reps):
+        p0 = _cpu_probe()
+        t0 = time.perf_counter()
+        fn()
+        sec = time.perf_counter() - t0
+        p1 = _cpu_probe()
+        log.append({"sec": round(sec, 3), "probe_M_per_s": [p0, p1]})
+        have_qual = any(min(r["probe_M_per_s"]) >= PROBE_FLOOR for r in log)
+        if i + 1 >= min_reps and have_qual:
+            break
+    qual = [r for r in log if min(r["probe_M_per_s"]) >= PROBE_FLOOR]
+    if qual:
+        return min(r["sec"] for r in qual), log, True
+    return min(r["sec"] for r in log), log, False
 
 
 def main() -> None:
@@ -82,16 +125,18 @@ def main() -> None:
         ).collect()
 
     # warm-up once (JIT/codegen, python worker pool), then timed runs.
-    # Pipeline gets best-of-3 (not the default 2): cold-JVM measurements
-    # this host converge only on the 3rd-4th full run (r04: 15.3/10.0/
-    # 4.9/5.2s back-to-back), and a single host stall poisoning the
-    # headline costs a round of misleading BENCH history.
+    # Probe-qualified best-of-N (VERDICT r04 next #1): cold-JVM
+    # convergence takes 3-4 full runs on this host (r04: 15.3/10.0/
+    # 4.9/5.2s back-to-back), so at least 4 reps run; the harness
+    # keeps going (to MAX_PIPELINE_REPS) until at least one rep sits
+    # in a probe>=PROBE_FLOOR window, and the per-rep probe log is
+    # emitted in the JSON so a regression is adjudicable from the
+    # artifact alone.
     run_pipeline()
-    # best-of-4: late-r04 solo runs measured back-to-back pipeline reps
-    # spreading 3.9→8.9s on the same code as host load swung (probe
-    # 11 M/s mid-range) — one extra rep materially tightens the min
-    # estimator under that drift for ~4s of wall.
-    t_pipeline = time_action(run_pipeline, reps=4)
+    t_pipeline, pipeline_reps, probe_qualified = time_action_probe_qualified(
+        run_pipeline, min_reps=4, max_reps=MAX_PIPELINE_REPS
+    )
+    t_pipeline = round(t_pipeline, 3)
     queries["pipeline_extract"] = t_pipeline
 
     # -- relational / training-data headliners on SF_DIR
@@ -110,9 +155,10 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     # Scaling numbers republished from the last scripts/bench_scaling.py
     # measurement (BENCH/scaling_summary.json). Slices are NAMED per the
-    # r03 verdict adjudication: 2v8 pinned-ABA at >=1M rows is the GATE
-    # (sandbox stand-in for N vs 4N executors); 8v32 is a regression
-    # canary with a 0.70 pooled-median floor.
+    # r03/r04 verdict adjudications: 2v8 pinned-ABA at >=1M rows is the
+    # GATE (sandbox stand-in for N vs 4N executors); the regression
+    # canary is the ABSOLUTE t32 clean-leg wall (<=23s @1M) in a
+    # probe>=7 window; the 8v32 ratio is published FYI with no floor.
     scaling: dict = {}
     try:
         with open(
@@ -133,13 +179,27 @@ def main() -> None:
                 "pipeline_docs_per_sec": docs_per_sec,
                 "pipeline_gb_per_hour": gb_per_hour,
                 "pipeline_input_bytes": in_bytes,
+                # probe-qualified headline evidence (VERDICT r04 #1):
+                # per-rep wall + bracketing host probes; the headline is
+                # the best rep from a probe>=floor window when one exists
+                "pipeline_reps": pipeline_reps,
+                "probe_floor_M_per_s": PROBE_FLOOR,
+                "probe_qualified": probe_qualified,
                 "scaling_gate_slice": scaling.get("gate_slice"),
                 "scaling_efficiency_2v8": scaling.get("scaling_efficiency_2v8"),
                 "scaling_efficiency_4v16": scaling.get("scaling_efficiency_4v16"),
-                "scaling_canary_8v32": scaling.get("scaling_canary_8v32"),
-                "scaling_canary_8v32_recheck": scaling.get("canary_recheck_8v32"),
+                # 8v32 ratio: published FYI, floor RETIRED (r04 ruling)
+                "scaling_8v32_ratio_fyi": scaling.get("scaling_canary_8v32"),
+                # effective-r05 canary: absolute t32 clean-leg wall in a
+                # probe-qualified window (floor 23s @1M, r04 adjudication)
                 "scaling_canary_t32_wall_sec": scaling.get(
                     "canary_recheck_t32_clean_leg_median_sec"
+                ),
+                "scaling_canary_t32_floor_sec": scaling.get(
+                    "canary_t32_wall_floor_sec"
+                ),
+                "scaling_canary_probe_floor_M_per_s": scaling.get(
+                    "canary_probe_floor_M_per_s"
                 ),
                 "scaling_corpus_rows": scaling.get("corpus_rows"),
                 "cpus": CPUS,
