@@ -29,20 +29,30 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="build corpus serving indexes")
-    ap.add_argument("--input", required=True, help="docs parquet (id, text[, lang])")
+    ap.add_argument("--input", help="docs parquet (id, text[, lang])")
     ap.add_argument("--output", required=True)
     ap.add_argument("--batch-id", type=int, default=0)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="merge the BM25 index's accumulated batch=N subdirectories "
+        "into one (small-files repair; scores are byte-identical). "
+        "Runs after the append when --input is given, or standalone "
+        "on an existing index without it.",
+    )
     args = ap.parse_args()
+    if not args.input and not args.compact:
+        ap.error("--input is required unless --compact")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from nidaba_spark.operators.dedup import minhash_index
-    from nidaba_spark.operators.search import append_postings
+    from nidaba_spark.operators.search import append_postings, compact_postings
     from nidaba_spark.operators.sketches import token_hll_sketches
     from nidaba_spark.session import get_spark, tune_session
 
@@ -50,22 +60,30 @@ def main() -> None:
     spark = tune_session(active) if active else get_spark(
         app="nidaba-index", cores=args.cores
     )
-    docs = spark.read.parquet(args.input)
+    if args.input:
+        docs = spark.read.parquet(args.input)
 
-    append_postings(
-        docs, os.path.join(args.output, "bm25"), args.batch_id,
-        buckets=args.buckets, text_col=args.text_col, id_col=args.id_col,
-    )
-    minhash_index(docs, text_col=args.text_col, id_col=args.id_col).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(args.output, "lsh", f"batch={args.batch_id}"))
-    hll_src = docs if "lang" in docs.columns else docs.withColumn("lang", F.lit("all"))
-    token_hll_sketches(hll_src, text_col=args.text_col).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(args.output, "hll", f"batch={args.batch_id}"))
+        append_postings(
+            docs, os.path.join(args.output, "bm25"), args.batch_id,
+            buckets=args.buckets, text_col=args.text_col, id_col=args.id_col,
+        )
+        minhash_index(docs, text_col=args.text_col, id_col=args.id_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.output, "lsh", f"batch={args.batch_id}"))
+        hll_src = docs if "lang" in docs.columns else docs.withColumn("lang", F.lit("all"))
+        token_hll_sketches(hll_src, text_col=args.text_col).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(args.output, "hll", f"batch={args.batch_id}"))
 
-    n = docs.count()
-    print(f"indexed {n} docs (batch {args.batch_id}) -> {args.output}")
+        n = docs.count()
+        print(f"indexed {n} docs (batch {args.batch_id}) -> {args.output}")
+    if args.compact:
+        info = compact_postings(spark, os.path.join(args.output, "bm25"))
+        print(
+            f"compacted bm25 index: {info['batches_before']} batches -> 1, "
+            f"{info['postings_files_before']} -> {info['postings_files_after']} "
+            "postings files"
+        )
 
 
 if __name__ == "__main__":
