@@ -45,6 +45,9 @@ def curate(
     npartitions: int | None = None,
     pii_redact: bool = False,
     repetition_max_frac: float | None = None,
+    dup_span_max_frac: float | None = None,
+    dup_span_n: int = 50,
+    dup_span_hash_keys: bool = True,
     decontam_eval: DataFrame | None = None,
     decontam_bloom_fpp: float | None = None,
     near_dup_threshold: float | None = None,
@@ -70,6 +73,15 @@ def curate(
       repetition_max_frac   — drop docs whose top word-bigram mass
                               exceeds the cut (Gopher rule; anti-join
                               on the repetition_stats aggregate);
+      dup_span_max_frac     — drop docs whose corpus-wide duplicated
+                              n-token-span fraction (Lee et al.
+                              substring signal) exceeds the cut;
+                              dup_span_hash_keys=True (default) runs
+                              the xxhash64-keyed 10^12-row form whose
+                              span shuffles carry 8-byte keys — see
+                              filters.duplicate_span_stats for the
+                              birthday-bound note; set False for the
+                              oracle-exact string-keyed form;
       decontam_eval         — drop docs sharing any word-5-gram with
                               the held-out eval DataFrame(text);
       decontam_bloom_fpp    — when set alongside decontam_eval, use
@@ -177,6 +189,7 @@ def curate(
         good = good.join(in_band, "url", "left_semi")
     if (
         repetition_max_frac is not None
+        or dup_span_max_frac is not None
         or decontam_eval is not None
         or near_dup_threshold is not None
     ):
@@ -193,6 +206,15 @@ def curate(
             F.col("top_bigram_frac") > F.lit(repetition_max_frac)
         ).select(F.col("doc_id").alias("url"))
         good = good.join(spam, "url", "left_anti")
+    if dup_span_max_frac is not None:
+        from .operators.filters import duplicate_span_stats
+
+        spanny = duplicate_span_stats(
+            good, n=dup_span_n, id_col="url", hash_keys=dup_span_hash_keys
+        ).filter(F.col("dup_span_frac") > F.lit(dup_span_max_frac)).select(
+            F.col("doc_id").alias("url")
+        )
+        good = good.join(spanny, "url", "left_anti")
     if decontam_eval is not None:
         from .operators.filters import decontaminate, decontaminate_bloom
 

@@ -119,7 +119,11 @@ def repetition_stats(
 
 
 def duplicate_span_stats(
-    docs: DataFrame, n: int = 50, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_keys: bool = False,
 ) -> DataFrame:
     """Substring-level duplication signal (Lee et al. 2021,
     "Deduplicating Training Data Makes Language Models Better"),
@@ -134,13 +138,25 @@ def duplicate_span_stats(
 
     Plan: linear-time exploded spans (projected words array — see
     _ngrams' O(words²) trap) → corpus-wide span counts via one
-    map-side-combined hash agg → join counts back on the span →
+    map-side-combined hash agg → join counts back on the span key →
     per-doc aggregate. Two span-keyed shuffles + one doc-keyed; AQE
-    skew-join covers hyper-duplicated spans. The same xxhash64 key
-    swap documented on repetition_stats applies at 10^12 scale; the
-    string key keeps the DuckDB oracle exact.
+    skew-join covers hyper-duplicated spans.
+
+    ``hash_keys=True`` is the 10^12-row form: the span STRING (~50
+    tokens, hundreds of bytes) is replaced by its ``xxhash64`` right
+    after the explode, so both span-keyed shuffles and the join carry
+    8-byte keys — a ~30-60x cut in shuffle bytes on real text. Cost is
+    the birthday bound on 64-bit collisions: two DISTINCT spans share
+    a hash with probability ~d²/2^65 for d distinct spans corpus-wide
+    (at d = 10^9 that is ~1.4e-2 expected collisions TOTAL, each of
+    which can only nudge one dup_span_frac upward — immaterial for a
+    removal-candidate filter). The default string key keeps the DuckDB
+    oracle byte-exact; equivalence of the two forms on collision-free
+    corpora is pinned in tests/test_trainingdata_ops.py.
     """
     spans = _exploded_grams(docs, id_col, text_col, n, "span")
+    if hash_keys:
+        spans = spans.select("doc_id", F.xxhash64("span").alias("span"))
     counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("_cnt"))
     return (
         spans.join(counts, "span")

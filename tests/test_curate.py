@@ -94,6 +94,8 @@ def test_hygiene_stages_compose(spark, pages, curated):
         npartitions=8,
         pii_redact=True,
         repetition_max_frac=0.18,
+        dup_span_max_frac=0.95,
+        dup_span_n=8,
         decontam_eval=eval_df,
         near_dup_threshold=0.9,
     )
@@ -121,6 +123,8 @@ def test_hygiene_stages_compose(spark, pages, curated):
         npartitions=3,
         pii_redact=True,
         repetition_max_frac=0.18,
+        dup_span_max_frac=0.95,
+        dup_span_n=8,
         decontam_eval=eval_df,
         near_dup_threshold=0.9,
     )
