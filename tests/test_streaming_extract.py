@@ -111,3 +111,38 @@ def test_stream_matches_batch_and_resumes(spark, dirs):
     stages = {r["stage"] for r in lin.select("stage").distinct().collect()}
     assert stages == {"stream_extract"}
     assert lin.filter(F.col("input_rows") > 0).count() >= 2  # one per drop
+
+
+def test_pruned_mode_stream_matches_batch_and_resumes(spark, tmp_path):
+    """mode='pruned' (VERDICT r04 next #9): the two-phase text-pruned
+    batch plan per micro-batch via foreachBatch, exactly-once through
+    batch_id-keyed partition overwrites — same stream ≡ batch byte
+    contract and checkpoint-resume guarantee as the inline sink."""
+    rows = corpus.generate_rows(N)
+    half = N // 2
+    src = tmp_path / "drops"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    lineage = str(tmp_path / "lineage")
+
+    _write_drop(rows[:half], os.path.join(str(src), "drop1.parquet"))
+    sx.extract_pages_stream(
+        spark, str(src), out, ckpt, npartitions=8,
+        lineage_dir=lineage, run_id="t-pruned", mode="pruned",
+    )
+    got1 = _snapshot(sx.read_extracted(spark, out))
+    pages1 = spark.createDataFrame(pd.DataFrame(rows[:half]), schema=schemas.PAGES)
+    want1 = _snapshot(pipeline.extract(pages1, npartitions=8, mode="fused"))
+    assert got1 == want1
+
+    _write_drop(rows[half:], os.path.join(str(src), "drop2.parquet"))
+    sx.extract_pages_stream(
+        spark, str(src), out, ckpt, npartitions=8,
+        lineage_dir=lineage, run_id="t-pruned", mode="pruned",
+    )
+    got_all = _snapshot(sx.read_extracted(spark, out))
+    pages_all = spark.createDataFrame(pd.DataFrame(rows), schema=schemas.PAGES)
+    want_all = _snapshot(pipeline.extract(pages_all, npartitions=8, mode="fused"))
+    assert got_all == want_all  # no dupes (snapshot asserts), no gaps
+    lin = spark.read.schema(schemas.LINEAGE).parquet(lineage)
+    assert lin.filter(F.col("stage") == "stream_extract").count() >= 2
