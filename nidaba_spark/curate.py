@@ -56,6 +56,7 @@ def curate(
     min_model_score: float | None = None,
     compression_band: tuple[float, float] | None = None,
     splits: dict[str, float] | None = None,
+    pre_extracted: DataFrame | None = None,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -129,7 +130,17 @@ def curate(
                               loop); the surviving-set anti-join it
                               leaves behind is lazy as usual.
     """
-    ext = pipeline.extract(pages, nsalt=nsalt, npartitions=npartitions)
+    # pre_extracted = the staged-pipeline composition seam: when the
+    # extraction already ran as a checkpointed Pipeline (its own
+    # lineage + resume), pass its EXTRACTED table here and curation
+    # starts from that stage boundary instead of re-extracting —
+    # jobs/full_corpus_job.py is the end-to-end user. `pages` may then
+    # be None.
+    ext = (
+        pre_extracted
+        if pre_extracted is not None
+        else pipeline.extract(pages, nsalt=nsalt, npartitions=npartitions)
+    )
     # recrawl dedup first — keep the LATEST crawl per url, so url is
     # unique downstream and the text-dedup semi-join key is sound.
     # row_number()==1, NOT groupBy(max)+semi-join: two crawls of a url
