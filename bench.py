@@ -193,7 +193,11 @@ def main() -> None:
                 # effective-r05 canary: absolute t32 clean-leg wall in a
                 # probe-qualified window (floor 23s @1M, r04 adjudication)
                 "scaling_canary_t32_wall_sec": scaling.get(
-                    "canary_recheck_t32_clean_leg_median_sec"
+                    "canary_t32_clean_leg_median_sec",
+                    scaling.get("canary_recheck_t32_clean_leg_median_sec"),
+                ),
+                "scaling_canary_t32_probes_M_per_s": scaling.get(
+                    "canary_t32_probes_M_per_s"
                 ),
                 "scaling_canary_t32_floor_sec": scaling.get(
                     "canary_t32_wall_floor_sec"

@@ -215,24 +215,56 @@ def main() -> None:
     tn_med = statistics.median(s[f"t{head_n}"] for s in samples)
     t4n_med = statistics.median(s[f"t{head_4n}"] for s in samples)
     in_gb = in_bytes / 1e9
+    # 8v32 canary per the r04 ruling: absolute t32 wall in
+    # probe-qualified windows (both bracketing probes >= 7 M/s);
+    # the ratio itself is published FYI with no floor.
+    canary_t32_med = None
+    canary_probes: list[float] = []
+    if (8, 32) in results and results[(8, 32)]:
+        qual_legs = [
+            leg
+            for s in results[(8, 32)]
+            if min(s["cpu_probe_M_per_s"]) >= 7.0
+            for leg in s["t32_legs"]
+        ]
+        canary_probes = sorted(
+            p for s in results[(8, 32)]
+            if min(s["cpu_probe_M_per_s"]) >= 7.0
+            for p in s["cpu_probe_M_per_s"]
+        )
+        if qual_legs:
+            canary_t32_med = round(statistics.median(qual_legs), 1)
     lines = [
         "# BENCH/BASELINE - measured throughput + scaling evidence",
         "",
-        "## ADJUDICATED (r03 verdict ruling)",
+        "## ADJUDICATED rulings (r03 gate, r04 canary recalibration)",
         "",
         "Per VERDICT.md r03 (Performance): the pinned 2->8-core",
         "ABA-sandwich slice at the >=1M-row corpus is the GATE metric",
         "(sandbox stand-in for the north_rule's N vs 4N executors; the 4N",
         "level of that slice uses 25% of the box - the least-saturated,",
-        "most cluster-faithful stand-in). The 8->32 slice is a regression",
-        "CANARY (floor: 0.70 pooled median, post leg-cleanup harness fix),",
-        "not the gate: it presses the ONE shared memory-bus/GC/shuffle",
-        "domain a real cluster scales out per executor. Corpus-size",
+        "most cluster-faithful stand-in). Per VERDICT.md r04: the 8->32",
+        "RATIO is published FYI with NO floor (its r03-era 0.70 floor is",
+        "RETIRED - four r04 packs spanned 0.342-1.098 with code/plans",
+        "unchanged, and a genuine per-doc compute improvement lowers the",
+        "ratio mechanically because t32 sits at the single-box memory-bus",
+        "ceiling); the regression CANARY is the ABSOLUTE t32 clean-leg",
+        "median wall <= 23 s at the 1M corpus, measured in windows whose",
+        "host probes are >= 7 M/s, probes published alongside. Corpus-size",
         "dilution of the wide slice (0.38/0.66/0.73-0.75 at 250k/500k/1M",
         "rows) and the inverse correlation with the host-speed probe are",
         "recorded in the r03 sections of NOTES.md. Machine-readable",
         "summary: BENCH/scaling_summary.json (republished by bench.py).",
         "",
+    ] + (
+        [
+            f"**Canary this run: t32 clean-leg median {canary_t32_med} s "
+            f"(probe-qualified legs only; probes {canary_probes}; floor 23 s).**",
+            "",
+        ]
+        if canary_t32_med is not None
+        else []
+    ) + [
         f"Corpus: {ROWS} synthetic Common-Crawl-style pages "
         f"({in_gb:.2f} GB raw html, heavy-tailed sizes incl. mega-pages), seed=42.",
         "Job: full extraction pipeline (salted repartition + fused",
@@ -297,6 +329,11 @@ def main() -> None:
                 summary[slice_field[cfg]] = round(
                     statistics.median(s["eff"] for s in results[cfg]), 3
                 )
+        if canary_t32_med is not None:
+            # the r04-adjudicated canary: absolute probe-qualified t32
+            # wall (bench.py republishes these fields)
+            summary["canary_t32_clean_leg_median_sec"] = canary_t32_med
+            summary["canary_t32_probes_M_per_s"] = canary_probes
         summary["corpus_rows"] = ROWS
         with open(summary_path, "w") as f:
             json.dump(summary, f, indent=1)
