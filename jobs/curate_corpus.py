@@ -55,6 +55,17 @@ def main() -> None:
     ap.add_argument("--pii-redact", action="store_true")
     ap.add_argument("--repetition-max-frac", type=float, default=None)
     ap.add_argument(
+        "--dup-span-max-frac", type=float, default=None,
+        help="drop docs whose corpus-wide duplicated n-token-span "
+        "fraction (Lee et al. substring signal) exceeds this cut",
+    )
+    ap.add_argument("--dup-span-n", type=int, default=50)
+    ap.add_argument(
+        "--dup-span-string-keys", action="store_true",
+        help="use the oracle-exact string span keys instead of the "
+        "default xxhash64-keyed 10^12-row form",
+    )
+    ap.add_argument(
         "--decontam-eval", default=None,
         help="parquet path of the held-out eval set (column: text)",
     )
@@ -106,6 +117,9 @@ def main() -> None:
         npartitions=args.npartitions,
         pii_redact=args.pii_redact,
         repetition_max_frac=args.repetition_max_frac,
+        dup_span_max_frac=args.dup_span_max_frac,
+        dup_span_n=args.dup_span_n,
+        dup_span_hash_keys=not args.dup_span_string_keys,
         decontam_eval=eval_df,
         decontam_bloom_fpp=args.decontam_bloom_fpp,
         near_dup_threshold=args.near_dup_threshold,

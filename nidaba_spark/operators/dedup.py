@@ -401,7 +401,167 @@ def minhash_lsh_pairs_incremental(
     new_idx = minhash_index(
         new_docs, num_hashes, bands, shingle_k, text_col, id_col
     )
-    all_idx = index.unionByName(new_idx)
+    # sig_a/sig_b inside are functionally determined by (id_a, id_b):
+    # deterministic in value (same contract as similarity.py:359)
+    return _pairs_from_indexes(new_idx, index, num_hashes, threshold)
+
+
+# ------------------------------------------------ persisted LSH index
+# The executable form of the design note on minhash_index: at 10^12
+# rows the index lives PARTITIONED by (band, pmod(bucket, pbuckets)),
+# so a new batch's candidate join reads only the partitions its own
+# band-buckets hash into — partition pruning stands in for the
+# storage co-location a cluster would get from Iceberg write-time
+# bucketing. Mirrors operators/search.py's postings layout contract:
+# pbuckets is persisted per batch and read back (a wrong modulus
+# would silently prune away the colliding partitions).
+
+
+def write_lsh_index(
+    docs: DataFrame,
+    path: str,
+    batch_id: int = 0,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    pbuckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append one ingest batch's LSH rows to the partitioned index at
+    ``path``: batch=N/band=B/pb=H directories (idempotent per-batch
+    OVERWRITE — replays converge) plus a one-row _meta table recording
+    the layout contract (num_hashes, bands, pbuckets)."""
+    idx = minhash_index(docs, num_hashes, bands, shingle_k, text_col, id_col)
+    (
+        idx.withColumn("pb", F.pmod(F.col("bucket"), F.lit(pbuckets)))
+        .write.mode("overwrite")
+        .partitionBy("band", "pb")
+        .parquet(f"{path}/rows/batch={batch_id}")
+    )
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(num_hashes, bands, pbuckets)], "num_hashes int, bands int, pbuckets int"
+    ).write.mode("overwrite").parquet(f"{path}/_meta/batch={batch_id}")
+
+
+def _lsh_meta(spark, path: str) -> tuple[int, int, int]:
+    metas = {
+        (r["num_hashes"], r["bands"], r["pbuckets"])
+        for r in spark.read.parquet(path + "/_meta").select(
+            "num_hashes", "bands", "pbuckets"
+        ).distinct().collect()
+    }
+    if len(metas) != 1:
+        raise ValueError(f"LSH index at {path} has mixed layouts: {metas}")
+    return next(iter(metas))
+
+
+def read_lsh_index(spark, path: str) -> DataFrame:
+    """The full index as (id, band, bucket, sig) — union of batches."""
+    return spark.read.parquet(path + "/rows").select("id", "band", "bucket", "sig")
+
+
+def minhash_lsh_pairs_vs_stored(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``minhash_lsh_pairs_incremental`` against a write_lsh_index
+    store, with the historical read PRUNED to the new batch's
+    (band, pb) partitions: the distinct partition keys of the new
+    batch's own index (≤ bands×pbuckets values, a bounded collect)
+    become IN-list partition filters on the scan, so the job touches
+    only the collision neighborhood's files — the 10^12-row shape.
+    Layout parameters come from the stored _meta contract."""
+    spark = new_docs.sparkSession
+    num_hashes, bands, pbuckets = _lsh_meta(spark, path)
+    new_idx = minhash_index(
+        new_docs, num_hashes, bands, shingle_k, text_col, id_col
+    ).localCheckpoint(eager=False)
+    keys = {
+        (r["band"], r["pb"])
+        for r in new_idx.select(
+            "band", F.pmod(F.col("bucket"), F.lit(pbuckets)).alias("pb")
+        ).distinct().collect()
+    }
+    # two IN-lists (a slight superset of the exact key pairs) instead
+    # of a struct-isin: simple conjunctive IN filters push down to
+    # PartitionFilters reliably; the band-bucket join condition keeps
+    # the result exact regardless
+    bands_in = sorted({b for b, _ in keys})
+    pbs_in = sorted({p for _, p in keys})
+    hist = (
+        spark.read.parquet(path + "/rows")
+        .filter(F.col("band").isin(bands_in) & F.col("pb").isin(pbs_in))
+        .select("id", "band", "bucket", "sig")
+    )
+    return _pairs_from_indexes(new_idx, hist, num_hashes, threshold)
+
+
+def compact_lsh_index(spark, path: str) -> dict:
+    """Merge every batch=N subdirectory into one (same small-files
+    repair as search.compact_postings; LSH rows are a pure union —
+    each row depends only on its own document — so compaction is a
+    rewrite, repartitioned to ~one file per (band, pb) partition).
+    Returns before/after file counts."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def jp(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = jp(path).getFileSystem(conf)
+
+    def count_files(sub):
+        it, n = fs.listFiles(jp(f"{path}/{sub}"), True), 0
+        while it.hasNext():
+            n += it.next().getPath().getName().endswith(".parquet")
+        return n
+
+    num_hashes, bands, pbuckets = _lsh_meta(spark, path)
+    files_before = count_files("rows")
+    tmp = f"{path}/.compacting"
+    fs.delete(jp(tmp), True)
+    (
+        spark.read.parquet(path + "/rows")
+        .select("id", "bucket", "sig", "band", "pb")
+        .repartition(int(bands) * int(pbuckets), "band", "pb")
+        .write.partitionBy("band", "pb")
+        .parquet(f"{tmp}/rows/batch=0")
+    )
+    spark.createDataFrame(
+        [(num_hashes, bands, pbuckets)], "num_hashes int, bands int, pbuckets int"
+    ).write.parquet(f"{tmp}/_meta/batch=0")
+    old = f"{path}/.compact_old"
+    fs.delete(jp(old), True)
+    fs.mkdirs(jp(old))
+    for table in ("rows", "_meta"):
+        if not fs.rename(jp(f"{path}/{table}"), jp(f"{old}/{table}")):
+            raise OSError(f"LSH compaction swap failed moving {table} aside")
+        if not fs.rename(jp(f"{tmp}/{table}"), jp(f"{path}/{table}")):
+            raise OSError(
+                f"LSH compaction swap failed installing {table}; originals "
+                f"preserved under {old}"
+            )
+    fs.delete(jp(old), True)
+    fs.delete(jp(tmp), True)
+    return {
+        "files_before": files_before,
+        "files_after": count_files("rows"),
+    }
+
+
+def _pairs_from_indexes(
+    new_idx: DataFrame, hist: DataFrame, num_hashes: int, threshold: float
+) -> DataFrame:
+    """Shared candidate-join + signature-estimator tail of the
+    incremental variants (same semantics as
+    minhash_lsh_pairs_incremental's body)."""
+    all_idx = hist.unionByName(new_idx)
     cand = (
         new_idx.alias("x")
         .join(
@@ -420,8 +580,6 @@ def minhash_lsh_pairs_incremental(
             .otherwise(F.col("x.sig"))
             .alias("sig_b"),
         )
-        # sig_a/sig_b are functionally determined by (id_a, id_b):
-        # deterministic in value (same contract as similarity.py:359)
         .dropDuplicates(["id_a", "id_b"])
     )
     agree = F.size(
@@ -430,9 +588,7 @@ def minhash_lsh_pairs_incremental(
         )
     )
     return (
-        cand.withColumn(
-            "est_jaccard", F.round(agree / F.lit(num_hashes), 6)
-        )
+        cand.withColumn("est_jaccard", F.round(agree / F.lit(num_hashes), 6))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

@@ -52,6 +52,8 @@ def test_curate_cli_defaults_match_library():
         ("nsalt", "nsalt"),
         ("default_rate", "default_rate"),
         ("repetition_max_frac", "repetition_max_frac"),
+        ("dup_span_max_frac", "dup_span_max_frac"),
+        ("dup_span_n", "dup_span_n"),
         ("near_dup_threshold", "near_dup_threshold"),
         ("max_docs_per_host", "max_docs_per_host"),
         ("paragraph_dedup", "paragraph_dedup"),

@@ -95,6 +95,72 @@ def test_persisted_index_round_trip(split, tmp_path, spark):
     assert live == persisted and len(live) > 0
 
 
+def test_partitioned_store_prunes_and_matches(split, tmp_path, spark):
+    """write_lsh_index / minhash_lsh_pairs_vs_stored (r05): the
+    (band, pb)-partitioned store must (a) produce the IDENTICAL pair
+    set as the in-memory incremental path, (b) carry a partition
+    filter in the historical scan, (c) survive compaction with byte-
+    identical results and fewer files, and (d) enforce its layout
+    contract via _meta."""
+    import contextlib
+    import io
+    import re
+
+    from nidaba_spark.operators.dedup import (
+        compact_lsh_index,
+        minhash_lsh_pairs_vs_stored,
+        read_lsh_index,
+        write_lsh_index,
+    )
+
+    docs, hist, new = split
+    path = str(tmp_path / "lsh_store")
+    h1 = hist.filter(F.col("doc_id") % 4 == 0)
+    h2 = hist.filter(F.col("doc_id") % 4 == 2)
+    write_lsh_index(h1, path, batch_id=0, pbuckets=16)
+    write_lsh_index(h2, path, batch_id=1, pbuckets=16)
+    # store union == live index rows (associativity through the store)
+    stored = {
+        (r["id"], r["band"], r["bucket"], tuple(r["sig"]))
+        for r in read_lsh_index(spark, path).collect()
+    }
+    live_rows = {
+        (r["id"], r["band"], r["bucket"], tuple(r["sig"]))
+        for r in minhash_index(hist).collect()
+    }
+    assert stored == live_rows
+
+    want = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs_incremental(
+            new, minhash_index(hist), threshold=THRESHOLD
+        ).collect()
+    )
+    df = minhash_lsh_pairs_vs_stored(new, path, threshold=THRESHOLD)
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == want and len(got) > 0
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    assert re.search(r"PartitionFilters: \[[^\]]*(band|pb)[^\]]*\]", buf.getvalue())
+
+    info = compact_lsh_index(spark, path)
+    assert info["files_after"] < info["files_before"]
+    import glob
+
+    assert glob.glob(f"{path}/rows/batch=*") == [f"{path}/rows/batch=0"]
+    again = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs_vs_stored(new, path, threshold=THRESHOLD).collect()
+    )
+    assert again == want
+
+    # layout contract: a batch written with a different modulus fails loudly
+    write_lsh_index(h1, path, batch_id=9, pbuckets=32)
+    with pytest.raises(ValueError, match="mixed layouts"):
+        minhash_lsh_pairs_vs_stored(new, path, threshold=THRESHOLD)
+
+
 def test_incremental_determinism(split):
     _, hist, new = split
     a = sorted(
