@@ -82,6 +82,11 @@ _RETIRED_FROM_DRIVER = [
     "top_docs_by_chars",
     "top_words",
     "customers_without_orders",
+    # added mid-r05 with full oracles; driver surface is frozen at 50,
+    # so they start off-surface (identical DuckDB comparison in
+    # tests/test_offdriver_oracles.py) — rotation candidates for r06:
+    "page_links",
+    "host_link_graph",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -1,0 +1,163 @@
+"""Link-graph extraction from raw HTML — the outlink / host-edge
+source feeding PageRank domain authority (operators/graphrank.py) and
+anchor-text signals.
+
+Spark-first shape: the whole scan is JVM-side codegen — decode →
+regexp_extract_all → explode → string-expression URL resolution — so
+no Python touches the hot path (plan-asserted in tests/test_links.py)
+and Catalyst prunes every column but (url, html) out of the page scan.
+At 10^12 pages this is one narrow map stage over the crawl table; only
+the optional host-edge aggregation shuffles, and what it shuffles is
+(src_host, dst_host) pairs — never page bytes. The host aggregation is
+map-side-combined (partial count per partition) so a mega-site's
+millions of self-links collapse before the exchange.
+
+Charset handling: the regex scans the ISO-8859-1 decode of the raw
+bytes. Latin-1 maps every byte to a char, so the decode can never
+throw (relevant under ANSI mode), and every ASCII-compatible charset —
+utf-8, latin-1, cp1252, i.e. effectively the whole crawl — preserves
+the ASCII bytes href syntax is made of; non-ASCII chars inside a URL
+come out mojibake'd but positionally intact. Scanning the latin-1 view
+of raw bytes is the standard large-crawl link-graph trick; UTF-16
+pages (vanishingly rare) yield no matches rather than errors.
+
+Resolution implements the RFC 3986 cases a link graph needs — absolute
+URI, protocol-relative (//host/x), root-relative (/x), and naive
+relative-to-base-directory — as pure string expressions. It does NOT
+normalize dot-segments ('..') or percent-encoding: both only perturb
+intra-site paths and never the host graph, and a byte-exact path
+canonicalizer belongs in hoststats.canonicalize if a use case needs
+it. javascript:/mailto:/tel:/data: pseudo-links and fragment-only
+hrefs are dropped; fragments are stripped before resolution.
+
+Known, accepted false positives of a regex (vs DOM) scanner: <a> tags
+inside HTML comments or CDATA still match. tests/test_links.py pins
+the regex path against an html.parser-driven reference over the
+synthetic corpus to bound the divergence on realistic markup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# href value of an <a> tag: double-quoted / single-quoted forms as two
+# passes of the same shape (one alternated regex would renumber the
+# capture group between engines; two passes keep each pattern trivially
+# portable to the RE2-based oracles). `[\s/]` after the tag name keeps
+# <article>/<abbr> from matching; `[^>]*?` is lazy so the FIRST href
+# attribute in the tag wins, mirroring browser behavior.
+_HREF_DQ = r"""(?i)<a[\s/][^>]*?href\s*=\s*"([^"]*)\""""
+_HREF_SQ = r"(?i)<a[\s/][^>]*?href\s*=\s*'([^']*)'"
+# href + simple (tag-free) anchor text, captured by ONE regex ran twice
+# with different group indexes — identical match sets, so zipping the
+# two extract_all arrays pairs them correctly. Anchors with nested
+# markup (<a href=x><b>t</b></a>) are out of this view by design.
+_HREF_ANCHOR = r"""(?i)<a[\s/][^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>"""
+
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:"
+_ORIGIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+_DROP_SCHEMES_RE = r"^(?i)(javascript|mailto|tel|data):"
+
+
+def html_text(html_col: Column) -> Column:
+    """The latin-1 view of raw page bytes (never throws; see module
+    docstring for why this is the right view for an href scan)."""
+    return F.decode(html_col, "ISO-8859-1")
+
+
+def resolve_href(src: Column, href: Column) -> Column:
+    """Resolve one href against its source URL; NULL = not an edge
+    (empty/fragment-only, pseudo-scheme, or relative with no absolute
+    base). Pure string expressions — whole-stage-codegen'd."""
+    h = F.trim(href)
+    h = F.substring_index(h, "#", 1)  # strip fragment
+    scheme = F.regexp_extract(src, _SCHEME_RE, 0)  # 'https:' or ''
+    origin = F.regexp_extract(src, _ORIGIN_RE, 0)  # 'https://host' or ''
+    src_nofrag = F.regexp_extract(src, r"^[^?#]*", 0)
+    basedir = F.regexp_replace(src_nofrag, r"[^/]*$", "")
+    basedir = F.when(
+        F.length(basedir) <= F.length(origin), F.concat(origin, F.lit("/"))
+    ).otherwise(basedir)
+    has_base = origin != F.lit("")
+    return (
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(h.rlike(_DROP_SCHEMES_RE), F.lit(None).cast("string"))
+        .when(h.rlike(_SCHEME_RE), h)  # already absolute
+        .when(h.startswith("//") & has_base, F.concat(scheme, h))
+        .when(h.startswith("/") & has_base, F.concat(origin, h))
+        .when(has_base, F.concat(basedir, h))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def host_of(url: Column) -> Column:
+    """Lower-cased authority host of an absolute URL ('' if none).
+    Port, userinfo, path, query are all excluded."""
+    return F.lower(
+        F.regexp_extract(
+            url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1
+        )
+    )
+
+
+def page_links(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, href, dst): one row per resolvable <a href> occurrence.
+
+    ``href`` is the raw attribute value (pre-resolution, fragment
+    intact) for auditability; ``dst`` is the resolved absolute URL.
+    Duplicate links on a page stay duplicated — weighting is the
+    consumer's choice (host_edges counts them; a dedup is one
+    distinct() away).
+    """
+    body = html_text(F.col(html_col))
+    hrefs = F.concat(
+        F.regexp_extract_all(body, F.lit(_HREF_DQ), F.lit(1)),
+        F.regexp_extract_all(body, F.lit(_HREF_SQ), F.lit(1)),
+    )
+    rows = pages.select(
+        F.col(url_col).alias("src"), F.explode(hrefs).alias("href")
+    )
+    return rows.select(
+        "src", "href", resolve_href(F.col("src"), F.col("href")).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+
+
+def anchor_texts(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst, anchor): whitespace-collapsed anchor text per
+    resolved link, for the double-quoted tag-free-anchor subset (the
+    dominant well-formed case; see _HREF_ANCHOR). Anchor-text
+    aggregation per dst is then a plain groupBy."""
+    body = html_text(F.col(html_col))
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(body, F.lit(_HREF_ANCHOR), F.lit(1)).alias("href"),
+        F.regexp_extract_all(body, F.lit(_HREF_ANCHOR), F.lit(2)).alias("anchor"),
+    )
+    rows = pages.select(
+        F.col(url_col).alias("src"), F.explode(pairs).alias("p")
+    ).select(
+        "src",
+        F.col("p.href").alias("href"),
+        F.trim(F.regexp_replace(F.col("p.anchor"), r"\s+", " ")).alias("anchor"),
+    )
+    return rows.select(
+        "src", resolve_href(F.col("src"), F.col("href")).alias("dst"), "anchor"
+    ).filter(F.col("dst").isNotNull())
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """(src_host, dst_host, n_links) — the PageRank input. The count
+    aggregates map-side first (hash partial agg), so the exchange
+    carries at most |distinct host pairs| rows per partition no matter
+    how many links a mega-site emits."""
+    hosts = links.select(
+        host_of(F.col("src")).alias("src_host"),
+        host_of(F.col("dst")).alias("dst_host"),
+    ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    return hosts.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )

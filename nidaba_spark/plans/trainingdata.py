@@ -1180,6 +1180,113 @@ FROM walk GROUP BY node
 """
 
 
+# ------------------------------------------------------- link graph
+def q_page_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlink extraction (operators/links.py — pure codegen
+    regexp_extract_all scan, no Python) over pages synthesized around
+    the documents corpus. The planted link set covers every resolution
+    class: root-relative (dq + sq quoting), absolute, protocol-
+    relative, dot-relative, word-relative (doc-dependent), plus a
+    fragment-only and a mailto: link that must be DROPPED. The oracle
+    reconstructs the expected edges directly from documents columns —
+    an independent derivation, so it checks extraction + resolution
+    end to end rather than mirroring the regex."""
+    from ..operators.links import page_links
+
+    docs = load(spark, sf, "documents")
+    w = F.regexp_extract(F.lower(F.col("text")), "[a-z0-9]+", 0)
+    html = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/home">home</a> '
+            "<a href='/about'>about</a></nav>"
+            '<p><a href="https://ref.example.org/cite">cite</a>'
+            '<a href="//cdn.example.net/lib.js">cdn</a>'
+            '<a href="#top">top</a> <a href="mailto:x@example.com">mail</a>'
+            '<a href="../up">up</a> <a href="rel/'
+        ),
+        w,
+        F.lit('">w</a></p></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://docs.example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/page.html"),
+        ).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return page_links(pages).select(
+        F.regexp_extract(F.col("src"), "/d/([0-9]+)/", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "dst",
+    )
+
+
+ORACLE["page_links"] = """
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract(lower(text), '[a-z0-9]+', 0) AS w
+  FROM documents)
+SELECT doc_id, dst FROM (
+  SELECT doc_id, 'https://docs.example.com/home' AS dst FROM f
+  UNION ALL SELECT doc_id, 'https://docs.example.com/about' FROM f
+  UNION ALL SELECT doc_id, 'https://ref.example.org/cite' FROM f
+  UNION ALL SELECT doc_id, 'https://cdn.example.net/lib.js' FROM f
+  UNION ALL SELECT doc_id,
+    'https://docs.example.com/d/' || doc_id || '/../up' FROM f
+  UNION ALL SELECT doc_id,
+    'https://docs.example.com/d/' || doc_id || '/rel/' || w FROM f
+)
+"""
+
+
+def q_host_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level edge aggregation (the PageRank input): same
+    synthesized pages as page_links, host_edges on top. The oracle
+    derives the per-host-pair counts arithmetically from the planted
+    link set (4 same-host + 1 ref + 1 cdn link per doc), again an
+    independent derivation."""
+    from ..operators.links import host_edges, page_links
+
+    docs = load(spark, sf, "documents")
+    w = F.regexp_extract(F.lower(F.col("text")), "[a-z0-9]+", 0)
+    html = F.concat(
+        F.lit(
+            '<html><body><nav><a href="/home">home</a> '
+            "<a href='/about'>about</a></nav>"
+            '<p><a href="https://ref.example.org/cite">cite</a>'
+            '<a href="//cdn.example.net/lib.js">cdn</a>'
+            '<a href="#top">top</a> <a href="mailto:x@example.com">mail</a>'
+            '<a href="../up">up</a> <a href="rel/'
+        ),
+        w,
+        F.lit('">w</a></p></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("https://docs.example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/page.html"),
+        ).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return host_edges(page_links(pages)).select(
+        "src_host", "dst_host", F.col("n_links").cast("long").alias("n_links")
+    )
+
+
+ORACLE["host_link_graph"] = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents)
+SELECT 'docs.example.com' AS src_host, 'docs.example.com' AS dst_host,
+       4 * c AS n_links FROM n
+UNION ALL
+SELECT 'docs.example.com', 'ref.example.org', c FROM n
+UNION ALL
+SELECT 'docs.example.com', 'cdn.example.net', c FROM n
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -1223,4 +1330,6 @@ QUERIES = {
     "compression_ratio": q_compression_ratio,
     "bm25_search": q_bm25_search,
     "redact_pii": q_redact_pii,
+    "page_links": q_page_links,
+    "host_link_graph": q_host_link_graph,
 }

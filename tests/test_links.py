@@ -1,0 +1,174 @@
+"""Link-graph extraction (operators/links.py): resolution-rule units,
+an html.parser-driven differential reference over the synthetic corpus
+(bounds regex-vs-DOM divergence on realistic markup), plan-shape
+assertions (no Python in the scan; map-side partial agg on host
+edges), and the pagerank composition."""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+import pytest
+from pyspark.sql import functions as F
+
+from nidaba_spark.functions.charset import decode_bytes
+from nidaba_spark.operators.links import (
+    anchor_texts,
+    host_edges,
+    page_links,
+    resolve_href,
+)
+
+PAGE = (
+    '<html><body><nav><a href="/home">home</a> <a href=\'/about\'>ab</a></nav>'
+    '<p><a href="https://ref.example.org/cite">cite</a>'
+    '<a href="//cdn.example.net/lib.js">cdn</a>'
+    '<a href="#top">top</a> <a href="mailto:x@y.com">mail</a>'
+    '<a href="../up">up</a> <a href="rel/w1">w</a>'
+    '<a href="JAVASCRIPT:void(0)">js</a>'
+    '<a class="x" href="/dq2">dq2</a><area href="/not-a"/>'
+    "<abbr href='/abbr'>n</abbr></p></body></html>"
+)
+SRC = "https://docs.example.com/d/7/page.html"
+
+
+@pytest.fixture(scope="module")
+def one_page(spark):
+    return spark.createDataFrame(
+        [(SRC, bytearray(PAGE.encode("utf-8")))], "url string, html binary"
+    )
+
+
+def test_resolution_rules(spark, one_page):
+    got = {
+        (r["href"], r["dst"])
+        for r in page_links(one_page).collect()
+    }
+    assert got == {
+        ("/home", "https://docs.example.com/home"),
+        ("/about", "https://docs.example.com/about"),
+        ("https://ref.example.org/cite", "https://ref.example.org/cite"),
+        ("//cdn.example.net/lib.js", "https://cdn.example.net/lib.js"),
+        ("../up", "https://docs.example.com/d/7/../up"),
+        ("rel/w1", "https://docs.example.com/d/7/rel/w1"),
+        ("/dq2", "https://docs.example.com/dq2"),
+    }  # fragment-only, mailto:, javascript:, <area>, <abbr> all excluded
+
+
+def test_relative_without_absolute_base_drops(spark):
+    df = spark.createDataFrame(
+        [("not-a-url", bytearray(b'<a href="/x">x</a><a href="http://h/y">y</a>'))],
+        "url string, html binary",
+    )
+    rows = page_links(df).collect()
+    assert [(r["href"], r["dst"]) for r in rows] == [("http://h/y", "http://h/y")]
+
+
+def test_src_with_no_path_gets_slash_basedir(spark):
+    df = spark.createDataFrame(
+        [("http://host", bytearray(b'<a href="rel">r</a>'))],
+        "url string, html binary",
+    )
+    assert page_links(df).collect()[0]["dst"] == "http://host/rel"
+
+
+def test_anchor_texts(spark, one_page):
+    got = {(r["dst"], r["anchor"]) for r in anchor_texts(one_page).collect()}
+    # double-quoted simple anchors only, whitespace collapsed
+    assert ("https://docs.example.com/home", "home") in got
+    assert ("https://docs.example.com/dq2", "dq2") in got
+    assert all(a != "mail" for _, a in got)
+
+
+def test_host_edges_counts_and_port_userinfo(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://u:p@a.com:8443/x", "https://b.com/1"),
+            ("https://a.com/y", "https://b.com:80/2"),
+            ("https://a.com/z", "relative-not-absolute"),
+        ],
+        "src string, dst string",
+    )
+    rows = {(r["src_host"], r["dst_host"]): r["n_links"] for r in host_edges(df).collect()}
+    assert rows == {("a.com", "b.com"): 2}
+
+
+class _RefCollector(HTMLParser):
+    """DOM-driven reference: every <a href> attribute value."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list[str] = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v is not None:
+                    self.hrefs.append(v)
+                    break
+
+    handle_startendtag = handle_starttag
+
+
+def test_differential_vs_html_parser_on_corpus(spark, corpus_rows):
+    """The regex scan must agree with a real parser on realistic
+    markup (the synthetic corpus: nav/sidebar/footer boilerplate,
+    charset variants, mega-pages). html.parser unescapes entities in
+    attribute values; corpus hrefs carry none, so raw-vs-unescaped
+    never diverges here — divergence would mean the regex missed or
+    invented a link."""
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in corpus_rows],
+        "url string, html binary",
+    )
+    got = {
+        (r["src"], r["href"])
+        for r in pages.select("url", "html")
+        .transform(page_links)
+        .collect()
+    }
+    expected = set()
+    for r in corpus_rows:
+        ref = _RefCollector()
+        body, _ = decode_bytes(r["html"])
+        try:
+            ref.feed(body)
+            ref.close()
+        except Exception:
+            pass
+        for h in ref.hrefs:
+            clean = h.split("#", 1)[0].strip()
+            if not clean or clean.lower().startswith(
+                ("javascript:", "mailto:", "tel:", "data:")
+            ):
+                continue
+            expected.add((r["url"], h))
+    assert got == expected
+
+
+def test_plan_is_pure_jvm_and_agg_is_partial(spark, one_page):
+    plan = page_links(one_page)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas"):
+        assert marker not in plan
+    agg_plan = (
+        host_edges(page_links(one_page))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in agg_plan or "partial count" in agg_plan.lower()
+
+
+def test_pagerank_composition(spark, corpus_rows):
+    from nidaba_spark.operators.graphrank import pagerank
+
+    pages = spark.createDataFrame(
+        [(r["url"], bytearray(r["html"])) for r in corpus_rows[:200]],
+        "url string, html binary",
+    )
+    edges = host_edges(page_links(pages))
+    ranks = pagerank(
+        edges, iters=5, src="src_host", dst="dst_host", weight="n_links"
+    ).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert ranks and abs(total - 1.0) < 1e-6
