@@ -87,6 +87,7 @@ _RETIRED_FROM_DRIVER = [
     # tests/test_offdriver_oracles.py) — rotation candidates for r06:
     "page_links",
     "host_link_graph",
+    "lm_score",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -1287,6 +1287,55 @@ SELECT 'docs.example.com', 'cdn.example.net', c FROM n
 """
 
 
+# -------------------------------------- quality: stupid-backoff LM
+def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Stupid Backoff bigram-LM perplexity proxy (operators/lm.py —
+    Brants et al. 2007): the LM trains on the doc_id % 3 != 0 split and
+    scores EVERY doc, so held-out docs exercise all three backoff
+    tiers (seen bigram / seen unigram / OOV floor) while train-split
+    docs exercise the main path. Single corpus scan, hot heads
+    broadcast, salted cold joins (see the module docstring)."""
+    from ..operators.lm import stupid_backoff_score
+
+    docs = load(spark, sf, "documents")
+    return stupid_backoff_score(docs, docs.filter(F.col("doc_id") % 3 != 0))
+
+
+ORACLE["lm_score"] = f"""
+WITH t AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(ws[1:len(ws)-1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM t WHERE len(ws) >= 2),
+uni AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(ws) AS w FROM t WHERE doc_id % 3 != 0) GROUP BY w),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+big AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 3 != 0 GROUP BY 1, 2),
+biglm AS (
+  SELECT w1, w2, CAST(round(log10(c12 / c) * 1e6) AS BIGINT) AS log_s
+  FROM big JOIN uni ON uni.w = big.w1),
+tf AS (SELECT doc_id, w1, w2, count(*) AS k FROM bg GROUP BY 1, 2, 3),
+scored AS (
+  SELECT doc_id, k,
+         coalesce(b.log_s,
+                  CAST(round(log10(0.4::DOUBLE * u.c / n) * 1e6) AS BIGINT),
+                  CAST(round(log10(0.4::DOUBLE / n) * 1e6) AS BIGINT)) AS s_micro
+  FROM tf
+  LEFT JOIN biglm b USING (w1, w2)
+  LEFT JOIN uni u ON u.w = tf.w2, tot),
+agg AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+         CAST(sum(k * s_micro) AS BIGINT) AS sum_micro
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_bigrams,
+       round((sum_micro / 1000000.0) / n_bigrams, 6) AS avg_logscore
+FROM agg
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -1332,4 +1381,5 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "page_links": q_page_links,
     "host_link_graph": q_host_link_graph,
+    "lm_score": q_lm_score,
 }
