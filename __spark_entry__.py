@@ -88,6 +88,7 @@ _RETIRED_FROM_DRIVER = [
     "page_links",
     "host_link_graph",
     "lm_score",
+    "dsir_select",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

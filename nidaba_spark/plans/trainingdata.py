@@ -1336,6 +1336,68 @@ FROM agg
 """
 
 
+# ---------------------------------- selection: DSIR (Xie et al. 2023)
+def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Importance resampling for data selection (operators/dsir.py):
+    hashed unigram+bigram bucket models (B=10,000 — forever
+    broadcast-sized), Laplace-smoothed log-ratio weights in integer
+    millionths, deterministic Gumbel top-k (k=120) via a
+    TakeOrdered threshold instead of a global window. Target = the
+    doc_id % 7 == 0 slice; raw = the whole corpus."""
+    from ..operators.dsir import dsir_resample, dsir_weights
+
+    docs = load(spark, sf, "documents")
+    weights = dsir_weights(docs, docs.filter(F.col("doc_id") % 7 == 0))
+    return dsir_resample(weights, k=120)
+
+
+ORACLE["dsir_select"] = f"""
+WITH t AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+unif AS (SELECT doc_id, unnest(ws) AS f FROM t),
+bif AS (
+  SELECT doc_id, w1 || ' ' || w2 AS f FROM (
+    SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+    FROM t WHERE len(ws) >= 2)),
+feats AS (SELECT doc_id, f FROM unif UNION ALL SELECT doc_id, f FROM bif),
+fb AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(1, 9), j ->
+           CAST(strpos('0123456789abcdef', substr(md5(f), j, 1)) - 1 AS BIGINT)
+           * (CAST(1 AS BIGINT) << (4 * (8 - j))))) % 10000 AS bucket
+  FROM feats),
+dc AS (SELECT doc_id, bucket, count(*) AS k FROM fb GROUP BY 1, 2),
+tm AS (SELECT bucket, sum(k) AS c FROM dc WHERE doc_id % 7 = 0 GROUP BY bucket),
+rm AS (SELECT bucket, sum(k) AS c FROM dc GROUP BY bucket),
+tot AS (SELECT (SELECT COALESCE(sum(c), 0) FROM tm)::DOUBLE + 10000 AS dt,
+               (SELECT COALESCE(sum(c), 0) FROM rm)::DOUBLE + 10000 AS dr),
+delta AS (
+  SELECT rm.bucket,
+         CAST(round((log10((COALESCE(tm.c, 0) + 1) / dt)
+                   - log10((rm.c + 1) / dr)) * 1e6) AS BIGINT) AS d
+  FROM rm LEFT JOIN tm USING (bucket), tot),
+w AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_feats,
+         CAST(sum(k * d) AS BIGINT) AS logw_micro
+  FROM dc JOIN delta USING (bucket) GROUP BY doc_id),
+gu AS (
+  SELECT doc_id,
+         CAST(round(-ln(-ln(
+           (list_sum(list_transform(range(1, 9), j ->
+              CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), j, 1)) - 1
+                   AS BIGINT)
+              * (CAST(1 AS BIGINT) << (4 * (8 - j))))) + 0.5) / 4294967296.0
+         )) * 1e6) AS BIGINT) AS g
+  FROM t),
+s AS (
+  SELECT doc_id, n_feats, logw_micro, logw_micro + g AS score_micro
+  FROM w JOIN gu USING (doc_id)),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk FROM s)
+SELECT doc_id, n_feats, logw_micro, score_micro, rk <= 120 AS keep FROM r
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -1382,4 +1444,5 @@ QUERIES = {
     "page_links": q_page_links,
     "host_link_graph": q_host_link_graph,
     "lm_score": q_lm_score,
+    "dsir_select": q_dsir_select,
 }
