@@ -89,6 +89,8 @@ _RETIRED_FROM_DRIVER = [
     "host_link_graph",
     "lm_score",
     "dsir_select",
+    "page_meta",
+    "canonical_dedup",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -149,6 +149,79 @@ def anchor_texts(
     ).filter(F.col("dst").isNotNull())
 
 
+_CANON_RH = r"""(?i)<link[\s][^>]*?rel\s*=\s*["']canonical["'][^>]*?href\s*=\s*["']([^"']*)["']"""
+_CANON_HR = r"""(?i)<link[\s][^>]*?href\s*=\s*["']([^"']*)["'][^>]*?rel\s*=\s*["']canonical["']"""
+_ROBOTS_NC = r"""(?i)<meta[\s][^>]*?name\s*=\s*["']robots["'][^>]*?content\s*=\s*["']([^"']*)["']"""
+_ROBOTS_CN = r"""(?i)<meta[\s][^>]*?content\s*=\s*["']([^"']*)["'][^>]*?name\s*=\s*["']robots["']"""
+_TITLE = r"(?i)<title[^>]*>([^<]*)</title>"
+
+
+def _first_nonempty(body: Column, *patterns: str) -> Column:
+    """First capture of the first pattern that matches ('' if none) —
+    attribute ORDER varies in the wild (rel before href and after), so
+    each meta field scans both orders and takes whichever hit."""
+    out = F.lit("")
+    for p in reversed(patterns):
+        m = F.regexp_extract(body, p, 1)
+        out = F.when(m != "", m).otherwise(out)
+    return out
+
+
+def page_meta(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Head-metadata extraction, all whole-stage-codegen: (url, title,
+    robots, noindex, nofollow, canonical). ``canonical`` is the
+    <link rel=canonical> href RESOLVED against the page url (NULL when
+    absent or unresolvable) — the key for canonical-URL dedup.
+    ``noindex``/``nofollow`` are token matches inside the robots meta
+    content (comma/space separated per the robots spec). One narrow
+    map over the crawl table; nothing shuffles."""
+    body = html_text(F.col(html_col))
+    robots = F.lower(_first_nonempty(body, _ROBOTS_NC, _ROBOTS_CN))
+    canon_href = _first_nonempty(body, _CANON_RH, _CANON_HR)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.trim(F.regexp_replace(F.regexp_extract(body, _TITLE, 1), r"\s+", " ")).alias(
+            "title"
+        ),
+        robots.alias("robots"),
+        robots.rlike(r"(^|[\s,])noindex($|[\s,])").alias("noindex"),
+        robots.rlike(r"(^|[\s,])nofollow($|[\s,])").alias("nofollow"),
+        F.when(
+            canon_href != "", resolve_href(F.col(url_col), canon_href)
+        ).alias("canonical"),
+    )
+
+
+def canonical_dedup(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Canonical-URL deduplication — the crawl-hygiene step that
+    collapses print/mobile/tracking variants BEFORE any content-level
+    dedup spends shuffle bytes on them: group pages by their declared
+    canonical target (the page's own url when it declares none), drop
+    noindex pages first, keep the lexicographically-min member url.
+
+    Returns (canonical_url, keep_url, n_variants). One map-side-
+    combined groupBy on the canonical key; at 10^12 rows the key
+    distribution is bounded by the largest canonical cluster (a
+    mega-site's tracking-parameter fan-out) — AQE skew-split covers
+    it, and the aggregate carries two strings + a count per group."""
+    meta = page_meta(pages, url_col, html_col)
+    return (
+        meta.filter(~F.col("noindex"))
+        .select(
+            F.coalesce("canonical", "url").alias("canonical_url"), F.col("url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min("url").alias("keep_url"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """(src_host, dst_host, n_links) — the PageRank input. The count
     aggregates map-side first (hash partial agg), so the exchange

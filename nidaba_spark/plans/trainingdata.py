@@ -1181,23 +1181,52 @@ FROM walk GROUP BY node
 
 
 # ------------------------------------------------------- link graph
-def q_page_links(spark: SparkSession, sf: str) -> DataFrame:
-    """Outlink extraction (operators/links.py — pure codegen
-    regexp_extract_all scan, no Python) over pages synthesized around
-    the documents corpus. The planted link set covers every resolution
-    class: root-relative (dq + sq quoting), absolute, protocol-
-    relative, dot-relative, word-relative (doc-dependent), plus a
-    fragment-only and a mailto: link that must be DROPPED. The oracle
-    reconstructs the expected edges directly from documents columns —
-    an independent derivation, so it checks extraction + resolution
-    end to end rather than mirroring the regex."""
-    from ..operators.links import page_links
+def _synth_pages(docs: DataFrame) -> DataFrame:
+    """Deterministic Common-Crawl-style pages around the documents
+    corpus, used by every link/meta query. Planted features:
 
-    docs = load(spark, sf, "documents")
+    * <a> links covering every resolution class: root-relative (dq +
+      sq quoting), absolute, protocol-relative, dot-relative,
+      word-relative (doc-dependent), plus a fragment-only and a
+      mailto: link that must be DROPPED;
+    * a <title> carrying the doc's first word;
+    * doc_id % 13 == 0  -> <meta name=robots content="noindex, follow">
+      (content-before-name attribute order on doc_id % 2 == 0);
+    * doc_id % 5 != 0   -> <link rel=canonical> to /c/<doc_id // 10>
+      (href-before-rel attribute order on doc_id % 2 == 0), so up to
+      ten pages share one canonical target.
+    """
     w = F.regexp_extract(F.lower(F.col("text")), "[a-z0-9]+", 0)
+    robots = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit('<meta content="noindex, follow" name="robots">'),
+        ).otherwise(F.lit('<meta name="robots" content="noindex, follow">')),
+    ).otherwise(F.lit(""))
+    canon_target = F.concat(
+        F.lit("https://docs.example.com/c/"),
+        (F.col("doc_id") / 10).cast("long").cast("string"),
+    )
+    canonical = F.when(
+        F.col("doc_id") % 5 != 0,
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<link href="'), canon_target, F.lit('" rel="canonical">')),
+        ).otherwise(
+            F.concat(F.lit('<link rel="canonical" href="'), canon_target, F.lit('">'))
+        ),
+    ).otherwise(F.lit(""))
     html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit(" "),
+        w,
+        F.lit("</title>"),
+        robots,
+        canonical,
         F.lit(
-            '<html><body><nav><a href="/home">home</a> '
+            '</head><body><nav><a href="/home">home</a> '
             "<a href='/about'>about</a></nav>"
             '<p><a href="https://ref.example.org/cite">cite</a>'
             '<a href="//cdn.example.net/lib.js">cdn</a>'
@@ -1207,7 +1236,7 @@ def q_page_links(spark: SparkSession, sf: str) -> DataFrame:
         w,
         F.lit('">w</a></p></body></html>'),
     )
-    pages = docs.select(
+    return docs.select(
         F.concat(
             F.lit("https://docs.example.com/d/"),
             F.col("doc_id").cast("string"),
@@ -1215,6 +1244,17 @@ def q_page_links(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("url"),
         F.encode(html, "utf-8").alias("html"),
     )
+
+
+def q_page_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Outlink extraction (operators/links.py — pure codegen
+    regexp_extract_all scan, no Python) over the synthesized pages.
+    The oracle reconstructs the expected edges directly from documents
+    columns — an independent derivation, so it checks extraction +
+    resolution end to end rather than mirroring the regex."""
+    from ..operators.links import page_links
+
+    pages = _synth_pages(load(spark, sf, "documents"))
     return page_links(pages).select(
         F.regexp_extract(F.col("src"), "/d/([0-9]+)/", 1)
         .cast("bigint")
@@ -1249,28 +1289,7 @@ def q_host_link_graph(spark: SparkSession, sf: str) -> DataFrame:
     independent derivation."""
     from ..operators.links import host_edges, page_links
 
-    docs = load(spark, sf, "documents")
-    w = F.regexp_extract(F.lower(F.col("text")), "[a-z0-9]+", 0)
-    html = F.concat(
-        F.lit(
-            '<html><body><nav><a href="/home">home</a> '
-            "<a href='/about'>about</a></nav>"
-            '<p><a href="https://ref.example.org/cite">cite</a>'
-            '<a href="//cdn.example.net/lib.js">cdn</a>'
-            '<a href="#top">top</a> <a href="mailto:x@example.com">mail</a>'
-            '<a href="../up">up</a> <a href="rel/'
-        ),
-        w,
-        F.lit('">w</a></p></body></html>'),
-    )
-    pages = docs.select(
-        F.concat(
-            F.lit("https://docs.example.com/d/"),
-            F.col("doc_id").cast("string"),
-            F.lit("/page.html"),
-        ).alias("url"),
-        F.encode(html, "utf-8").alias("html"),
-    )
+    pages = _synth_pages(load(spark, sf, "documents"))
     return host_edges(page_links(pages)).select(
         "src_host", "dst_host", F.col("n_links").cast("long").alias("n_links")
     )
@@ -1284,6 +1303,67 @@ UNION ALL
 SELECT 'docs.example.com', 'ref.example.org', c FROM n
 UNION ALL
 SELECT 'docs.example.com', 'cdn.example.net', c FROM n
+"""
+
+
+def q_page_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Head-metadata extraction (operators/links.page_meta — pure
+    codegen): title text, robots noindex/nofollow flags (both
+    attribute orders planted), resolved rel=canonical target (both
+    attribute orders planted). Oracle = an independent arithmetic
+    reconstruction from documents columns."""
+    from ..operators.links import page_meta
+
+    pages = _synth_pages(load(spark, sf, "documents"))
+    return page_meta(pages).select(
+        F.regexp_extract(F.col("url"), "/d/([0-9]+)/", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "title",
+        "noindex",
+        "nofollow",
+        "canonical",
+    )
+
+
+ORACLE["page_meta"] = """
+SELECT doc_id,
+       'Doc ' || doc_id || ' ' || regexp_extract(lower(text), '[a-z0-9]+', 0)
+         AS title,
+       doc_id % 13 = 0 AS noindex,
+       CAST(FALSE AS BOOLEAN) AS nofollow,
+       CASE WHEN doc_id % 5 != 0
+            THEN 'https://docs.example.com/c/' || (doc_id // 10)
+            ELSE NULL END AS canonical
+FROM documents
+"""
+
+
+def q_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup (operators/links.canonical_dedup): noindex
+    pages dropped, variants grouped by declared canonical target
+    (own url when none), min url kept per group."""
+    from ..operators.links import canonical_dedup
+
+    pages = _synth_pages(load(spark, sf, "documents"))
+    return canonical_dedup(pages).select(
+        "canonical_url", "keep_url", F.col("n_variants").cast("long").alias("n_variants")
+    )
+
+
+ORACLE["canonical_dedup"] = """
+WITH m AS (
+  SELECT doc_id,
+         'https://docs.example.com/d/' || doc_id || '/page.html' AS url,
+         CASE WHEN doc_id % 5 != 0
+              THEN 'https://docs.example.com/c/' || (doc_id // 10)
+              ELSE 'https://docs.example.com/d/' || doc_id || '/page.html'
+              END AS canonical_url
+  FROM documents
+  WHERE doc_id % 13 != 0)
+SELECT canonical_url, min(url) AS keep_url,
+       CAST(count(*) AS BIGINT) AS n_variants
+FROM m GROUP BY canonical_url
 """
 
 
@@ -1445,4 +1525,6 @@ QUERIES = {
     "host_link_graph": q_host_link_graph,
     "lm_score": q_lm_score,
     "dsir_select": q_dsir_select,
+    "page_meta": q_page_meta,
+    "canonical_dedup": q_canonical_dedup,
 }

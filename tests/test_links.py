@@ -159,6 +159,69 @@ def test_plan_is_pure_jvm_and_agg_is_partial(spark, one_page):
     assert "partial_count" in agg_plan or "partial count" in agg_plan.lower()
 
 
+def test_page_meta_fields_and_attribute_orders(spark):
+    from nidaba_spark.operators.links import page_meta
+
+    def page(html):
+        return (SRC, bytearray(html.encode("utf-8")))
+
+    df = spark.createDataFrame(
+        [
+            page(
+                "<html><head><title> A \n B </title>"
+                '<meta name="robots" content="noindex, nofollow">'
+                '<link rel="canonical" href="/canon"></head></html>'
+            ),
+            page(
+                # reversed attribute orders + single quotes
+                "<head><meta content='NOFOLLOW' name='robots'>"
+                "<link href='https://c.example.com/x' rel='canonical'></head>"
+            ),
+            page(
+                # 'noindexfoo' is NOT a noindex token; no canonical
+                '<meta name="robots" content="noindexfoo">'
+            ),
+        ],
+        "url string, html binary",
+    )
+    rows = page_meta(df).collect()
+    assert (rows[0]["title"], rows[0]["noindex"], rows[0]["nofollow"]) == (
+        "A B",
+        True,
+        True,
+    )
+    assert rows[0]["canonical"] == "https://docs.example.com/canon"
+    assert (rows[1]["noindex"], rows[1]["nofollow"]) == (False, True)
+    assert rows[1]["canonical"] == "https://c.example.com/x"
+    assert (rows[2]["noindex"], rows[2]["canonical"]) == (False, None)
+
+
+def test_canonical_dedup_groups_and_drops_noindex(spark):
+    from nidaba_spark.operators.links import canonical_dedup
+
+    def page(url, head):
+        return (url, bytearray(f"<html><head>{head}</head></html>".encode()))
+
+    df = spark.createDataFrame(
+        [
+            page("https://a.com/1", '<link rel="canonical" href="https://a.com/c">'),
+            page("https://a.com/2", '<link rel="canonical" href="https://a.com/c">'),
+            page(
+                "https://a.com/3",
+                '<link rel="canonical" href="https://a.com/c">'
+                '<meta name="robots" content="noindex">',
+            ),
+            page("https://a.com/4", ""),
+        ],
+        "url string, html binary",
+    )
+    rows = {r["canonical_url"]: (r["keep_url"], r["n_variants"]) for r in canonical_dedup(df).collect()}
+    assert rows == {
+        "https://a.com/c": ("https://a.com/1", 2),
+        "https://a.com/4": ("https://a.com/4", 1),
+    }
+
+
 def test_pagerank_composition(spark, corpus_rows):
     from nidaba_spark.operators.graphrank import pagerank
 
