@@ -91,6 +91,8 @@ _RETIRED_FROM_DRIVER = [
     "dsir_select",
     "page_meta",
     "canonical_dedup",
+    "normalize_urls",
+    "anchor_stats",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -222,6 +222,57 @@ def canonical_dedup(
     )
 
 
+# tracking params stripped by normalize_url: the industry-standard
+# junk set (utm_* campaign tags, Google/Facebook click ids, generic
+# session ids). Matching is on the PARAM NAME only.
+_TRACKER_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref|sessionid|phpsessid)(=.*)?$"
+_URL_PARTS = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://(?:[^@/?#]*@)?([^/?#]*)([^?#]*)(?:\?([^#]*))?"
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical dedup key for an absolute http(s)-style URL, pure
+    codegen string/array expressions:
+
+      * scheme and host lowercased (path/query case PRESERVED — paths
+        are case-sensitive on real servers);
+      * userinfo and fragment stripped; default ports (:80 http,
+        :443 https) stripped; empty path becomes '/';
+      * tracking params (_TRACKER_RE) dropped, survivors SORTED so
+        param order can't split a dedup group; '?' dropped when
+        nothing survives.
+
+    Dot-segment collapse is intentionally out (same stance as
+    resolve_href): it only perturbs intra-site paths, and a wrong
+    collapse corrupts keys, while a skipped one merely under-merges.
+    Returns NULL for inputs with no scheme://authority. The lambda
+    bodies only touch their own element, so the HOF quadratic-eval
+    trap does not apply."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _URL_PARTS, 1))
+    host = F.lower(F.regexp_extract(u, _URL_PARTS, 2))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(host, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(host, ":443$", ""))
+        .otherwise(host)
+    )
+    path = F.regexp_extract(u, _URL_PARTS, 3)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(u, _URL_PARTS, 4)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(_TRACKER_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    norm = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+    return F.when((scheme != "") & (host != ""), norm)
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """(src_host, dst_host, n_links) — the PageRank input. The count
     aggregates map-side first (hash partial agg), so the exchange

@@ -1306,6 +1306,96 @@ SELECT 'docs.example.com', 'cdn.example.net', c FROM n
 """
 
 
+def q_anchor_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Anchor-text aggregation per link target (operators/links
+    .anchor_texts → one map-side-combined groupBy): the classic
+    ranking/labeling signal — what the WEB says a page is about.
+    Single-quoted, fragment-only and mailto: anchors are excluded by
+    construction; oracle derives the expected per-dst counts and the
+    sorted distinct anchor list arithmetically."""
+    from ..operators.links import anchor_texts
+
+    pages = _synth_pages(load(spark, sf, "documents"))
+    return (
+        anchor_texts(pages)
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_links"),
+            F.array_join(F.array_sort(F.collect_set("anchor")), "|").alias(
+                "anchors"
+            ),
+        )
+    )
+
+
+ORACLE["anchor_stats"] = """
+WITH f AS (
+  SELECT doc_id, regexp_extract(lower(text), '[a-z0-9]+', 0) AS w
+  FROM documents)
+SELECT 'https://docs.example.com/home' AS dst,
+       CAST(count(*) AS BIGINT) AS n_links, 'home' AS anchors FROM f
+UNION ALL
+SELECT 'https://ref.example.org/cite', CAST(count(*) AS BIGINT), 'cite' FROM f
+UNION ALL
+SELECT 'https://cdn.example.net/lib.js', CAST(count(*) AS BIGINT), 'cdn' FROM f
+UNION ALL
+SELECT 'https://docs.example.com/d/' || doc_id || '/../up',
+       CAST(1 AS BIGINT), 'up' FROM f
+UNION ALL
+SELECT 'https://docs.example.com/d/' || doc_id || '/rel/' || w,
+       CAST(1 AS BIGINT), 'w' FROM f
+"""
+
+
+def q_normalize_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization (operators/links.normalize_url): messy
+    synthesized variants — uppercase scheme/host, default ports,
+    userinfo, fragments, tracking params, unordered query strings,
+    empty paths — normalized into the dedup key. Oracle = the expected
+    string built arithmetically per residue class, an independent
+    derivation."""
+    from ..operators.links import normalize_url
+
+    docs = load(spark, sf, "documents")
+    i = F.col("doc_id").cast("string")
+    raw = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://Docs.Example.COM:443/d/"),
+                i,
+                F.lit("/Page.html?utm_source=mail&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://docs.example.com:80/d/"),
+                i,
+                F.lit("/page.html?z=9&gclid=123&y=8"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://u:p@docs.example.com/d/"), i),
+        )
+        .otherwise(F.lit("https://Other.Example.NET"))
+    )
+    return docs.select("doc_id", normalize_url(raw).alias("norm_url"))
+
+
+ORACLE["normalize_urls"] = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'https://docs.example.com/d/' || doc_id || '/Page.html?a=1&b=2'
+         WHEN 1 THEN 'http://docs.example.com/d/' || doc_id || '/page.html?y=8&z=9'
+         WHEN 2 THEN 'https://docs.example.com/d/' || doc_id
+         ELSE 'https://other.example.net/'
+       END AS norm_url
+FROM documents
+"""
+
+
 def q_page_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Head-metadata extraction (operators/links.page_meta — pure
     codegen): title text, robots noindex/nofollow flags (both
@@ -1527,4 +1617,6 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "page_meta": q_page_meta,
     "canonical_dedup": q_canonical_dedup,
+    "normalize_urls": q_normalize_urls,
+    "anchor_stats": q_anchor_stats,
 }

@@ -222,6 +222,23 @@ def test_canonical_dedup_groups_and_drops_noindex(spark):
     }
 
 
+def test_normalize_url_rules(spark):
+    from nidaba_spark.operators.links import normalize_url
+
+    cases = [
+        ("HTTP://A.com:80/X?b=1&a=2#f", "http://a.com/X?a=2&b=1"),
+        ("https://a.com:8443/x", "https://a.com:8443/x"),  # non-default port kept
+        ("https://u:p@a.com", "https://a.com/"),
+        ("https://a.com/p?utm_source=x&fbclid=1", "https://a.com/p"),
+        ("https://a.com/p?utm=keepme", "https://a.com/p?utm=keepme"),  # not utm_*
+        ("not a url", None),
+        ("/relative/only", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["n"] for r in df.select(normalize_url(F.col("u")).alias("n")).collect()]
+    assert got == [e for _, e in cases]
+
+
 def test_pagerank_composition(spark, corpus_rows):
     from nidaba_spark.operators.graphrank import pagerank
 
