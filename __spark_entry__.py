@@ -93,6 +93,7 @@ _RETIRED_FROM_DRIVER = [
     "canonical_dedup",
     "normalize_urls",
     "anchor_stats",
+    "semdedup",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

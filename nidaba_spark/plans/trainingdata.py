@@ -1396,6 +1396,18 @@ FROM documents
 """
 
 
+def q_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup (operators/semdedup.py — Abbas et al. 2023):
+    k-means-cell-bounded cosine pairs resolved into duplicate groups.
+    Rows-only by nature (iterative k-means has no SQL mirror);
+    brute-force-equivalence/recall/invariance gates in
+    tests/test_semdedup.py."""
+    from ..operators.semdedup import semdedup
+
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    return semdedup(clustered_embeddings(emb), nlist=8, threshold=0.9)
+
+
 def q_page_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Head-metadata extraction (operators/links.page_meta — pure
     codegen): title text, robots noindex/nofollow flags (both
@@ -1619,4 +1631,5 @@ QUERIES = {
     "canonical_dedup": q_canonical_dedup,
     "normalize_urls": q_normalize_urls,
     "anchor_stats": q_anchor_stats,
+    "semdedup": q_semdedup,
 }
