@@ -107,10 +107,20 @@ def dsir_weights(
 ) -> DataFrame:
     """(doc_id, n_feats, logw_micro): per-raw-doc importance log-weight
     in integer millionths (log10), higher = more target-like."""
-    raw_fc = doc_feature_counts(raw, n_buckets, text_col, id_col)
+    from pyspark import StorageLevel
+
+    # raw_fc feeds BOTH the raw model and the scoring join, and each
+    # model is consumed by its total-collect and the delta join; with
+    # no common-subplan reuse in Spark that is ~3 scans of each corpus.
+    # localCheckpoint (not persist — CacheManager canonicalized-plan
+    # reuse would alias identical calls) pins each corpus to ONE scan;
+    # tgt_model is <= B rows, raw_fc is the compact doc-bucket table.
+    raw_fc = doc_feature_counts(raw, n_buckets, text_col, id_col).localCheckpoint(
+        eager=False, storageLevel=StorageLevel.DISK_ONLY
+    )
     tgt_model = _bucket_model(
         doc_feature_counts(target, n_buckets, text_col, id_col)
-    )
+    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     raw_model = _bucket_model(raw_fc)
     n_t = tgt_model.agg(F.sum("c")).collect()[0][0] or 0
     n_r = raw_model.agg(F.sum("c")).collect()[0][0] or 0
