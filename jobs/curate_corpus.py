@@ -86,6 +86,17 @@ def main() -> None:
         "gibberish above)",
     )
     ap.add_argument(
+        "--canonical-url-dedup", action="store_true",
+        help="pre-extraction crawl hygiene: drop robots-noindex pages "
+        "and keep one page per declared rel=canonical group",
+    )
+    ap.add_argument(
+        "--lm-ref", default=None, metavar="PATH",
+        help="parquet of reference texts for the Stupid-Backoff "
+        "bigram-LM quality floor (requires --lm-min-logscore)",
+    )
+    ap.add_argument("--lm-min-logscore", type=float, default=None)
+    ap.add_argument(
         "--split", action="append", default=[], metavar="NAME=FRAC",
         help="stratified split assignment, e.g. --split train=0.8 "
         "--split val=0.1 --split test=0.1 (fractions must sum to 1; "
@@ -132,6 +143,13 @@ def main() -> None:
             else None
         ),
         splits=_parse_rates(args.split),
+        canonical_url_dedup=args.canonical_url_dedup,
+        lm_ref=(
+            spark.read.parquet(args.lm_ref).select("text")
+            if args.lm_ref
+            else None
+        ),
+        lm_min_logscore=args.lm_min_logscore,
     )
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)

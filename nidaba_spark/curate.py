@@ -57,6 +57,9 @@ def curate(
     compression_band: tuple[float, float] | None = None,
     splits: dict[str, float] | None = None,
     pre_extracted: DataFrame | None = None,
+    canonical_url_dedup: bool = False,
+    lm_ref: DataFrame | None = None,
+    lm_min_logscore: float | None = None,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -119,6 +122,29 @@ def curate(
                               paragraphs survive only at their first
                               occurrence, documents are rebuilt in
                               order, emptied documents drop;
+      canonical_url_dedup   — crawl hygiene BEFORE extraction (pages
+                              path only; a no-op with pre_extracted):
+                              drop robots-noindex pages and keep one
+                              page per declared rel=canonical group
+                              (operators/links.canonical_dedup
+                              semantics). Cost at scale: the keep-set
+                              branch re-reads (url, html) and the
+                              semi-join adds one url-keyed shuffle of
+                              the crawl — on the staged 10^12-row
+                              pipeline, extract noindex/canonical as
+                              EXTRACTED columns during the parse
+                              instead and dedup at the stage
+                              boundary; this flag is the single-plan
+                              form;
+      lm_ref +
+      lm_min_logscore       — Stupid-Backoff bigram-LM floor (the
+                              CCNet perplexity-filter shape,
+                              operators/lm.py): docs scoring below
+                              the floor against the REFERENCE corpus
+                              (lm_ref, e.g. a wiki-quality sample)
+                              are dropped. Both must be set together;
+                              the LM model tables self-materialize
+                              (one reference-corpus scan);
       near_dup_threshold    — MinHash-LSH near-dup pairs at this
                               Jaccard threshold resolved into clusters
                               by connected components; only each
@@ -136,6 +162,17 @@ def curate(
     # starts from that stage boundary instead of re-extracting —
     # jobs/full_corpus_job.py is the end-to-end user. `pages` may then
     # be None.
+    if canonical_url_dedup and pre_extracted is None:
+        from .operators.links import page_meta
+
+        meta = page_meta(pages).select("url", "noindex", "canonical")
+        keep_urls = (
+            meta.filter(~F.col("noindex"))
+            .select(F.coalesce("canonical", "url").alias("_c"), "url")
+            .groupBy("_c")
+            .agg(F.min("url").alias("url"))
+        )
+        pages = pages.join(keep_urls, "url", "left_semi")
     ext = (
         pre_extracted
         if pre_extracted is not None
@@ -203,6 +240,7 @@ def curate(
         or dup_span_max_frac is not None
         or decontam_eval is not None
         or near_dup_threshold is not None
+        or (lm_ref is not None and lm_min_logscore is not None)
     ):
         # Each hygiene stage references `good` from BOTH sides of an
         # anti-join, so chaining them would nest 2^stages copies of
@@ -212,6 +250,19 @@ def curate(
         # staged 10^12-row Pipeline this boundary is a real stage
         # checkpoint (parquet/Iceberg), not block storage.
         good = good.localCheckpoint(eager=False)
+    if lm_ref is not None and lm_min_logscore is not None:
+        from .operators.lm import stupid_backoff_score
+
+        # the model never reads reference ids — synthesize one so any
+        # (text)-shaped reference DataFrame is accepted
+        ref = lm_ref.select(
+            F.monotonically_increasing_id().cast("string").alias("url"),
+            F.col("text"),
+        )
+        gibberish = stupid_backoff_score(good, ref, id_col="url").filter(
+            F.col("avg_logscore") < F.lit(lm_min_logscore)
+        ).select(F.col("doc_id").alias("url"))
+        good = good.join(gibberish, "url", "left_anti")
     if repetition_max_frac is not None:
         spam = repetition_stats(good, id_col="url").filter(
             F.col("top_bigram_frac") > F.lit(repetition_max_frac)

@@ -79,7 +79,7 @@ def doc_feature_counts(
     One map-side-combined aggregation; bucket keys are md5-uniform, so
     the exchange is skew-free by construction."""
     uni = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(id_col).alias("doc_id"),  # long or string url, preserved
         F.explode(_words(F.col(text_col))).alias("f"),
     )
     bi = doc_bigrams(docs, text_col, id_col).select(

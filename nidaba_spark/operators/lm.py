@@ -88,7 +88,9 @@ def doc_bigrams(
     docs with < 2 words emit nothing). Linear-time: the words array is
     projected first, the lambda only does two O(1) element_at's."""
     w = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
+        # aliased, not cast: the id may be a long (documents) or a
+        # string url (curate's LM floor) — _exploded_grams convention
+        F.col(id_col).alias("doc_id"),
         _words(F.col(text_col)).alias("_w"),
     )
     sz = F.size("_w")

@@ -223,6 +223,84 @@ def test_paragraph_dedup_stage_wired(spark, pages):
     assert all(r["text"] != "" for r in rows)
 
 
+def test_canonical_url_dedup_stage_wired(spark, pages):
+    """Planted robots-noindex pages vanish; pages declaring a shared
+    rel=canonical target keep at most one member — and the baseline
+    (flag off) keeps several, so the stage caused it."""
+    body = F.decode("html", "ISO-8859-1")
+    bucket = F.pmod(F.xxhash64("url"), F.lit(10))
+    marked = pages.withColumn(
+        "html",
+        F.encode(
+            F.concat(
+                F.when(
+                    bucket == 0,
+                    F.lit('<meta name="robots" content="noindex">'),
+                ).otherwise(F.lit("")),
+                F.when(
+                    bucket == 1,
+                    F.lit(
+                        '<link rel="canonical" href="https://shared.example/one">'
+                    ),
+                ).otherwise(F.lit("")),
+                body,
+            ),
+            "ISO-8859-1",
+        ),
+    )
+    noindex_urls = {r["url"] for r in marked.filter(bucket == 0).select("url").collect()}
+    canon_urls = {r["url"] for r in marked.filter(bucket == 1).select("url").collect()}
+    assert len(noindex_urls) >= 2 and len(canon_urls) >= 2
+
+    base = {
+        r["url"]
+        for r in curate.curate(
+            marked, min_quality=0.0, pack_budget=512, npartitions=8
+        ).select("url").collect()
+    }
+    out = {
+        r["url"]
+        for r in curate.curate(
+            marked, min_quality=0.0, pack_budget=512, npartitions=8,
+            canonical_url_dedup=True,
+        ).select("url").collect()
+    }
+    assert base & noindex_urls and len(base & canon_urls) >= 2
+    assert not (out & noindex_urls)
+    assert len(out & canon_urls) <= 1
+
+
+def test_lm_floor_stage_wired(spark, pages):
+    """Survivors re-scored against the same reference all clear the
+    floor, and the floor actually bit (some pre-filter doc was below)."""
+    from nidaba_spark.operators.lm import stupid_backoff_score
+    from nidaba_spark import pipeline
+
+    docs = (
+        pipeline.extract(pages, npartitions=8)
+        .filter(F.col("text") != "")
+        .select("url", "text")
+    )
+    # deterministic reference slice (a bare limit() varies across jobs
+    # and the ref is re-evaluated by every scoring call)
+    ref = docs.orderBy("url").limit(40).select("text")
+    scores = stupid_backoff_score(
+        docs, ref.withColumn("url", F.col("text")), id_col="url"
+    ).select("avg_logscore").collect()
+    vals = sorted(r["avg_logscore"] for r in scores)
+    floor = vals[len(vals) // 2]  # median: guaranteed to bite
+    assert vals[0] < floor
+
+    out = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=8,
+        lm_ref=ref, lm_min_logscore=floor,
+    )
+    rescored = stupid_backoff_score(
+        out.select("url", "text"), ref.withColumn("url", F.col("text")), id_col="url"
+    ).collect()
+    assert rescored and min(r["avg_logscore"] for r in rescored) >= floor
+
+
 def test_model_score_filter_wired(spark, pages):
     out = curate.curate(
         pages,
