@@ -12,6 +12,10 @@ Writes, under --output:
                 against the union without rescanning this one)
   hll/batch=N — per-lang HLL sketch rows + token counts
                 (operators/sketches.py; union-aggregatable forever)
+  ivfpq/      — with --vectors: the persisted IVF-PQ ANN index
+                (operators/pq.build_ivfpq_index; coded table
+                PARTITIONED BY cell so queries read only their
+                probed cells, + KB-scale model tables)
 
 Re-running with the same --batch-id overwrites exactly that batch's
 subdirectories — idempotent replay, the same convergence contract as
@@ -37,6 +41,15 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument(
+        "--vectors", default=None, metavar="PATH",
+        help="embeddings parquet (vec_id, embedding) — also build the "
+        "cell-partitioned IVF-PQ ANN index under <output>/ivfpq",
+    )
+    ap.add_argument("--nlist", type=int, default=16)
+    ap.add_argument("--pq-m", type=int, default=8)
+    ap.add_argument("--pq-ksub", type=int, default=16)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="merge the BM25 index's accumulated batch=N subdirectories "
@@ -45,8 +58,8 @@ def main() -> None:
         "on an existing index without it.",
     )
     args = ap.parse_args()
-    if not args.input and not args.compact:
-        ap.error("--input is required unless --compact")
+    if not args.input and not args.compact and not args.vectors:
+        ap.error("--input is required unless --compact or --vectors")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -77,6 +90,15 @@ def main() -> None:
 
         n = docs.count()
         print(f"indexed {n} docs (batch {args.batch_id}) -> {args.output}")
+    if args.vectors:
+        from nidaba_spark.operators.pq import build_ivfpq_index
+
+        vecs = spark.read.parquet(args.vectors)
+        build_ivfpq_index(
+            vecs, os.path.join(args.output, "ivfpq"),
+            nlist=args.nlist, m=args.pq_m, ksub=args.pq_ksub, dim=args.dim,
+        )
+        print(f"built ivfpq index (nlist={args.nlist}) -> {args.output}/ivfpq")
     if args.compact:
         info = compact_postings(spark, os.path.join(args.output, "bm25"))
         print(

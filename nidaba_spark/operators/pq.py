@@ -211,6 +211,33 @@ def ivfpq_topk(
         _assign_udf(centroids, dim)(F.col(vec_col)).alias("cell"),
     )
 
+    short = _ivfpq_shortlist(
+        coded, queries, centroids, codebooks, nprobe, shortlist, dim,
+        id_col, vec_col, query_id_col,
+    )
+    return _exact_rerank(
+        short, vectors, queries, k, dim, id_col, vec_col, query_id_col
+    )
+
+
+def _ivfpq_shortlist(
+    coded: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    nprobe: int,
+    shortlist: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Probed-cell broadcast join + ADC scoring + per-query shortlist
+    over a coded table (id, codes, vnorm, cell) — shared by the inline
+    (ivfpq_topk) and persisted-index (ivfpq_topk_index) paths."""
+    from .ivf import _probe_udf
+
+    m, ksub, _dsub = codebooks.shape
     qrows = queries.select(query_id_col, vec_col).collect()
     qids = [r[query_id_col] for r in qrows]
     qindex = {qid: i for i, qid in enumerate(qids)}
@@ -255,13 +282,10 @@ def ivfpq_topk(
         adc(F.col(query_id_col), F.col("codes"), F.col("vnorm")).alias("adc"),
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("adc"), F.col(id_col))
-    short = (
+    return (
         scored.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= shortlist)
         .drop("_rn", "adc")
-    )
-    return _exact_rerank(
-        short, vectors, queries, k, dim, id_col, vec_col, query_id_col
     )
 
 
@@ -418,6 +442,144 @@ def pq_topk(
         candidates.withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= shortlist)
         .drop("_rn", "adc")
+    )
+    return _exact_rerank(
+        short, vectors, queries, k, dim, id_col, vec_col, query_id_col
+    )
+
+
+# ---------------------------------------------------------------------
+# persisted IVF-PQ index: the vector twin of the partitioned BM25
+# postings (operators/search.py) — train once, write the coded table
+# PARTITIONED BY cell, serve queries that read only their probed
+# cells' partitions (PartitionFilters, plan-asserted in
+# tests/test_pq.py).
+# ---------------------------------------------------------------------
+def build_ivfpq_index(
+    vectors: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    iters: int = 3,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Train the coarse quantizer + PQ codebooks and persist:
+
+      {path}/coded/cell=<c>/...   (id, codes array<int>, vnorm) —
+                                  8-byte codes + one double per
+                                  vector, 32x smaller than the floats;
+      {path}/model/centroids      (row, vec array<double>);
+      {path}/model/codebooks      (subspace, code, vec array<double>).
+
+    The model tables are KBs regardless of corpus size (nlist x dim +
+    m x ksub x dsub doubles); the coded table is the only
+    corpus-sized artifact and its cell partitioning is what lets a
+    query prune (nlist - nprobe)/nlist of it at the SCAN. Overwrite
+    semantics: rebuilds are idempotent."""
+    from .ivf import _assign_udf, train_centroids
+
+    spark = vectors.sparkSession
+    centroids = train_centroids(
+        vectors, nlist=nlist, dim=dim, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    codebooks = train_pq_codebooks(
+        vectors, m=m, ksub=ksub, dim=dim, iters=iters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+    coded = vectors.select(
+        F.col(id_col),
+        _encode_udf(codebooks, dim)(F.col(vec_col)).alias("codes"),
+        F.coalesce(F.round(_norm(F.col(vec_col), dim), 6), F.lit(0.0)).alias(
+            "vnorm"
+        ),
+        _assign_udf(centroids, dim)(F.col(vec_col)).alias("cell"),
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/coded")
+    spark.createDataFrame(
+        [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
+        "row int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model/centroids")
+    mm, kk, _ = codebooks.shape
+    spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in codebooks[s, c]])
+            for s in range(mm)
+            for c in range(kk)
+        ],
+        "subspace int, code int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model/codebooks")
+
+
+def load_ivfpq_model(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(centroids, codebooks) back from {path}/model — KB-scale reads."""
+    crows = spark.read.parquet(f"{path}/model/centroids").collect()
+    centroids = np.array(
+        [r["vec"] for r in sorted(crows, key=lambda r: r["row"])],
+        dtype=np.float64,
+    )
+    brows = spark.read.parquet(f"{path}/model/codebooks").collect()
+    m = 1 + max(r["subspace"] for r in brows)
+    ksub = 1 + max(r["code"] for r in brows)
+    dsub = len(brows[0]["vec"])
+    codebooks = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for r in brows:
+        codebooks[r["subspace"], r["code"]] = r["vec"]
+    return centroids, codebooks
+
+
+def ivfpq_topk_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Serve ANN queries from a build_ivfpq_index directory.
+
+    The union of the query batch's probed cells becomes a LITERAL
+    partition predicate on the coded scan — Spark lists and reads
+    ONLY those cell=<c> directories (PartitionFilters), so the scan
+    cost is (nprobe/nlist) x corpus codes no matter the corpus size.
+    The driver-side probe replicates ivf._probe_udf's math exactly
+    (cosine argsort, stable ties), so results are identical to the
+    inline ivfpq_topk with the same model. ``vectors`` supplies the
+    float rows for the exact re-rank only (shortlist x nq lookups —
+    at 10^12 scale, a point-lookup table keyed by id)."""
+    centroids, codebooks = load_ivfpq_model(spark, path)
+    qrows = queries.select(query_id_col, vec_col).collect()
+    if not qrows:
+        return ivfpq_topk(
+            vectors, queries, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, centroids=centroids, codebooks=codebooks,
+        )
+    qmat = np.array(
+        [
+            [float(x) for x in r[vec_col]] if r[vec_col] is not None else [0.0] * dim
+            for r in qrows
+        ],
+        dtype=np.float64,
+    )
+    cnorm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    npb = min(nprobe, len(centroids))
+    top = np.argsort(-(qmat @ cnorm.T), axis=1, kind="stable")[:, :npb]
+    cells = sorted({int(c) for row in top for c in row})
+    coded = spark.read.parquet(f"{path}/coded").filter(F.col("cell").isin(cells))
+    short = _ivfpq_shortlist(
+        coded, queries, centroids, codebooks, nprobe, shortlist, dim,
+        id_col, vec_col, query_id_col,
     )
     return _exact_rerank(
         short, vectors, queries, k, dim, id_col, vec_col, query_id_col

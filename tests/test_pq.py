@@ -214,3 +214,57 @@ def test_pq_topk_preserves_id_types(spark, emb, books):
         r["query_id"].startswith("q-") and r["vec_id"].startswith("doc-")
         for r in rows
     )
+
+
+# ------------------------------------------------- persisted index
+def test_index_roundtrip_matches_inline(spark, emb, tmp_path_factory):
+    """build_ivfpq_index -> ivfpq_topk_index == inline ivfpq_topk with
+    the same seed, row for row (same model, same probe math)."""
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    pq.build_ivfpq_index(emb, path, nlist=8, m=8, ksub=16, dim=64, iters=2)
+    q = _queries(emb)
+    via_index = {
+        tuple(r)
+        for r in pq.ivfpq_topk_index(
+            spark, path, q, emb, k=K, nprobe=4, dim=64
+        ).collect()
+    }
+    cents, books_ = pq.load_ivfpq_model(spark, path)
+    inline = {
+        tuple(r)
+        for r in pq.ivfpq_topk(
+            emb, q, k=K, nlist=8, nprobe=4, m=8, ksub=16, dim=64, iters=2,
+            centroids=cents, codebooks=books_,
+        ).collect()
+    }
+    assert via_index == inline and via_index
+
+
+def test_index_scan_is_partition_pruned(spark, emb, tmp_path_factory):
+    """The coded scan must carry the probed cells as PartitionFilters
+    — the query reads nprobe directories, not the corpus."""
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    pq.build_ivfpq_index(emb, path, nlist=8, m=8, ksub=16, dim=64, iters=2)
+    coded = spark.read.parquet(f"{path}/coded").filter(
+        F.col("cell").isin([1, 3])
+    )
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "cell" in pf and pf.strip()
+
+
+def test_index_model_roundtrip_exact(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    pq.build_ivfpq_index(emb, path, nlist=8, m=8, ksub=16, dim=64, iters=2)
+    from nidaba_spark.operators.ivf import train_centroids
+
+    cents, books_ = pq.load_ivfpq_model(spark, path)
+    np.testing.assert_array_equal(
+        cents, train_centroids(emb, nlist=8, dim=64, iters=2)
+    )
+    np.testing.assert_array_equal(
+        books_, pq.train_pq_codebooks(emb, m=8, ksub=16, dim=64, iters=2)
+    )
