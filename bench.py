@@ -44,6 +44,15 @@ RELATIONAL_HEADLINERS = [
     "doc_quality",
 ]
 
+# informational, outside the headline total (frozen since r01)
+AUX_QUERIES = [
+    "lm_score",
+    "dsir_select",
+    "page_links",
+    "canonical_dedup",
+    "normalize_urls",
+]
+
 
 PROBE_FLOOR = float(os.environ.get("NIDABA_PROBE_FLOOR", "7.0"))
 MAX_PIPELINE_REPS = int(os.environ.get("NIDABA_MAX_PIPELINE_REPS", "8"))
@@ -222,6 +231,18 @@ def main() -> None:
         df.collect()  # warm: first-scan + codegen costs out of the timing
         queries[name] = time_action(lambda d=df: d.collect(), reps=3)
 
+    # -- aux timings (NOT in the headline total — the headline query
+    # set is frozen for cross-round comparability): the r05 operator
+    # wave, one warmed rep each, informational.
+    aux: dict[str, float] = {}
+    for name in AUX_QUERIES:
+        fn = all_q.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, SF_DIR)
+        df.collect()
+        aux[name] = time_action(lambda d=df: d.collect(), reps=1)
+
     total = round(sum(queries.values()), 3)
     docs_per_sec = round(BENCH_ROWS / t_pipeline, 1)
     gb_per_hour = round(in_bytes / 1e9 / (t_pipeline / 3600.0), 2)
@@ -258,6 +279,7 @@ def main() -> None:
                 "pipeline_reps": pipeline_reps,
                 "pipeline_plan_sec": t_plan,
                 "pipeline_exec_sec": pipeline_exec_sec,
+                "aux_queries": aux,
                 # overall min across ALL reps (including non-qualifying
                 # windows): host contention can only inflate a wall, never
                 # deflate it, so this is the least-contaminated sample and

@@ -175,6 +175,8 @@ def dsir_resample(
     w = weights.withColumn(
         "score_micro", F.col("logw_micro") + gumbel_micro(F.col("doc_id"), salt)
     )
+    if k <= 0:  # distinct from the empty-INPUT case below, which keeps all
+        return w.withColumn("keep", F.lit(False))
     kth = (
         w.select("score_micro", "doc_id")
         .orderBy(F.desc("score_micro"), "doc_id")

@@ -47,13 +47,17 @@ from pyspark.sql import functions as F
 # portable to the RE2-based oracles). `[\s/]` after the tag name keeps
 # <article>/<abbr> from matching; `[^>]*?` is lazy so the FIRST href
 # attribute in the tag wins, mirroring browser behavior.
-_HREF_DQ = r"""(?i)<a[\s/][^>]*?href\s*=\s*"([^"]*)\""""
-_HREF_SQ = r"(?i)<a[\s/][^>]*?href\s*=\s*'([^']*)'"
+# `(?:[^>]*?[\s"'/])?` bounds the attribute NAME: without it the lazy
+# [^>]*? expands right up to a name SUFFIX, so data-href / ng-href /
+# xlink:href would match as href and emit false edges (review r05).
+_ATTR = r"""(?:[^>]*?[\s"'/])?"""
+_HREF_DQ = rf"""(?i)<a[\s/]{_ATTR}href\s*=\s*"([^"]*)\""""
+_HREF_SQ = rf"(?i)<a[\s/]{_ATTR}href\s*=\s*'([^']*)'"
 # href + simple (tag-free) anchor text, captured by ONE regex ran twice
 # with different group indexes — identical match sets, so zipping the
 # two extract_all arrays pairs them correctly. Anchors with nested
 # markup (<a href=x><b>t</b></a>) are out of this view by design.
-_HREF_ANCHOR = r"""(?i)<a[\s/][^>]*?href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>"""
+_HREF_ANCHOR = rf"""(?i)<a[\s/]{_ATTR}href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>"""
 
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*:"
 _ORIGIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
@@ -149,10 +153,14 @@ def anchor_texts(
     ).filter(F.col("dst").isNotNull())
 
 
-_CANON_RH = r"""(?i)<link[\s][^>]*?rel\s*=\s*["']canonical["'][^>]*?href\s*=\s*["']([^"']*)["']"""
-_CANON_HR = r"""(?i)<link[\s][^>]*?href\s*=\s*["']([^"']*)["'][^>]*?rel\s*=\s*["']canonical["']"""
-_ROBOTS_NC = r"""(?i)<meta[\s][^>]*?name\s*=\s*["']robots["'][^>]*?content\s*=\s*["']([^"']*)["']"""
-_ROBOTS_CN = r"""(?i)<meta[\s][^>]*?content\s*=\s*["']([^"']*)["'][^>]*?name\s*=\s*["']robots["']"""
+# the second attribute in each pair always has a real boundary char
+# before it (at minimum the closing quote of the first value), so its
+# name-boundary class is required, not optional — same false-suffix
+# rationale as _ATTR (data-rel, data-name, itemprop-content, ...)
+_CANON_RH = rf"""(?i)<link[\s]{_ATTR}rel\s*=\s*["']canonical["'][^>]*?[\s"'/]href\s*=\s*["']([^"']*)["']"""
+_CANON_HR = rf"""(?i)<link[\s]{_ATTR}href\s*=\s*["']([^"']*)["'][^>]*?[\s"'/]rel\s*=\s*["']canonical["']"""
+_ROBOTS_NC = rf"""(?i)<meta[\s]{_ATTR}name\s*=\s*["']robots["'][^>]*?[\s"'/]content\s*=\s*["']([^"']*)["']"""
+_ROBOTS_CN = rf"""(?i)<meta[\s]{_ATTR}content\s*=\s*["']([^"']*)["'][^>]*?[\s"'/]name\s*=\s*["']robots["']"""
 _TITLE = r"(?i)<title[^>]*>([^<]*)</title>"
 
 

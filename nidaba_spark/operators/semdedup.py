@@ -60,11 +60,18 @@ def semdedup_pairs(
         vectors, nlist=nlist, dim=dim, iters=iters, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
+    from pyspark import StorageLevel
+
+    # both self-join sides consume `assigned`; without materialization
+    # the corpus scan + assignment GEMM + norm run TWICE (the same
+    # no-common-subplan-reuse rule lm.py/dsir.py pin). localCheckpoint,
+    # not persist — CacheManager canonicalized-plan aliasing.
     assigned = (
         vectors.filter(F.col(vec_col).isNotNull())
         .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("cell", _assign_udf(cents, dim)("_v"))
         .withColumn("_n", _norm(F.col("_v"), dim))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     a = assigned.select(
         F.col("_id").alias("id_a"), "cell",

@@ -46,6 +46,12 @@ def test_resample_keeps_exactly_k(spark):
     assert {r["doc_id"] for r in ranked[:17]} == {r["doc_id"] for r in kept}
 
 
+def test_resample_k_zero_keeps_none(spark):
+    docs = _docs(spark, [(1, "a b"), (2, "c d")])
+    out = dsir_resample(dsir_weights(docs, docs), k=0).collect()
+    assert out and not any(r["keep"] for r in out)
+
+
 def test_resample_small_input_keeps_all(spark):
     docs = _docs(spark, [(1, "a b"), (2, "c d")])
     out = dsir_resample(dsir_weights(docs, docs), k=10).collect()

@@ -55,6 +55,29 @@ def test_resolution_rules(spark, one_page):
     }  # fragment-only, mailto:, javascript:, <area>, <abbr> all excluded
 
 
+def test_attribute_name_suffixes_do_not_match(spark):
+    """data-href / ng-href / xlink:href are NOT href; data-rel /
+    data-name are NOT rel/name (review r05: the lazy [^>]*? must not
+    absorb an attribute-name prefix)."""
+    from nidaba_spark.operators.links import page_meta
+
+    html = (
+        '<a class="x" data-href="/fake1">t</a>'
+        '<a ng-href="/fake2">t</a>'
+        '<a xlink:href="/fake3">t</a>'
+        '<a data-href="/fake4" href="/real">t</a>'
+        '<link data-rel="canonical" href="/notcanon">'
+        '<meta data-name="robots" content="noindex">'
+    )
+    df = spark.createDataFrame(
+        [(SRC, bytearray(html.encode()))], "url string, html binary"
+    )
+    links = [(r["href"], r["dst"]) for r in page_links(df).collect()]
+    assert links == [("/real", "https://docs.example.com/real")]
+    meta = page_meta(df).collect()[0]
+    assert meta["canonical"] is None and meta["noindex"] is False
+
+
 def test_relative_without_absolute_base_drops(spark):
     df = spark.createDataFrame(
         [("not-a-url", bytearray(b'<a href="/x">x</a><a href="http://h/y">y</a>'))],

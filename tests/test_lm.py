@@ -100,3 +100,22 @@ def test_mega_page_linear(spark):
     elapsed = time.monotonic() - t0
     assert {r["doc_id"]: r["n_bigrams"] for r in rows} == {1: 49_999, 2: 2}
     assert elapsed < 60, f"mega-page took {elapsed:.1f}s — quadratic regression?"
+
+
+def test_query_plan_scans_corpus_once(spark):
+    """The scoring side reads the documents parquet exactly ONCE (the
+    module's single-lineage claim); the checkpointed model tables show
+    up as RDD scans (local block reads), never as parquet re-scans,
+    and the zipf heads join via broadcast."""
+    import re
+
+    from nidaba_spark.plans import trainingdata as td
+
+    import os
+
+    df = td.QUERIES["lm_score"](
+        spark, os.environ.get("NIDABA_TEST_SF", "/root/testdata/sf0.001")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2
