@@ -82,17 +82,21 @@ _RETIRED_FROM_DRIVER = [
     "top_docs_by_chars",
     "top_words",
     "customers_without_orders",
-    # added mid-r05 with full oracles; driver surface is frozen at 50,
-    # so they start off-surface (identical DuckDB comparison in
-    # tests/test_offdriver_oracles.py) — rotation candidates for r06:
-    "page_links",
-    "host_link_graph",
-    "lm_score",
-    "dsir_select",
-    "page_meta",
-    "canonical_dedup",
-    "normalize_urls",
-    "anchor_stats",
+    # second r05 rotation: these 8 long-green relational rows (green
+    # since r01/r02) make room for the late-r05 operator wave below;
+    # every listed capability keeps either an on-surface twin
+    # (orders_rollup for B17, top_orders_per_customer for windows,
+    # pricing_summary for aggs) or its identical off-driver oracle:
+    "customer_order_stats",
+    "cube_lineitem",
+    "grouping_sets_orders",
+    "running_order_total",
+    "orders_list_per_customer",
+    "part_brand_stats",
+    "order_price_quantiles",
+    "token_counts",
+    # rows-only by nature (iterative k-means) — stays off-surface with
+    # its gates in tests/test_semdedup.py:
     "semdedup",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
