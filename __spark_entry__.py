@@ -98,6 +98,9 @@ _RETIRED_FROM_DRIVER = [
     # rows-only by nature (iterative k-means) — stays off-surface with
     # its gates in tests/test_semdedup.py:
     "semdedup",
+    # full oracle, added after the second r05 rotation froze the
+    # surface — r06 rotation candidate (identical off-driver check):
+    "lm_score_trigram",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

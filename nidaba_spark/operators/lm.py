@@ -81,12 +81,12 @@ ALPHA = 0.4
 _NSALT = 1024
 
 
-def doc_bigrams(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+def doc_ngrams(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(doc_id, w1, w2): one row per bigram POSITION (duplicates kept;
-    docs with < 2 words emit nothing). Linear-time: the words array is
-    projected first, the lambda only does two O(1) element_at's."""
+    """(doc_id, w1..wn): one row per n-gram POSITION (duplicates kept;
+    docs with < n words emit nothing). Linear-time: the words array is
+    projected first, the lambda only does n O(1) element_at's."""
     w = docs.select(
         # aliased, not cast: the id may be a long (documents) or a
         # string url (curate's LM floor) — _exploded_grams convention
@@ -94,22 +94,33 @@ def doc_bigrams(
         _words(F.col(text_col)).alias("_w"),
     )
     sz = F.size("_w")
-    pairs = F.when(
-        sz >= 2,
+    struct_t = ",".join(f"w{j}:string" for j in range(1, n + 1))
+    grams = F.when(
+        sz >= n,
         F.transform(
-            F.sequence(F.lit(1), sz - 1),
+            F.sequence(F.lit(1), sz - (n - 1)),
             lambda i: F.struct(
-                F.element_at("_w", i).alias("w1"),
-                F.element_at("_w", i + 1).alias("w2"),
+                *[
+                    F.element_at("_w", i + j).alias(f"w{j + 1}")
+                    for j in range(n)
+                ]
             ),
         ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    return w.select("doc_id", F.explode(pairs).alias("bg")).select(
-        "doc_id", "bg.w1", "bg.w2"
+    ).otherwise(F.array().cast(f"array<struct<{struct_t}>>"))
+    return w.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", *[f"g.w{j}" for j in range(1, n + 1)]
     )
 
 
-def _salted_when_resolved(key: Column, resolved: Column) -> Column:
+def doc_bigrams(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, w1, w2) — doc_ngrams(n=2), kept as the named form the
+    DSIR feature builder and tests import."""
+    return doc_ngrams(docs, 2, text_col, id_col)
+
+
+def _salted_when_resolved(key: Column, resolved: Column, wcols: list[str]) -> Column:
     """The de-skew trick: once a row is resolved by the hot broadcast,
     its cold-join key becomes a uniform per-row salt that (a) can never
     match a model key — real keys are [a-z0-9 ]+, the salt starts '#'
@@ -118,9 +129,29 @@ def _salted_when_resolved(key: Column, resolved: Column) -> Column:
     (hash of the row's own key columns), so retries re-derive it."""
     salt = F.concat(
         F.lit("#"),
-        F.pmod(F.xxhash64(F.col("doc_id"), F.col("w1"), F.col("w2")), F.lit(_NSALT)),
+        F.pmod(
+            F.xxhash64(F.col("doc_id"), *[F.col(c) for c in wcols]),
+            F.lit(_NSALT),
+        ),
     )
     return F.when(resolved, salt).otherwise(key)
+
+
+_COUNT_NAME = {2: "n_bigrams", 3: "n_trigrams"}
+
+
+def _gram_counts(
+    lm_docs: DataFrame, g: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(key, c): corpus-wide counts of space-joined g-grams — one
+    map-side-combined aggregation keyed by distinct gram TYPES."""
+    if g == 1:
+        keyed = lm_docs.select(F.explode(_words(F.col(text_col))).alias("key"))
+    else:
+        keyed = doc_ngrams(lm_docs, g, text_col, id_col).select(
+            F.concat_ws(" ", *[f"w{j}" for j in range(1, g + 1)]).alias("key")
+        )
+    return keyed.groupBy("key").agg(F.count(F.lit(1)).alias("c"))
 
 
 def stupid_backoff_score(
@@ -128,102 +159,133 @@ def stupid_backoff_score(
     lm_docs: DataFrame | None = None,
     alpha: float = ALPHA,
     n_hot: int = 1024,
+    order: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Score ``docs`` under a Stupid Backoff bigram LM trained on
-    ``lm_docs`` (default: ``docs`` itself — the closed, fully
-    oracle-able form). Returns (doc_id, n_bigrams, avg_logscore) for
-    every doc with >= 2 words; lower = less like the training corpus.
-    """
+    """Score ``docs`` under a Stupid Backoff ``order``-gram LM trained
+    on ``lm_docs`` (default: ``docs`` itself — the closed, fully
+    oracle-able form). Returns (doc_id, n_<order>grams, avg_logscore)
+    for every doc with >= order words; lower = less like the training
+    corpus. Tiers, per Brants et al.:
+
+        S_g(w_i | w_{i-g+1..i-1}) = alpha^(order-g)
+                                    * c(last g words) / c(first g-1 of them)
+        (g = order first; each unseen tier backs off to g-1; the g=1
+        denominator is N; total OOV floor = alpha^(order-1) / N)
+
+    Each tier is one broadcast hot-head join + one salted cold shuffle
+    join over the SAME single lineage (module docstring)."""
     from pyspark import StorageLevel
 
+    if order < 2:
+        raise ValueError("order must be >= 2")
     if lm_docs is None:
         lm_docs = docs
-    # The model tables are each consumed 3-5 times downstream (total
-    # collect, the model-side join, hot limit + cold anti per tier) and
-    # Spark has no common-subplan reuse — unmaterialized, every consumer
-    # re-scans the TRAINING corpus. localCheckpoint (not persist: the
-    # CacheManager matches canonicalized plans, so a second identical
-    # call would silently read the first call's cache) pins each to one
-    # scan; measured 7.2s -> 2.3s cold at sf0.1 and decisive at scale,
-    # where "train once, score forever" is the production shape anyway.
-    uni = (
-        lm_docs.select(F.explode(_words(F.col(text_col))).alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    )
-    total = uni.agg(F.sum("c")).collect()[0][0] or 0
+    # Every counts table is consumed 2-3x (its own model tier + the
+    # next tier's denominator + the N collect) and Spark has no
+    # common-subplan reuse — unmaterialized, every consumer re-scans
+    # the TRAINING corpus. localCheckpoint (not persist: CacheManager
+    # matches canonicalized plans, so a second identical call would
+    # silently read the first call's cache) pins each to one scan;
+    # measured 7.2s -> 2.3s cold at sf0.1 and decisive at scale, where
+    # "train once, score forever" is the production shape anyway.
+    counts: dict[int, DataFrame] = {}
+    for g in range(1, order + 1):
+        cdf = _gram_counts(lm_docs, g, text_col, id_col)
+        if g < order:  # top-order counts have exactly one consumer
+            cdf = cdf.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.DISK_ONLY
+            )
+        counts[g] = cdf
+    total = counts[1].agg(F.sum("c")).collect()[0][0] or 0
     n = float(total) if total else 1.0
-    big = doc_bigrams(lm_docs, text_col, id_col).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
-    # one model-side join (bigram types x unigram types); precomputing
-    # log_s keeps the denominator join off the scoring path entirely.
-    big_lm = big.join(uni.withColumnRenamed("w", "w1"), "w1").select(
-        F.concat_ws(" ", "w1", "w2").alias("bkey"),
-        F.col("c12").alias("_rank"),
-        F.round(F.log10(F.col("c12") / F.col("c")) * 1e6)
-        .cast("long")
-        .alias("log_s"),
-    ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    uni_bo = uni.select(
-        F.col("w").alias("ukey"),
-        F.col("c").alias("_urank"),
-        F.round(F.log10(F.lit(alpha) * F.col("c") / F.lit(n)) * 1e6)
-        .cast("long")
-        .alias("log_bo"),
-    )
-    floor = int(round(math.log10(alpha / n) * 1e6))
 
-    hot_big = big_lm.orderBy(F.desc("_rank"), "bkey").limit(n_hot).drop("_rank")
-    cold_big = big_lm.join(
-        F.broadcast(hot_big.select("bkey")), "bkey", "left_anti"
-    ).drop("_rank")
-    hot_uni = uni_bo.orderBy(F.desc("_urank"), "ukey").limit(n_hot).drop("_urank")
-    cold_uni = uni_bo.join(
-        F.broadcast(hot_uni.select("ukey")), "ukey", "left_anti"
-    ).drop("_urank")
+    models: dict[int, DataFrame] = {}
+    for g in range(1, order + 1):
+        factor = alpha ** (order - g)
+        if g == 1:
+            models[1] = counts[1].select(
+                "key",
+                F.col("c").alias("_rank"),
+                F.round(F.log10(F.lit(factor) * F.col("c") / F.lit(n)) * 1e6)
+                .cast("long")
+                .alias("val"),
+            )
+        else:
+            # denominator = the gram's (g-1)-word PREFIX count; the
+            # model-side join is bounded by distinct gram types and
+            # keeps the denominator off the scoring path entirely
+            den = counts[g - 1].select(
+                F.col("key").alias("_pfx"), F.col("c").alias("_cd")
+            )
+            num = counts[g].withColumn(
+                "_pfx", F.substring_index("key", " ", g - 1)
+            )
+            mdl = num.join(den, "_pfx").select(
+                "key",
+                F.col("c").alias("_rank"),
+                F.round(
+                    F.log10(F.lit(factor) * F.col("c") / F.col("_cd")) * 1e6
+                )
+                .cast("long")
+                .alias("val"),
+            )
+            models[g] = mdl.localCheckpoint(
+                eager=False, storageLevel=StorageLevel.DISK_ONLY
+            )
+    floor = int(round(math.log10(alpha ** (order - 1) / n) * 1e6))
 
+    wcols = [f"w{j}" for j in range(1, order + 1)]
     tf = (
-        doc_bigrams(docs, text_col, id_col)
-        .groupBy("doc_id", "w1", "w2")
+        doc_ngrams(docs, order, text_col, id_col)
+        .groupBy("doc_id", *wcols)
         .agg(F.count(F.lit(1)).alias("k"))
-        .withColumn("bkey", F.concat_ws(" ", "w1", "w2"))
     )
-    # tier 1: bigram head map-side, bigram tail via salted shuffle join
-    t1 = tf.join(
-        F.broadcast(hot_big.withColumnRenamed("log_s", "s_hot")), "bkey", "left"
-    )
-    t1 = t1.withColumn(
-        "bkey", _salted_when_resolved(F.col("bkey"), F.col("s_hot").isNotNull())
-    ).join(cold_big.withColumnRenamed("log_s", "s_cold"), "bkey", "left")
-    t1 = t1.withColumn("log_s", F.coalesce("s_hot", "s_cold"))
-    # tier 2: unigram backoff for rows no bigram tier resolved
-    t2 = t1.withColumn("ukey", F.col("w2")).join(
-        F.broadcast(hot_uni.withColumnRenamed("log_bo", "bo_hot")), "ukey", "left"
-    )
-    t2 = t2.withColumn(
-        "ukey",
-        _salted_when_resolved(
-            F.col("ukey"),
-            F.col("log_s").isNotNull() | F.col("bo_hot").isNotNull(),
-        ),
-    ).join(cold_uni.withColumnRenamed("log_bo", "bo_cold"), "ukey", "left")
-    scored = t2.select(
+    df = tf
+    parts: list[str] = []  # value columns in backoff precedence order
+    for g in range(order, 0, -1):
+        key = F.concat_ws(" ", *wcols[order - g :])
+        hot = models[g].orderBy(F.desc("_rank"), "key").limit(n_hot).drop("_rank")
+        cold = models[g].join(
+            F.broadcast(hot.select("key")), "key", "left_anti"
+        ).drop("_rank")
+        resolved = (
+            F.coalesce(*[F.col(p) for p in parts]).isNotNull()
+            if parts
+            else F.lit(False)
+        )
+        df = df.withColumn(
+            "_k", _salted_when_resolved(key, resolved, wcols)
+        ).join(
+            F.broadcast(hot.select(F.col("key").alias("_k"), F.col("val").alias(f"_h{g}"))),
+            "_k",
+            "left",
+        ).drop("_k")
+        parts.append(f"_h{g}")
+        resolved = F.coalesce(*[F.col(p) for p in parts]).isNotNull()
+        df = df.withColumn(
+            "_k", _salted_when_resolved(key, resolved, wcols)
+        ).join(
+            cold.select(F.col("key").alias("_k"), F.col("val").alias(f"_c{g}")),
+            "_k",
+            "left",
+        ).drop("_k")
+        parts.append(f"_c{g}")
+    scored = df.select(
         "doc_id",
         "k",
-        F.coalesce("log_s", "bo_hot", "bo_cold", F.lit(floor)).alias("s_micro"),
+        F.coalesce(*parts, F.lit(floor)).alias("s_micro"),
     )
+    n_name = _COUNT_NAME.get(order, f"n_{order}grams")
     agg = scored.groupBy("doc_id").agg(
-        F.sum("k").alias("n_bigrams"),
+        F.sum("k").alias(n_name),
         F.sum(F.col("k") * F.col("s_micro")).alias("_sum_micro"),
     )
     return agg.select(
         "doc_id",
-        "n_bigrams",
+        n_name,
         F.round(
-            (F.col("_sum_micro") / F.lit(1000000.0)) / F.col("n_bigrams"), 6
+            (F.col("_sum_micro") / F.lit(1000000.0)) / F.col(n_name), 6
         ).alias("avg_logscore"),
     )

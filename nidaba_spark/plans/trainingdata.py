@@ -1518,6 +1518,74 @@ FROM agg
 """
 
 
+def q_lm_score_trigram(spark: SparkSession, sf: str) -> DataFrame:
+    """Stupid Backoff at the paper's deeper order (operators/lm.py,
+    order=3): four resolution tiers — seen trigram, alpha-discounted
+    bigram, alpha^2 unigram, OOV floor — all exercised by training on
+    the doc_id % 3 != 0 split and scoring every doc."""
+    from ..operators.lm import stupid_backoff_score
+
+    docs = load(spark, sf, "documents")
+    return stupid_backoff_score(
+        docs, docs.filter(F.col("doc_id") % 3 != 0), order=3
+    )
+
+
+ORACLE["lm_score_trigram"] = f"""
+WITH t AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+tg AS (
+  SELECT doc_id,
+         unnest(ws[1:len(ws)-2]) AS w1,
+         unnest(ws[2:len(ws)-1]) AS w2,
+         unnest(ws[3:len(ws)]) AS w3
+  FROM t WHERE len(ws) >= 3),
+bg AS (
+  SELECT doc_id,
+         unnest(ws[1:len(ws)-1]) AS w1,
+         unnest(ws[2:len(ws)]) AS w2
+  FROM t WHERE len(ws) >= 2),
+uni AS (
+  SELECT w, count(*) AS c FROM (
+    SELECT unnest(ws) AS w FROM t WHERE doc_id % 3 != 0) GROUP BY w),
+tot AS (SELECT sum(c)::DOUBLE AS n FROM uni),
+big AS (
+  SELECT w1, w2, count(*) AS c FROM bg WHERE doc_id % 3 != 0 GROUP BY 1, 2),
+tri AS (
+  SELECT w1, w2, w3, count(*) AS c FROM tg WHERE doc_id % 3 != 0
+  GROUP BY 1, 2, 3),
+m3 AS (
+  SELECT tri.w1, tri.w2, tri.w3,
+         CAST(round(log10(1.0::DOUBLE * tri.c / big.c) * 1e6) AS BIGINT) AS v
+  FROM tri JOIN big USING (w1, w2)),
+m2 AS (
+  SELECT big.w1 AS b1, big.w2 AS b2,
+         CAST(round(log10(0.4::DOUBLE * big.c / uni.c) * 1e6) AS BIGINT) AS v
+  FROM big JOIN uni ON uni.w = big.w1),
+m1 AS (
+  SELECT w AS u1,
+         CAST(round(log10(0.4::DOUBLE * 0.4::DOUBLE * c / n) * 1e6) AS BIGINT) AS v
+  FROM uni, tot),
+tf AS (
+  SELECT doc_id, w1, w2, w3, count(*) AS k FROM tg GROUP BY 1, 2, 3, 4),
+scored AS (
+  SELECT doc_id, k,
+         coalesce(m3.v, m2.v, m1.v,
+                  CAST(round(log10(0.4::DOUBLE * 0.4::DOUBLE / n) * 1e6)
+                       AS BIGINT)) AS s_micro
+  FROM tf
+  LEFT JOIN m3 USING (w1, w2, w3)
+  LEFT JOIN m2 ON m2.b1 = tf.w2 AND m2.b2 = tf.w3
+  LEFT JOIN m1 ON m1.u1 = tf.w3, tot),
+agg AS (
+  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_trigrams,
+         CAST(sum(k * s_micro) AS BIGINT) AS sum_micro
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, n_trigrams,
+       round((sum_micro / 1000000.0) / n_trigrams, 6) AS avg_logscore
+FROM agg
+"""
+
+
 # ---------------------------------- selection: DSIR (Xie et al. 2023)
 def q_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     """Importance resampling for data selection (operators/dsir.py):
@@ -1626,6 +1694,7 @@ QUERIES = {
     "page_links": q_page_links,
     "host_link_graph": q_host_link_graph,
     "lm_score": q_lm_score,
+    "lm_score_trigram": q_lm_score_trigram,
     "dsir_select": q_dsir_select,
     "page_meta": q_page_meta,
     "canonical_dedup": q_canonical_dedup,

@@ -53,6 +53,36 @@ def test_unigram_backoff_tier(spark):
     assert row["avg_logscore"] == pytest.approx(expect, abs=1e-9)
 
 
+def test_trigram_four_tiers_hand_case(spark):
+    """order=3 on LM {'a b c d', 'a b x'} (N=7): one scored doc per
+    resolution tier, each with exactly one trigram position."""
+    lm = _docs(spark, [(10, "a b c d"), (11, "a b x")])
+    scored = _docs(
+        spark,
+        [
+            (1, "a b c"),  # tier 3: c(abc)=1 / c(ab)=2
+            (2, "x b c"),  # tier 2: a*c(bc)/c(b) = .4*1/2
+            (3, "q q a"),  # tier 1: a^2*c(a)/N = .16*2/7
+            (4, "q q q"),  # floor:  a^2/N
+        ],
+    )
+    got = {
+        r["doc_id"]: r["avg_logscore"]
+        for r in stupid_backoff_score(scored, lm, order=3).collect()
+    }
+    a2 = 0.4 * 0.4
+    exp = {
+        1: round(math.log10(1 / 2) * 1e6),
+        2: round(math.log10(0.4 * 1 / 2) * 1e6),
+        3: round(math.log10(a2 * 2 / 7.0) * 1e6),
+        4: round(math.log10(a2 / 7.0) * 1e6),
+    }
+    for d, micro in exp.items():
+        assert got[d] == pytest.approx(round(micro / 1e6, 6), abs=1e-9), d
+    # short docs (<3 words) emit nothing at order=3
+    assert set(got) == {1, 2, 3, 4}
+
+
 def test_hot_cold_split_is_invisible(spark):
     """Output is identical for ANY hot-set size — n_hot=0 (everything
     via the cold shuffle join) vs n_hot huge (everything broadcast)."""
