@@ -103,6 +103,10 @@ def main() -> None:
         "adds a 'split' column, does not filter)",
     )
     args = ap.parse_args()
+    if (args.lm_ref is None) != (args.lm_min_logscore is None):
+        ap.error("--lm-ref and --lm-min-logscore must be given together")
+    if args.decontam_bloom_fpp is not None and not args.decontam_eval:
+        ap.error("--decontam-bloom-fpp requires --decontam-eval")
 
     from pyspark.sql import SparkSession
 
@@ -112,9 +116,14 @@ def main() -> None:
     active = SparkSession.getActiveSession()
     spark = tune_session(active) if active else get_spark(app="nidaba-curate", cores=args.cores)
 
+    # catalog table iff it looks like db.table: dotted AND path-free —
+    # a bare "." test misroutes remote URIs (s3a://my.bucket/x,
+    # hdfs://nn.prod/y), which always fail os.path.exists (review r05)
     pages = (
         spark.read.table(args.input)
-        if "." in args.input and not os.path.exists(args.input)
+        if "." in args.input
+        and "/" not in args.input
+        and not os.path.exists(args.input)
         else spark.read.parquet(args.input)
     )
     eval_df = spark.read.parquet(args.decontam_eval) if args.decontam_eval else None

@@ -206,6 +206,9 @@ def curate(
     if paragraph_dedup:
         from .operators.dedup import paragraph_dedup as _paragraph_dedup
 
+        # both sides of the rebuild join reference `docs` (review r05:
+        # without a pin the extract plan nests on each side)
+        docs = docs.localCheckpoint(eager=False)
         rebuilt = _paragraph_dedup(docs, id_col="url")
         docs = (
             docs.drop("text")
@@ -226,6 +229,23 @@ def curate(
             .select(*good.columns)
         )
         good = survivors
+    if (
+        compression_band is not None
+        or repetition_max_frac is not None
+        or dup_span_max_frac is not None
+        or decontam_eval is not None
+        or near_dup_threshold is not None
+        or (lm_ref is not None and lm_min_logscore is not None)
+    ):
+        # Each hygiene stage (compression_band's semi-join included —
+        # review r05) references `good` from BOTH sides of a join, so
+        # chaining them would nest 2^stages copies of the whole
+        # extract plan (measured: minutes at 500 rows). Materialize
+        # the survivors once; executor-local blocks, same rationale as
+        # the extract's own phase-1 checkpoint. On the staged
+        # 10^12-row Pipeline this boundary is a real stage checkpoint
+        # (parquet/Iceberg), not block storage.
+        good = good.localCheckpoint(eager=False)
     if compression_band is not None:
         from .operators.textstats import compression_ratio
 
@@ -235,21 +255,6 @@ def curate(
             & (F.col("compression_ratio") <= F.lit(hi))
         ).select(F.col("doc_id").alias("url"))
         good = good.join(in_band, "url", "left_semi")
-    if (
-        repetition_max_frac is not None
-        or dup_span_max_frac is not None
-        or decontam_eval is not None
-        or near_dup_threshold is not None
-        or (lm_ref is not None and lm_min_logscore is not None)
-    ):
-        # Each hygiene stage references `good` from BOTH sides of an
-        # anti-join, so chaining them would nest 2^stages copies of
-        # the whole extract plan (measured: minutes at 500 rows).
-        # Materialize the survivors once; executor-local blocks, same
-        # rationale as the extract's own phase-1 checkpoint. On the
-        # staged 10^12-row Pipeline this boundary is a real stage
-        # checkpoint (parquet/Iceberg), not block storage.
-        good = good.localCheckpoint(eager=False)
     if lm_ref is not None and lm_min_logscore is not None:
         from .operators.lm import stupid_backoff_score
 

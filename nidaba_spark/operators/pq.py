@@ -76,6 +76,18 @@ def _encode_udf(codebooks: np.ndarray, dim: int):
     return encode
 
 
+def _qmat(qrows, vec_col: str, dim: int) -> np.ndarray:
+    """(nq, dim) float64 query matrix — null embeddings become zero
+    rows, and an EMPTY batch yields shape (0, dim) so every axis-1
+    reduction downstream stays valid (review r05: np.array([]) is
+    1-D and crashed norm/einsum on empty query batches)."""
+    out = np.zeros((len(qrows), dim), dtype=np.float64)
+    for i, r in enumerate(qrows):
+        if r[vec_col] is not None:
+            out[i] = [float(x) for x in r[vec_col]]
+    return out
+
+
 def train_pq_codebooks(
     vectors: DataFrame,
     m: int = 8,
@@ -141,10 +153,12 @@ def encode_pq(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """(id, codes array<int>, vnorm) — the persisted PQ index columns.
+    """(id, codes array<int>, vnorm[, cell]) — the persisted PQ index
+    columns; pass ``centroids`` to append the IVF cell assignment.
     vnorm rides along so ADC cosine needs no float-vector access."""
-    return vectors.select(
+    cols = [
         F.col(id_col),
         _encode_udf(codebooks, dim)(F.col(vec_col)).alias("codes"),
         # null embedding -> vnorm 0 (NOT null): a null vnorm becomes NaN
@@ -152,7 +166,12 @@ def encode_pq(
         # double under F.desc, stealing shortlist slots (ADVICE r04).
         # Zero-norm rows are masked out of ADC scoring downstream.
         F.coalesce(F.round(_norm(F.col(vec_col), dim), 6), F.lit(0.0)).alias("vnorm"),
-    )
+    ]
+    if centroids is not None:
+        from .ivf import _assign_udf
+
+        cols.append(_assign_udf(centroids, dim)(F.col(vec_col)).alias("cell"))
+    return vectors.select(*cols)
 
 
 def ivfpq_topk(
@@ -188,7 +207,7 @@ def ivfpq_topk(
     per-query shortlist window → exact re-rank. Training reuses
     ivf.train_centroids (coarse) and train_pq_codebooks (fine);
     pass both to reuse a persisted index."""
-    from .ivf import _assign_udf, _probe_udf, train_centroids
+    from .ivf import _probe_udf, train_centroids
 
     if centroids is None:
         centroids = train_centroids(
@@ -202,14 +221,7 @@ def ivfpq_topk(
         )
     m, ksub, _dsub = codebooks.shape
     # the persisted IVF-PQ index row: (id, m-byte codes, norm, cell)
-    coded = vectors.select(
-        F.col(id_col),
-        _encode_udf(codebooks, dim)(F.col(vec_col)).alias("codes"),
-        # coalesce: see encode_pq — null vnorm would NaN-poison the
-        # shortlist ordering (ADVICE r04)
-        F.coalesce(F.round(_norm(F.col(vec_col), dim), 6), F.lit(0.0)).alias("vnorm"),
-        _assign_udf(centroids, dim)(F.col(vec_col)).alias("cell"),
-    )
+    coded = encode_pq(vectors, codebooks, dim, id_col, vec_col, centroids=centroids)
 
     short = _ivfpq_shortlist(
         coded, queries, centroids, codebooks, nprobe, shortlist, dim,
@@ -241,13 +253,7 @@ def _ivfpq_shortlist(
     qrows = queries.select(query_id_col, vec_col).collect()
     qids = [r[query_id_col] for r in qrows]
     qindex = {qid: i for i, qid in enumerate(qids)}
-    qmat = np.array(
-        [
-            [float(x) for x in r[vec_col]] if r[vec_col] is not None else [0.0] * dim
-            for r in qrows
-        ],
-        dtype=np.float64,
-    )
+    qmat = _qmat(qrows, vec_col, dim)
     qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
     lut_flat = np.einsum(
         "qmd,mkd->qmk", qmat.reshape(len(qids), m, dim // m), codebooks
@@ -371,14 +377,7 @@ def pq_topk(
 
     qrows = queries.select(query_id_col, vec_col).collect()
     qids = [r[query_id_col] for r in qrows]
-    qmat = np.array(
-        [
-            [float(x) for x in r[vec_col]]
-            if r[vec_col] is not None
-            else [0.0] * dim
-        for r in qrows],
-        dtype=np.float64,
-    )
+    qmat = _qmat(qrows, vec_col, dim)
     qnorm = np.maximum(np.linalg.norm(qmat, axis=1), 1e-12)
     # per-query ADC tables: LUT[q, sub, code] = dot(q_sub, codeword)
     lut = np.einsum(
@@ -480,7 +479,7 @@ def build_ivfpq_index(
     corpus-sized artifact and its cell partitioning is what lets a
     query prune (nlist - nprobe)/nlist of it at the SCAN. Overwrite
     semantics: rebuilds are idempotent."""
-    from .ivf import _assign_udf, train_centroids
+    from .ivf import train_centroids
 
     spark = vectors.sparkSession
     centroids = train_centroids(
@@ -491,14 +490,7 @@ def build_ivfpq_index(
         vectors, m=m, ksub=ksub, dim=dim, iters=iters, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
-    coded = vectors.select(
-        F.col(id_col),
-        _encode_udf(codebooks, dim)(F.col(vec_col)).alias("codes"),
-        F.coalesce(F.round(_norm(F.col(vec_col), dim), 6), F.lit(0.0)).alias(
-            "vnorm"
-        ),
-        _assign_udf(centroids, dim)(F.col(vec_col)).alias("cell"),
-    )
+    coded = encode_pq(vectors, codebooks, dim, id_col, vec_col, centroids=centroids)
     coded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/coded")
     spark.createDataFrame(
         [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
@@ -558,25 +550,16 @@ def ivfpq_topk_index(
     at 10^12 scale, a point-lookup table keyed by id)."""
     centroids, codebooks = load_ivfpq_model(spark, path)
     qrows = queries.select(query_id_col, vec_col).collect()
-    if not qrows:
-        return ivfpq_topk(
-            vectors, queries, k=k, dim=dim, id_col=id_col, vec_col=vec_col,
-            query_id_col=query_id_col, centroids=centroids, codebooks=codebooks,
-        )
-    qmat = np.array(
-        [
-            [float(x) for x in r[vec_col]] if r[vec_col] is not None else [0.0] * dim
-            for r in qrows
-        ],
-        dtype=np.float64,
-    )
+    qmat = _qmat(qrows, vec_col, dim)
     cnorm = centroids / np.maximum(
         np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
     )
     npb = min(nprobe, len(centroids))
     top = np.argsort(-(qmat @ cnorm.T), axis=1, kind="stable")[:, :npb]
     cells = sorted({int(c) for row in top for c in row})
-    coded = spark.read.parquet(f"{path}/coded").filter(F.col("cell").isin(cells))
+    coded = spark.read.parquet(f"{path}/coded").filter(
+        F.col("cell").isin(cells) if cells else F.lit(False)
+    )
     short = _ivfpq_shortlist(
         coded, queries, centroids, codebooks, nprobe, shortlist, dim,
         id_col, vec_col, query_id_col,
