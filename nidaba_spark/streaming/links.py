@@ -1,0 +1,100 @@
+"""Incremental crawl link graph: a Structured Streaming job that
+extracts host-level edges from each arriving drop of pages and
+maintains a batch-partitioned, MERGEABLE edge-count table — the
+PageRank input that stays current as the crawl grows.
+
+The additive design is what makes this free at scale: host_edges
+emits (src_host, dst_host, n_links) COUNTS, and counts are mergeable
+integers (the same property the BM25 postings and HLL/CMS sketches
+here exploit) — so each micro-batch writes only its own partial
+aggregate as an idempotent ``batch=N`` partition overwrite, the
+full graph is a groupBy-sum over all partitions, and ``compact``
+folds accumulated batches into one without touching page bytes.
+Historical pages are NEVER rescanned; per-batch cost is one codegen
+scan of the drop plus one host-pair-keyed map-side-combined shuffle.
+
+Exactly-once: file-source checkpoint + batch_id-keyed partition
+overwrites — a crashed-and-replayed batch converges to identical
+bytes (the streaming/dedup.py contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.links import host_edges, page_links
+from .dedup import _read_dir
+
+
+def link_graph_stream(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    schema,
+    url_col: str = "url",
+    html_col: str = "html",
+    max_files_per_trigger: int | None = None,
+):
+    """Drain all available drops from ``source_dir`` (availableNow),
+    maintaining ``work_dir/edges`` batch-partitioned host-edge
+    partials. Returns the finished StreamingQuery; re-running with
+    the same work_dir resumes from the checkpoint."""
+    edges_dir = os.path.join(work_dir, "edges")
+    ckpt = os.path.join(work_dir, "ckpt")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        host_edges(page_links(batch_df, url_col, html_col)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(edges_dir, f"batch={batch_id}"))
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(source_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def read_edges(spark: SparkSession, work_dir: str) -> DataFrame | None:
+    """The merged host graph (None before the first batch): one
+    groupBy-sum over the batch partials — counts are mergeable, so
+    this equals the single-shot batch host_edges over all pages."""
+    parts = _read_dir(spark, os.path.join(work_dir, "edges"))
+    if parts is None:
+        return None
+    return parts.groupBy("src_host", "dst_host").agg(
+        F.sum("n_links").alias("n_links")
+    )
+
+
+def compact_edges(spark: SparkSession, work_dir: str) -> dict:
+    """Fold accumulated batch partials into a single ``batch=0``
+    partition (small-files repair; merged counts byte-identical).
+    Same Hadoop-FS rename-swap pattern as search.compact_postings."""
+    edges_dir = os.path.join(work_dir, "edges")
+    merged = read_edges(spark, work_dir)
+    if merged is None:
+        return {"batches_before": 0, "batches_after": 0}
+    sc = spark.sparkContext
+    Path = sc._jvm.org.apache.hadoop.fs.Path
+    fs = Path(edges_dir).getFileSystem(sc._jsc.hadoopConfiguration())
+    before = [
+        f.getPath().getName()
+        for f in fs.listStatus(Path(edges_dir))
+        if f.getPath().getName().startswith("batch=")
+    ]
+    tmp = os.path.join(work_dir, "_edges_compact_tmp")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for name in before:
+        fs.delete(Path(os.path.join(edges_dir, name)), True)
+    fs.rename(Path(tmp), Path(os.path.join(edges_dir, "batch=0")))
+    return {"batches_before": len(before), "batches_after": 1}
