@@ -145,7 +145,27 @@ def main() -> None:
         metrics["curated_rows"] = curated.count()
         metrics["curated_packs"] = curated.select("pack_id").distinct().count()
 
-    # ---- phase 3: serving indexes over the curated table
+    # ---- phase 3: crawl link graph + domain authority (r05): one
+    # codegen scan of the raw pages (never the curated text), host-pair
+    # counts map-side-combined, PageRank over the aggregated host
+    # graph — the authority signal future curation runs can join as a
+    # quality prior.
+    with phase("linkgraph"):
+        from nidaba_spark.operators.graphrank import pagerank
+        from nidaba_spark.operators.links import host_edges, page_links
+
+        lg = os.path.join(args.workdir, "indexes", "linkgraph")
+        edges = host_edges(page_links(pages))
+        edges.write.mode("overwrite").parquet(os.path.join(lg, "edges"))
+        edges = spark.read.parquet(os.path.join(lg, "edges"))
+        metrics["host_edges"] = edges.count()
+        if metrics["host_edges"]:
+            pagerank(
+                edges, iters=10,
+                src="src_host", dst="dst_host", weight="n_links",
+            ).write.mode("overwrite").parquet(os.path.join(lg, "authority"))
+
+    # ---- phase 4: serving indexes over the curated table
     with phase("index"):
         idx = os.path.join(args.workdir, "indexes")
         append_postings(

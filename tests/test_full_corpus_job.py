@@ -63,11 +63,20 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
     job.main()
 
     metrics = json.load(open(os.path.join(workdir, "rehearsal_metrics.json")))
-    assert set(metrics["phases"]) == {"extract", "curate", "index"}
+    assert set(metrics["phases"]) == {"extract", "curate", "linkgraph", "index"}
     assert metrics["extracted_rows"] == N
     assert 0 < metrics["curated_rows"] <= N
     assert metrics["lineage_rows"] > 0
     assert all(p["shuffle_write_bytes"] > 0 for p in metrics["phases"].values())
+
+    # link-graph phase: edges written; authority sums to 1 when present
+    edges = spark.read.parquet(os.path.join(workdir, "indexes", "linkgraph", "edges"))
+    assert edges.count() == metrics["host_edges"]
+    if metrics["host_edges"]:
+        ranks = spark.read.parquet(
+            os.path.join(workdir, "indexes", "linkgraph", "authority")
+        ).collect()
+        assert abs(sum(r["rank"] for r in ranks) - 1.0) < 1e-6
 
     # curated table: packed schema + split column, packing invariant
     curated = spark.read.parquet(os.path.join(workdir, "curated"))
