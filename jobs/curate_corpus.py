@@ -97,6 +97,13 @@ def main() -> None:
     )
     ap.add_argument("--lm-min-logscore", type=float, default=None)
     ap.add_argument(
+        "--host-authority", default=None, metavar="PATH",
+        help="parquet of (node|host, rank) — e.g. full_corpus_job's "
+        "linkgraph/authority output; drops docs on hosts below "
+        "--min-host-authority (absent hosts are kept)",
+    )
+    ap.add_argument("--min-host-authority", type=float, default=0.0)
+    ap.add_argument(
         "--split", action="append", default=[], metavar="NAME=FRAC",
         help="stratified split assignment, e.g. --split train=0.8 "
         "--split val=0.1 --split test=0.1 (fractions must sum to 1; "
@@ -159,6 +166,12 @@ def main() -> None:
             else None
         ),
         lm_min_logscore=args.lm_min_logscore,
+        host_authority=(
+            spark.read.parquet(args.host_authority)
+            if args.host_authority
+            else None
+        ),
+        min_host_authority=args.min_host_authority,
     )
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)

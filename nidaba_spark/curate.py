@@ -60,6 +60,8 @@ def curate(
     canonical_url_dedup: bool = False,
     lm_ref: DataFrame | None = None,
     lm_min_logscore: float | None = None,
+    host_authority: DataFrame | None = None,
+    min_host_authority: float = 0.0,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -145,6 +147,19 @@ def curate(
                               are dropped. Both must be set together;
                               the LM model tables self-materialize
                               (one reference-corpus scan);
+      host_authority +
+      min_host_authority    — domain-authority prior: a (host, rank)
+                              DataFrame (the dress rehearsal's
+                              linkgraph/authority output — PageRank
+                              over the crawl's own host graph); docs
+                              whose canonical host ranks below the
+                              floor are dropped, docs on hosts ABSENT
+                              from the graph are kept (no-link-data
+                              is not evidence of spam). The host
+                              table is tiny relative to the corpus
+                              (one row per host) and broadcasts;
+                              applied with the host cap, before the
+                              heavier stages;
       near_dup_threshold    — MinHash-LSH near-dup pairs at this
                               Jaccard threshold resolved into clusters
                               by connected components; only each
@@ -203,6 +218,23 @@ def curate(
         from .operators.hoststats import cap_per_host
 
         docs = cap_per_host(docs, max_docs_per_host)
+    if host_authority is not None:
+        from .operators.hoststats import canonical_host
+
+        # accepts pagerank's native (node, rank) or a (host, rank)
+        # table; the key is re-canonicalized (www-strip) so link-graph
+        # hosts (links.host_of keeps www.) meet canonical_host's form
+        hcol = "host" if "host" in host_authority.columns else "node"
+        low = host_authority.filter(
+            F.col("rank") < F.lit(min_host_authority)
+        ).select(
+            F.regexp_replace(F.lower(F.col(hcol)), r"^www\.", "").alias("_lowhost")
+        )
+        docs = docs.withColumn(
+            "_h", canonical_host(F.col("url"))
+        ).join(
+            F.broadcast(low), F.col("_h") == F.col("_lowhost"), "left_anti"
+        ).drop("_h")
     if paragraph_dedup:
         from .operators.dedup import paragraph_dedup as _paragraph_dedup
 

@@ -270,6 +270,36 @@ def test_canonical_url_dedup_stage_wired(spark, pages):
     assert len(out & canon_urls) <= 1
 
 
+def test_host_authority_prior_wired(spark, pages):
+    """Docs on a below-floor-authority host vanish; hosts absent from
+    the graph are kept (no link data is not evidence of spam)."""
+    squeezed = pages.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://h"),
+            F.pmod(F.xxhash64("url"), F.lit(3)).cast("string"),
+            F.lit(".example/"),
+            F.col("url"),
+        ),
+    )
+    authority = spark.createDataFrame(
+        [("www.h0.example", 0.05), ("h1.example", 0.60)],
+        "node string, rank double",
+    )  # h2.example absent from the graph
+    out = curate.curate(
+        squeezed, min_quality=0.0, pack_budget=512, npartitions=8,
+        host_authority=authority, min_host_authority=0.5,
+    )
+    from nidaba_spark.operators.hoststats import canonical_host
+
+    hosts = {
+        r["h"]
+        for r in out.select(canonical_host(F.col("url")).alias("h")).distinct().collect()
+    }
+    assert "h0.example" not in hosts  # below floor (www-form matched too)
+    assert {"h1.example", "h2.example"} <= hosts
+
+
 def test_lm_floor_stage_wired(spark, pages):
     """Survivors re-scored against the same reference all clear the
     floor, and the floor actually bit (some pre-filter doc was below)."""
