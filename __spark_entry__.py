@@ -99,8 +99,10 @@ _RETIRED_FROM_DRIVER = [
     # its gates in tests/test_semdedup.py:
     "semdedup",
     # full oracle, added after the second r05 rotation froze the
-    # surface — r06 rotation candidate (identical off-driver check):
+    # surface — r06 rotation candidates (identical off-driver check):
     "lm_score_trigram",
+    "c4_filters",
+    "remove_dup_spans",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -61,6 +61,18 @@ def main() -> None:
     )
     ap.add_argument("--dup-span-n", type=int, default=50)
     ap.add_argument(
+        "--dup-span-remove", action="store_true",
+        help="REMOVE corpus-duplicated n-token spans and rebuild each "
+        "doc from the surviving (normalized) words — Lee et al. "
+        "ExactSubstr removal, vs the flag-and-drop --dup-span-max-frac",
+    )
+    ap.add_argument(
+        "--c4-clean", action="store_true",
+        help="C4 page cleaning (Raffel et al. 2020): terminal-punct / "
+        ">=5-word / no-javascript line filter + code-brace, lorem-"
+        "ipsum, blocklist-word and >=3-sentence page rules",
+    )
+    ap.add_argument(
         "--dup-span-string-keys", action="store_true",
         help="use the oracle-exact string span keys instead of the "
         "default xxhash64-keyed 10^12-row form",
@@ -147,6 +159,8 @@ def main() -> None:
         dup_span_max_frac=args.dup_span_max_frac,
         dup_span_n=args.dup_span_n,
         dup_span_hash_keys=not args.dup_span_string_keys,
+        dup_span_remove=args.dup_span_remove,
+        c4_clean=args.c4_clean,
         decontam_eval=eval_df,
         decontam_bloom_fpp=args.decontam_bloom_fpp,
         near_dup_threshold=args.near_dup_threshold,

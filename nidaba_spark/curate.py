@@ -48,6 +48,8 @@ def curate(
     dup_span_max_frac: float | None = None,
     dup_span_n: int = 50,
     dup_span_hash_keys: bool = True,
+    dup_span_remove: bool = False,
+    c4_clean: bool = False,
     decontam_eval: DataFrame | None = None,
     decontam_bloom_fpp: float | None = None,
     near_dup_threshold: float | None = None,
@@ -88,6 +90,25 @@ def curate(
                               filters.duplicate_span_stats for the
                               birthday-bound note; set False for the
                               oracle-exact string-keyed form;
+      dup_span_remove       — instead of (or beside) the flag-and-drop
+                              cut, REMOVE the duplicated n-token spans
+                              themselves and rebuild each document
+                              from the surviving words (Lee et al.
+                              ExactSubstr removal; operators/filters
+                              .remove_duplicate_spans). NOTE: the
+                              rebuilt text is the NORMALIZED word
+                              stream (lowercased, punctuation
+                              stripped) — downstream hashes/dedup see
+                              those bytes; docs emptied by removal
+                              drop;
+      c4_clean              — C4 page cleaning (Raffel et al. 2020
+                              §2.2; operators/filters.c4_clean): line
+                              filter (terminal punctuation, >=5 words,
+                              no javascript) rewrites the text, page
+                              rules (code brace / lorem ipsum /
+                              blocklist word / >=3 surviving
+                              sentences) drop the doc — all scan-level
+                              codegen expressions, zero shuffles;
       decontam_eval         — drop docs sharing any word-5-gram with
                               the held-out eval DataFrame(text);
       decontam_bloom_fpp    — when set alongside decontam_eval, use
@@ -246,6 +267,29 @@ def curate(
             docs.drop("text")
             .join(rebuilt, "url")
             .filter(F.col("text") != "")
+            .select("url", "text", "source")
+        )
+    if dup_span_remove:
+        from .operators.filters import remove_duplicate_spans
+
+        # same pin rationale as paragraph_dedup: the rebuild join
+        # references `docs` from both sides
+        docs = docs.localCheckpoint(eager=False)
+        rebuilt = remove_duplicate_spans(
+            docs, n=dup_span_n, id_col="url", hash_keys=dup_span_hash_keys
+        ).select(F.col("doc_id").alias("url"), F.col("clean_text").alias("text"))
+        docs = (
+            docs.drop("text")
+            .join(rebuilt, "url")
+            .filter(F.col("text") != "")
+            .select("url", "text", "source")
+        )
+    if c4_clean:
+        from .operators.filters import c4_clean as _c4_clean
+
+        docs = (
+            _c4_clean(docs)
+            .filter(F.col("c4_keep") & (F.col("text") != ""))
             .select("url", "text", "source")
         )
     if pii_redact:

@@ -431,3 +431,151 @@ def pii_counts(text: Column) -> list[Column]:
         F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)).alias("n_phone"),
         F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)).alias("n_ip"),
     ]
+
+
+# --------------------------------------------------------- C4 page cleaning
+# Raffel et al. 2020 ("Exploring the Limits of Transfer Learning...",
+# §2.2 — the C4 cleaning heuristics). The published blocklist is the
+# "List of Dirty, Naughty, Obscene..." corpus; this default is a tiny
+# stand-in — production callers pass their own tuple.
+C4_BAD_WORDS = ("porn", "xxx")
+C4_TERMINAL_RE = r'[.!?"]$'
+_C4_JS_RE = r"\bjavascript\b"
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    bad_words: tuple[str, ...] = C4_BAD_WORDS,
+) -> DataFrame:
+    """C4-style page cleaning (Raffel et al. 2020 §2.2), pure codegen.
+
+    Line rules (a line survives iff ALL hold):
+      * ends in a terminal punctuation mark (``. ! ? "``),
+      * has >= ``min_words_per_line`` whitespace words,
+      * does not contain the word "javascript" (case-insensitive).
+    Page rules (evaluated on the ORIGINAL text, per the paper —
+    the offending content is evidence about the page even when line
+    filtering would have removed it):
+      * no ``{`` (code), no "lorem ipsum", no blocklist word;
+      * >= ``min_sentences`` sentences REMAINING after line filtering
+        (sentence = terminal-punctuation occurrence in the kept text).
+
+    Returns ``docs`` with ``text_col`` replaced by the kept lines
+    (joined with ``\\n``) plus (n_lines, n_kept_lines, n_sentences,
+    c4_keep). Dropping is the caller's move (``filter(c4_keep)``) so
+    the stats stay inspectable; curate(c4_clean=True) does exactly
+    that.
+
+    Every rule is a scalar whole-stage-codegen expression or a
+    single-level higher-order function over the line array — the line
+    split is the HOF's input array, never inside a lambda body, so
+    the O(lines²) interpreted-eval trap (_ngrams docstring) cannot
+    bite; per-line work (trim / regex / word split) is linear in the
+    page. No shuffle: a pure scan-level map, Catalyst pushes any
+    downstream ``c4_keep`` filter into the scan's projection stage.
+    """
+    text = F.col(text_col)
+    bad_re = r"\b(" + "|".join(bad_words) + r")\b"
+    kept = F.filter(
+        F.transform(F.split(text, "\n"), lambda line: F.trim(line)),
+        lambda lt: lt.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(lt, r"\s+")) >= min_words_per_line)
+        & ~F.lower(lt).rlike(_C4_JS_RE),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sentences = F.size(F.split(clean, C4_TERMINAL_RE[:-1])) - 1
+    others = [c for c in docs.columns if c != text_col]
+    return docs.select(
+        *others,
+        clean.alias(text_col),
+        F.size(F.split(text, "\n")).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        (
+            ~text.contains("{")
+            & ~F.lower(text).contains("lorem ipsum")
+            & ~F.lower(text).rlike(bad_re)
+            & (n_sentences >= min_sentences)
+        ).alias("c4_keep"),
+    )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    n: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_keys: bool = False,
+) -> DataFrame:
+    """Substring-level dedup REMOVAL (Lee et al. 2021 ExactSubstr):
+    cut from every document each word position covered by an n-token
+    span that occurs more than once corpus-wide, and rebuild the
+    document from the surviving words. duplicate_span_stats is the
+    flag-only sibling; this is the transform that actually ships the
+    deduplicated bytes.
+
+    Returns (doc_id, n_words, n_removed_words, clean_text) for every
+    doc; clean_text is the surviving NORMALIZED words (lowercased,
+    punctuation-stripped — the paper operates on the token stream)
+    joined with single spaces, '' when the whole doc was duplicated.
+
+    Plan shape, sized for 10^12 rows:
+      * one posexplode of the span stream → corpus-wide span counts
+        via a map-side-combined hash agg (two span-keyed shuffles,
+        AQE skew-join covering hyper-duplicated boilerplate spans);
+      * ONLY the duplicated span start positions flow back — a
+        doc-keyed shuffle of small int arrays, never the token stream;
+      * reconstruction is scan-local array algebra on the pinned
+        words attribute: covered = flatten(sequence(s, s+n-1)),
+        keep = array_except(sequence(1, W), covered) — hash-set
+        semantics, O(W + covered), no per-word membership scan, then
+        element_at gather. A spam doc that is 100% duplicated costs
+        O(W), not O(W²).
+    ``hash_keys=True`` swaps the span string for xxhash64 right after
+    the explode (the 10^12-row shuffle-bytes form; birthday-bound note
+    at duplicate_span_stats).
+    """
+    words = docs.select(
+        F.col(id_col).alias("doc_id"), _words(F.col(text_col)).alias("_w")
+    ).localCheckpoint(eager=False)  # pin: both the explode and the rebuild read it
+    spans = words.select(
+        "doc_id",
+        F.posexplode(_ngrams(F.col("_w"), n)).alias("_p0", "span"),
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "span")
+    if hash_keys:
+        spans = spans.select("doc_id", "pos", F.xxhash64("span").alias("span"))
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("_cnt"))
+    dup_starts = (
+        spans.join(counts, "span")
+        .filter(F.col("_cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+    w = F.col("_w")
+    npos = F.size(w)
+    allpos = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )  # sequence(1, 0) would count DOWN in Spark — guard the empty doc
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + F.lit(n - 1)),
+            )
+        )
+    )
+    keep_pos = F.array_except(allpos, covered)
+    return (
+        words.join(dup_starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            npos.alias("n_words"),
+            (npos - F.size(keep_pos)).alias("n_removed_words"),
+            F.array_join(
+                F.transform(keep_pos, lambda p: F.element_at(w, p)), " "
+            ).alias("clean_text"),
+        )
+    )

@@ -1648,6 +1648,138 @@ SELECT doc_id, n_feats, logw_micro, score_micro, rk <= 120 AS keep FROM r
 """
 
 
+# ------------------------------------------------------- C4 page cleaning
+def q_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2) over
+    deterministically line-augmented documents (the synthetic corpus
+    has no line structure or punctuation, so — like q_redact_pii's PII
+    planting — the query synthesizes lines from doc_id residues:
+    a too-short line, an unterminated line, a javascript line on %5,
+    a code brace on %17, lorem ipsum on %19, a blocklist word on %29,
+    an extra sentence on %23). clean_md5 pins the kept bytes."""
+    from ..operators.filters import c4_clean
+
+    docs = load(spark, sf, "documents")
+    aug = F.concat_ws(
+        "\n",
+        F.concat(F.col("text"), F.lit(" ends with a period.")),
+        F.lit("too short."),
+        F.lit("this long line has no terminal punctuation so it is dropped"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("please enable javascript to view the content on this page."),
+        ),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("this page contains a curly brace { right in the body."),
+        ),
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.lit("classic filler lorem ipsum dolor sit amet appears here."),
+        ),
+        F.when(
+            F.col("doc_id") % 29 == 0,
+            F.lit("we removed the bad word porn from this line entirely."),
+        ),
+        F.lit("a second proper sentence with enough words to survive the line filter."),
+        F.lit("a third good sentence keeps this document above the sentence minimum."),
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.lit("an extra fourth sentence rides along for residue twenty three."),
+        ),
+    )
+    cleaned = c4_clean(docs.select("doc_id", aug.alias("text")))
+    return cleaned.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "c4_keep",
+        F.md5("text").alias("clean_md5"),
+    )
+
+
+ORACLE["c4_filters"] = r"""
+WITH a AS (
+  SELECT doc_id, concat_ws(chr(10),
+    text || ' ends with a period.',
+    'too short.',
+    'this long line has no terminal punctuation so it is dropped',
+    CASE WHEN doc_id % 5 = 0 THEN 'please enable javascript to view the content on this page.' END,
+    CASE WHEN doc_id % 17 = 0 THEN 'this page contains a curly brace { right in the body.' END,
+    CASE WHEN doc_id % 19 = 0 THEN 'classic filler lorem ipsum dolor sit amet appears here.' END,
+    CASE WHEN doc_id % 29 = 0 THEN 'we removed the bad word porn from this line entirely.' END,
+    'a second proper sentence with enough words to survive the line filter.',
+    'a third good sentence keeps this document above the sentence minimum.',
+    CASE WHEN doc_id % 23 = 0 THEN 'an extra fourth sentence rides along for residue twenty three.' END
+  ) AS aug FROM documents
+), k AS (
+  SELECT doc_id, aug,
+         list_filter(list_transform(string_split(aug, chr(10)), l -> trim(l)),
+                     lt -> regexp_matches(lt, '[.!?"]$')
+                           AND len(string_split_regex(lt, '\s+')) >= 5
+                           AND NOT regexp_matches(lower(lt), '\bjavascript\b')) AS kept
+  FROM a
+), c AS (
+  SELECT doc_id, aug, kept,
+         coalesce(array_to_string(kept, chr(10)), '') AS clean FROM k
+)
+SELECT doc_id,
+       CAST(len(string_split(aug, chr(10))) AS INTEGER) AS n_lines,
+       CAST(len(kept) AS INTEGER) AS n_kept_lines,
+       CAST(len(string_split_regex(clean, '[.!?"]')) - 1 AS INTEGER) AS n_sentences,
+       (NOT contains(aug, '{') AND NOT contains(lower(aug), 'lorem ipsum')
+        AND NOT regexp_matches(lower(aug), '\b(porn|xxx)\b')
+        AND len(string_split_regex(clean, '[.!?"]')) - 1 >= 3) AS c4_keep,
+       md5(clean) AS clean_md5
+FROM c
+"""
+
+
+# --------------------------------------------- substring dedup: REMOVAL
+def q_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Lee-et-al ExactSubstr REMOVAL at a 10-token window (the
+    flag-only sibling is q_duplicate_spans): every word position
+    covered by a corpus-duplicated 10-token span is cut and the doc
+    rebuilt from the survivors. clean_md5 pins the shipped bytes;
+    exact duplicate docs collapse to n_removed_words == n_words."""
+    from ..operators.filters import remove_duplicate_spans
+
+    out = remove_duplicate_spans(load(spark, sf, "documents"), n=10)
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_removed_words",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
+ORACLE["remove_dup_spans"] = f"""
+WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+g AS (SELECT doc_id, i, array_to_string(words[i:i+9], ' ') AS span
+      FROM w, UNNEST(generate_series(1, len(words)-9)) AS t(i)),
+c AS (SELECT span, count(*) AS cnt FROM g GROUP BY span),
+d AS (SELECT doc_id, list(i) AS starts FROM g JOIN c USING (span)
+      WHERE cnt > 1 GROUP BY doc_id),
+r AS (SELECT doc_id, words, coalesce(starts, CAST([] AS BIGINT[])) AS starts
+      FROM w LEFT JOIN d USING (doc_id)),
+x AS (SELECT doc_id, words,
+             list_distinct(flatten(list_transform(starts,
+                 s -> generate_series(s, s+9)))) AS covered
+      FROM r),
+f AS (SELECT doc_id, words,
+             list_filter(generate_series(1, len(words)),
+                         p -> NOT list_contains(covered, p)) AS keep
+      FROM x)
+SELECT doc_id,
+       CAST(len(words) AS INTEGER) AS n_words,
+       CAST(len(words) - len(keep) AS INTEGER) AS n_removed_words,
+       md5(coalesce(array_to_string(list_transform(keep, p -> words[p]), ' '),
+                    '')) AS clean_md5
+FROM f
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -1682,6 +1814,8 @@ QUERIES = {
     "extract_documents": q_extract_documents,
     "repetition_filter": q_repetition_filter,
     "duplicate_spans": q_duplicate_spans,
+    "remove_dup_spans": q_remove_dup_spans,
+    "c4_filters": q_c4_filters,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

@@ -388,3 +388,60 @@ def test_curate_cli_end_to_end(spark, pages_path, tmp_path, monkeypatch):
     for r in rows:
         assert r["tokens_before"] == acc
         acc += r["n_tokens"]
+
+
+def test_dup_span_remove_stage_wired(spark, pages):
+    """With span REMOVAL on, no surviving doc contains a corpus-
+    duplicated n-token span any more (re-running the stats operator on
+    the output finds zero duplicated spans), and the rebuilt text is
+    the normalized word stream."""
+    from nidaba_spark.operators.filters import duplicate_span_stats
+
+    out = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=8,
+        dup_span_remove=True, dup_span_n=10,
+    ).select("url", "text")
+    rows = out.collect()
+    assert rows
+    assert all(r["text"] != "" for r in rows)
+    # removal is idempotent-by-construction: the output carries no
+    # duplicated 10-token span (each span now occurs at most once)
+    redo = duplicate_span_stats(out, n=10, id_col="url")
+    assert redo.filter(F.col("dup_span_frac") > 0).count() == 0
+
+
+def test_c4_clean_stage_wired(spark, pages):
+    """C4 cleaning on a punctuation-planted extraction (the synthetic
+    corpus is a word salad with no terminal punctuation, so the raw
+    corpus would — correctly — lose every line): each paragraph
+    becomes a '.'-terminated line, short paragraphs then fall to the
+    >=5-word rule, <3-sentence docs drop, and every surviving line
+    ends in terminal punctuation with >= 5 words."""
+    from nidaba_spark import pipeline
+
+    ext = pipeline.extract(pages, npartitions=8)
+    marked = ext.withColumn(
+        "text",
+        F.when(F.col("text") == "", "").otherwise(
+            F.concat(F.regexp_replace("text", "\n\n", ".\n"), F.lit("."))
+        ),
+    )
+    base = curate.curate(
+        None, min_quality=0.0, pack_budget=512, npartitions=8,
+        pre_extracted=marked,
+    ).select("url", "text")
+    out = curate.curate(
+        None, min_quality=0.0, pack_budget=512, npartitions=8,
+        pre_extracted=marked, c4_clean=True,
+    ).select("url", "text")
+    rows = out.collect()
+    n_base = base.count()
+    assert 0 < len(rows) <= n_base
+    shrunk = False
+    base_len = {r["url"]: len(r["text"]) for r in base.collect()}
+    for r in rows:
+        for line in r["text"].split("\n"):
+            assert line and line[-1] in '.!?"', (r["url"], line)
+            assert len(line.split()) >= 5
+        shrunk = shrunk or len(r["text"]) < base_len[r["url"]]
+    assert shrunk  # at least one doc lost a short paragraph

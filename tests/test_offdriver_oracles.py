@@ -300,3 +300,87 @@ def test_off_driver_rows_only_queries_run(spark, name):
     df = _ALL_Q[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_remove_duplicate_spans_hand_case(spark):
+    from nidaba_spark.operators.filters import remove_duplicate_spans
+
+    rows = [
+        (1, "a b c d"),  # "a b c" shared with doc 2 -> keep only "d"
+        (2, "a b c"),  # fully covered -> ''
+        (3, "x y z w"),  # both spans unique -> untouched
+        (4, "e e e e"),  # intra-doc repeat covers all 4 positions
+        (5, "too short"),  # < n words: no spans, survives whole
+        (6, ""),  # empty in, empty out (sequence(1,0) guard)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        1: (4, 3, "d"),
+        2: (3, 3, ""),
+        3: (4, 0, "x y z w"),
+        4: (4, 4, ""),
+        5: (2, 0, "too short"),
+        6: (0, 0, ""),
+    }
+    for hash_keys in (False, True):  # string- and xxhash64-keyed forms agree
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_removed_words"], r["clean_text"])
+            for r in remove_duplicate_spans(docs, n=3, hash_keys=hash_keys).collect()
+        }
+        assert got == want, f"hash_keys={hash_keys}: {got}"
+
+
+_C4_GOOD = (
+    "a good first sentence with five words here.\n"
+    "short one.\n"
+    "no terminal punctuation on this long line here\n"
+    "  second good sentence line with enough words inside.  \n"
+    "third fine sentence line with plenty of words too."
+)
+
+
+def test_c4_clean_hand_case(spark):
+    from nidaba_spark.operators.filters import c4_clean
+
+    rows = [
+        (1, _C4_GOOD),
+        (2, _C4_GOOD + "\nsee the javascript line with many words right here."),
+        (3, _C4_GOOD + "\na code brace { lives here with many more words."),
+        (4, _C4_GOOD + "\nclassic lorem ipsum filler with enough words appears."),
+        (5, _C4_GOOD + "\nthe blocked word porn sinks this entire page now."),
+        (6, "only two good sentences live on this page today.\n"
+            "so the page falls under the sentence minimum rule."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_kept_lines"], r["n_sentences"], r["c4_keep"], r["text"])
+        for r in c4_clean(docs).collect()
+    }
+    kept_good = (
+        "a good first sentence with five words here.\n"
+        "second good sentence line with enough words inside.\n"
+        "third fine sentence line with plenty of words too."
+    )
+    assert got[1] == (3, 3, True, kept_good)
+    # javascript line is LINE-dropped, page survives
+    assert got[2] == (3, 3, True, kept_good)
+    # page rules fire on the ORIGINAL text even when the line survives
+    assert got[3][2] is False and got[3][0] == 4
+    assert got[4][2] is False
+    assert got[5][2] is False
+    # both lines survive the line filter but 2 sentences < 3
+    assert got[6] == (2, 2, False, rows[5][1])
+
+
+def test_c4_clean_plan_is_shuffle_free(spark):
+    import contextlib
+    import io
+
+    from nidaba_spark.operators.filters import c4_clean
+
+    docs = spark.createDataFrame([(1, _C4_GOOD)], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        c4_clean(docs).filter("c4_keep").explain(mode="formatted")
+    # pure scan-level map: the whole operator must add zero Exchanges
+    assert "Exchange" not in buf.getvalue()
