@@ -103,6 +103,8 @@ _RETIRED_FROM_DRIVER = [
     "lm_score_trigram",
     "c4_filters",
     "remove_dup_spans",
+    "url_filter",
+    "shard_assign",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -116,6 +116,15 @@ def main() -> None:
     )
     ap.add_argument("--min-host-authority", type=float, default=0.0)
     ap.add_argument(
+        "--blocked-hosts", default=None,
+        help="URL blocklist: comma-separated hosts, or @/path/to/file "
+        "with one host per line (canonicalized before matching)",
+    )
+    ap.add_argument(
+        "--blocked-url-pattern", action="append", default=None,
+        help="drop urls matching this regex (repeatable; case-folded)",
+    )
+    ap.add_argument(
         "--split", action="append", default=[], metavar="NAME=FRAC",
         help="stratified split assignment, e.g. --split train=0.8 "
         "--split val=0.1 --split test=0.1 (fractions must sum to 1; "
@@ -186,6 +195,20 @@ def main() -> None:
             else None
         ),
         min_host_authority=args.min_host_authority,
+        blocked_hosts=(
+            [
+                h.strip()
+                for h in (
+                    open(args.blocked_hosts[1:]).read().splitlines()
+                    if args.blocked_hosts.startswith("@")
+                    else args.blocked_hosts.split(",")
+                )
+                if h.strip()
+            ]
+            if args.blocked_hosts
+            else None
+        ),
+        blocked_url_patterns=args.blocked_url_pattern,
     )
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)

@@ -64,6 +64,8 @@ def curate(
     lm_min_logscore: float | None = None,
     host_authority: DataFrame | None = None,
     min_host_authority: float = 0.0,
+    blocked_hosts: DataFrame | list[str] | None = None,
+    blocked_url_patterns: list[str] | None = None,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -181,6 +183,15 @@ def curate(
                               (one row per host) and broadcasts;
                               applied with the host cap, before the
                               heavier stages;
+      blocked_hosts +
+      blocked_url_patterns  — RefinedWeb-style URL filtering as the
+                              FIRST stage (a blocklisted page never
+                              pays for parsing): canonical-host
+                              broadcast anti-join + one OR-folded
+                              regex scan predicate (operators/
+                              hoststats.filter_blocked); applies to
+                              the crawl or, with pre_extracted, to
+                              the extracted table's urls;
       near_dup_threshold    — MinHash-LSH near-dup pairs at this
                               Jaccard threshold resolved into clusters
                               by connected components; only each
@@ -198,6 +209,18 @@ def curate(
     # starts from that stage boundary instead of re-extracting —
     # jobs/full_corpus_job.py is the end-to-end user. `pages` may then
     # be None.
+    if blocked_hosts is not None or blocked_url_patterns:
+        from .operators.hoststats import filter_blocked
+
+        # URL filtering is the FIRST stage: a blocklisted page should
+        # never pay for parsing. Broadcast anti-join + scan predicate,
+        # zero crawl-side shuffles (operators/hoststats.filter_blocked).
+        if pre_extracted is None:
+            pages = filter_blocked(pages, blocked_hosts, blocked_url_patterns)
+        else:
+            pre_extracted = filter_blocked(
+                pre_extracted, blocked_hosts, blocked_url_patterns
+            )
     if canonical_url_dedup and pre_extracted is None:
         from .operators.links import page_meta
 

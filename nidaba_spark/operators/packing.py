@@ -101,3 +101,73 @@ def pack_assignments(
     return out.withColumn(
         "pack_pos", F.row_number().over(wpack) - F.lit(1)
     ).select(order_col, "n_tokens", "tokens_before", "pack_id", "pack_pos")
+
+
+def shard_assign(
+    df: DataFrame,
+    num_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets
+    (shard_id, shard_pos) from the same md5-uniform the mixing/split
+    operators draw (mixing.uniform_hash) — u is independent of every
+    data column, so reading shards 0..S-1 in shard_pos order IS a
+    uniform random permutation of the corpus, reproducible from
+    (id, salt) alone.
+
+      * shard_id  = floor(u * S) — balanced to ±O(sqrt(n/S));
+      * shard_pos = dense 0-based rank of u within the shard
+        (tiebreak on id for md5-collision determinism).
+
+    One shuffle, keyed on shard_id (S-way, uniform by construction —
+    no skew possible), then a parallel per-shard window; never a
+    global sort. Epoch re-shuffles = a new ``salt``; shard count
+    changes don't touch the underlying u, so S=100 → S=1000 reshards
+    without re-hashing (shard_id is a pure function of u).
+    """
+    from .mixing import uniform_hash
+
+    u = uniform_hash(F.col(id_col), salt)
+    w = Window.partitionBy("shard_id").orderBy("_u", id_col)
+    return (
+        df.withColumn("_u", u)
+        .withColumn(
+            "shard_id", F.least(F.floor(F.col("_u") * num_shards), F.lit(num_shards - 1)).cast("int")
+        )
+        .withColumn("shard_pos", F.row_number().over(w) - F.lit(1))
+        .drop("_u")
+    )
+
+
+def write_shards(
+    df: DataFrame,
+    path: str,
+    num_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Materialize the shard_assign layout: one directory per shard
+    (``shard_id=N/``), rows inside each file sorted by shard_pos, so
+    a training reader streams shard directories in order and gets the
+    deterministic global permutation back without any shuffle of its
+    own.
+
+    Plan: repartition(num_shards, shard_id) co-locates each shard in
+    one task (uniform by construction — see shard_assign), then
+    sortWithinPartitions(shard_id, shard_pos) writes each shard's
+    rows in reading order. ``maxRecordsPerFile`` bounds file size for
+    HDFS/object-store friendliness without changing order (Spark
+    splits the sorted stream into consecutive files).
+    """
+    out = shard_assign(df, num_shards, id_col=id_col, salt=salt)
+    writer = (
+        out.repartition(num_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -1780,6 +1780,106 @@ FROM f
 """
 
 
+# ------------------------------------------------------- URL blocklisting
+def q_url_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """RefinedWeb-style URL filtering over deterministically
+    synthesized urls (documents carry no url column, so the query
+    builds one per doc from (source, doc_id) residues — scheme, www
+    prefix, upper-cased host, tld, and an /ads/ path segment all
+    planted to exercise canonicalization): a 3-host blocklist
+    (broadcast anti-join on the canonical host) + one path-pattern
+    drop (pure scan predicate)."""
+    from ..operators.hoststats import filter_blocked
+
+    docs = load(spark, sf, "documents")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example."),
+        tld,
+        F.lit("/p/"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("/ads/track")).otherwise(
+            F.lit("")
+        ),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    return filter_blocked(
+        pages,
+        blocked_hosts=[
+            "src1.example.com",
+            "WWW.src2.example.org",  # canonicalized before matching
+            "SRC3.example.net",
+        ],
+        url_patterns=[r"/ads/"],
+    ).select("doc_id", "url")
+
+
+ORACLE["url_filter"] = r"""
+WITH p AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN upper(source) ELSE source END)
+    || '.example.'
+    || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+    || '/p/' || doc_id
+    || (CASE WHEN doc_id % 13 = 0 THEN '/ads/track' ELSE '' END) AS url
+  FROM documents
+), c AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_extract(lower(trim(url)),
+             '^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?([^:/?#]+)', 1),
+             '^www\.', '') AS chost
+  FROM p
+)
+SELECT doc_id, url FROM c
+WHERE NOT regexp_matches(lower(url), '(/ads/)')
+  AND chost NOT IN ('src1.example.com', 'src2.example.org', 'src3.example.net')
+"""
+
+
+# ----------------------------------------------- training-shard shuffle
+def q_shard_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training-order shuffle into 8 shards
+    (operators/packing.shard_assign): (shard_id, shard_pos) from the
+    md5-uniform, so reading shards in order replays a reproducible
+    random permutation of the corpus. Oracle = the same md5 math plus
+    a SQL window."""
+    from ..operators.packing import shard_assign
+
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    return shard_assign(docs, 8)
+
+
+ORACLE["shard_assign"] = """
+WITH u AS (
+  SELECT doc_id, source,
+         (list_sum(list_transform(range(1, 9), j ->
+            CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':shard'), j, 1)) - 1 AS BIGINT)
+            * (CAST(1 AS BIGINT) << (4 * (8 - j)))))
+          / 4294967296.0) AS uu
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(least(CAST(floor(uu * 8) AS BIGINT), 7) AS INTEGER) AS shard_id,
+       CAST(row_number() OVER (
+              PARTITION BY least(CAST(floor(uu * 8) AS BIGINT), 7)
+              ORDER BY uu, doc_id) - 1 AS INTEGER) AS shard_pos
+FROM u
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -1816,6 +1916,8 @@ QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "remove_dup_spans": q_remove_dup_spans,
     "c4_filters": q_c4_filters,
+    "url_filter": q_url_filter,
+    "shard_assign": q_shard_assign,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

@@ -445,3 +445,34 @@ def test_c4_clean_stage_wired(spark, pages):
             assert len(line.split()) >= 5
         shrunk = shrunk or len(r["text"]) < base_len[r["url"]]
     assert shrunk  # at least one doc lost a short paragraph
+
+
+def test_url_blocklist_stage_wired(spark, pages):
+    """Blocklisted hosts vanish from the output, pattern-matched urls
+    vanish, and the stage sits BEFORE extraction (flag off keeps
+    them, so the stage caused it)."""
+    from nidaba_spark.operators.hoststats import canonical_host
+
+    base = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=8,
+    )
+    hosts = [
+        r["h"]
+        for r in base.select(canonical_host(F.col("url")).alias("h"))
+        .distinct()
+        .limit(2)
+        .collect()
+    ]
+    assert len(hosts) == 2
+    out = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=8,
+        blocked_hosts=[hosts[0].upper()],  # canonicalization exercised
+    )
+    got_hosts = {
+        r["h"]
+        for r in out.select(canonical_host(F.col("url")).alias("h"))
+        .distinct()
+        .collect()
+    }
+    assert hosts[0] not in got_hosts and hosts[1] in got_hosts
+    assert 0 < out.count() < base.count()

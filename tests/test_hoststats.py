@@ -117,3 +117,54 @@ def test_cap_per_host_plan_uses_window_group_limit(spark):
     # row_number()<=k must push a map-side group limit ahead of the
     # shuffle — the mega-host skew bound the module docstring claims
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_filter_blocked_semantics(spark):
+    from nidaba_spark.operators.hoststats import filter_blocked
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://spam.example/a"),  # blocked host
+            (2, "https://WWW.SPAM.EXAMPLE:8080/b"),  # same host, www/case/port
+            (3, "http://user@spam.example/c"),  # userinfo form
+            (4, "https://fine.example/a"),  # survives
+            (5, "https://fine.example/ads/banner"),  # pattern drop
+            (6, "//cdn.tracker.example/x"),  # protocol-relative, blocked
+            (7, "fine.example/ADS/upper"),  # pattern is case-folded
+        ],
+        "id long, url string",
+    )
+    kept = filter_blocked(
+        pages,
+        blocked_hosts=["WWW.Spam.Example", "cdn.tracker.example"],
+        url_patterns=[r"/ads/"],
+        url_col="url",
+    )
+    assert {r["id"] for r in kept.collect()} == {4}
+    # each knob alone
+    only_hosts = filter_blocked(pages, blocked_hosts=["spam.example"])
+    assert {r["id"] for r in only_hosts.collect()} == {4, 5, 6, 7}
+    only_pat = filter_blocked(pages, url_patterns=[r"/ads/"])
+    assert {r["id"] for r in only_pat.collect()} == {1, 2, 3, 4, 6}
+    # no knobs = identity
+    assert filter_blocked(pages).count() == 7
+
+
+def test_filter_blocked_broadcasts_the_blocklist(spark):
+    import contextlib
+    import io
+
+    from nidaba_spark.operators.hoststats import filter_blocked
+
+    pages = spark.createDataFrame(
+        [(1, "https://a.example/x")], "id long, url string"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filter_blocked(pages, blocked_hosts=["a.example"]).explain(
+            mode="formatted"
+        )
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the crawl side must not shuffle for the blocklist join
+    assert "Exchange hashpartitioning" not in plan

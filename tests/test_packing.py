@@ -87,3 +87,70 @@ def test_packs_respect_budget_structure(spark, docs):
         assert r["tokens_before"] == acc
         assert r["pack_id"] == acc // BUDGET
         acc += r["n_tokens"]
+
+
+def test_shard_assign_is_a_permutation(spark, docs):
+    from nidaba_spark.operators.packing import shard_assign
+
+    out = shard_assign(docs.select("doc_id"), 8).collect()
+    n = len(out)
+    assert n == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard_id"], []).append(r["shard_pos"])
+    assert set(by_shard) <= set(range(8))
+    # positions are a dense 0-based range per shard
+    for sid, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), sid
+    # balanced within ~5 sigma of binomial expectation
+    exp = n / 8
+    sigma = (n * (1 / 8) * (7 / 8)) ** 0.5
+    for sid in range(8):
+        assert abs(len(by_shard.get(sid, [])) - exp) < 5 * sigma
+
+
+def test_shard_assign_partitioning_invariant(spark, docs):
+    from nidaba_spark.operators.packing import shard_assign
+
+    a = sorted(tuple(r) for r in shard_assign(docs.select("doc_id"), 8).collect())
+    b = sorted(
+        tuple(r)
+        for r in shard_assign(docs.select("doc_id").repartition(3), 8).collect()
+    )
+    assert a == b
+    # a different salt draws a genuinely different permutation
+    c = sorted(
+        tuple(r)
+        for r in shard_assign(docs.select("doc_id"), 8, salt="epoch2").collect()
+    )
+    assert a != c
+
+
+def test_write_shards_layout(spark, docs, tmp_path):
+    import os
+
+    from nidaba_spark.operators.packing import shard_assign, write_shards
+
+    path = str(tmp_path / "shards")
+    write_shards(
+        docs.select("doc_id"), path, 4, max_records_per_file=40
+    )
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard_id="))
+    assert len(dirs) == 4
+    back = spark.read.parquet(path)
+    assert back.count() == docs.count()
+    want = {
+        (r["doc_id"], r["shard_id"], r["shard_pos"])
+        for r in shard_assign(docs.select("doc_id"), 4).collect()
+    }
+    got = {
+        (r["doc_id"], int(r["shard_id"]), r["shard_pos"]) for r in back.collect()
+    }
+    assert got == want
+    # maxRecordsPerFile actually split the sorted stream
+    files = [
+        f
+        for f in os.listdir(os.path.join(path, dirs[0]))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) > 1
