@@ -105,6 +105,8 @@ _RETIRED_FROM_DRIVER = [
     "remove_dup_spans",
     "url_filter",
     "shard_assign",
+    "host_quality",
+    "sample_topk",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

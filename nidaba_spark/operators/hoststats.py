@@ -126,3 +126,32 @@ def filter_blocked(
                 .drop("_chost")
             )
     return out
+
+
+def host_quality_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    quality_col: str = "quality",
+    low_threshold: float = 0.5,
+) -> DataFrame:
+    """Blocklist MINING: per-canonical-host quality accounting, the
+    table `filter_blocked` blocklists are derived from (the curation
+    loop closed from the crawl's own signals, like the PageRank
+    authority prior).
+
+    Returns (host, n_docs, sum_quality_micro, n_low) — one hash
+    aggregation keyed on the canonical host, map-side combined, the
+    shuffle carrying one row per host per map task. The stats are
+    MERGEABLE INTEGERS by design (quality folded to round(q·1e6),
+    the dsir/lm micro idiom): per-crawl-segment stats roll up by
+    plain summation forever — no floats to drift, no rescans — and
+    avg quality is sum_quality_micro / 1e6 / n_docs at read time.
+    Candidate blocklist = hosts with n_docs >= support AND
+    n_low/n_docs above the caller's cut.
+    """
+    q = F.col(quality_col)
+    return docs.groupBy(canonical_host(F.col(url_col)).alias("host")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(q * 1e6).cast("long")).alias("sum_quality_micro"),
+        F.sum((q < F.lit(low_threshold)).cast("long")).alias("n_low"),
+    )

@@ -127,3 +127,30 @@ def split_assign(
     for acc, name in reversed(branches):
         expr = F.when(u < F.lit(acc), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACTLY-k deterministic uniform sample: the k rows with the
+    smallest md5-uniform u(id, salt) — the distributed equivalent of
+    a reservoir sample, reproducible from (id, salt) alone (rate-based
+    weighted_sample gives binomial-sized output; this gives exact
+    cardinality for eval sets / demos / hand-audits).
+
+    Scale shape: ``orderBy(u, id).limit(k)`` compiles to
+    TakeOrderedAndProject — a per-partition top-k heap plus a k-row
+    driver merge, NEVER a global sort (asserted in
+    tests/test_mixing.py). Growing k keeps the old sample as a strict
+    prefix (nested subsets, same as weighted_sample's tightening).
+    """
+    u = uniform_hash(F.col(id_col), salt)
+    return (
+        df.withColumn("_u", u)
+        .orderBy("_u", id_col)
+        .limit(k)
+        .drop("_u")
+    )

@@ -1880,6 +1880,117 @@ FROM u
 """
 
 
+# ------------------------------------------- blocklist mining / sampling
+def q_host_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocklist MINING (operators/hoststats.host_quality_stats):
+    per-canonical-host mergeable integer quality stats over
+    residue-synthesized urls (~60 hosts x ~8 docs), plus the
+    block_candidate rule (majority-low hosts with >= 5 docs) that
+    feeds filter_blocked — the curation loop closed from the crawl's
+    own quality signal."""
+    from ..operators import textstats
+    from ..operators.hoststats import host_quality_stats
+
+    docs = load(spark, sf, "documents")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example."),
+        tld,
+        F.lit("/p/"),
+        F.col("doc_id"),
+    )
+    scored = docs.select(
+        url.alias("url"),
+        textstats.quality_score(F.col("text")).alias("quality"),
+    )
+    stats = host_quality_stats(scored, low_threshold=0.5)
+    return stats.select(
+        "host",
+        "n_docs",
+        "sum_quality_micro",
+        "n_low",
+        (
+            (F.col("n_low") / F.col("n_docs") > 0.5) & (F.col("n_docs") >= 5)
+        ).alias("block_candidate"),
+    )
+
+
+ORACLE["host_quality"] = f"""
+WITH w AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'), t -> t != '') AS words
+  FROM documents),
+f AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         len(words) AS n_words,
+         len(list_filter(words, x -> list_contains({_STOPLIST_SQL}, x))) AS n_stop,
+         length(regexp_replace(text, '[^\\.,;:!\\?''"-]', '', 'g')) AS n_punct
+  FROM w),
+q AS (
+  SELECT doc_id, source,
+         round((least(n_words / 100.0, 1.0)
+              + least((CASE WHEN n_words > 0 THEN n_stop / n_words ELSE 0.0 END) * 5.0, 1.0)
+              + (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 5.0, 1.0)))
+              / 3.0, 4) AS quality
+  FROM f),
+u AS (
+  SELECT 'https://'
+         || (CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END)
+         || source || '.example.'
+         || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+         || '/p/' || doc_id AS url,
+         quality
+  FROM q),
+h AS (
+  SELECT regexp_replace(regexp_extract(lower(trim(url)),
+             '^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?([^:/?#]+)', 1),
+             '^www\\.', '') AS host,
+         quality
+  FROM u),
+s AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CAST(round(quality * 1e6) AS BIGINT)) AS BIGINT) AS sum_quality_micro,
+         CAST(sum(CASE WHEN quality < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+  FROM h GROUP BY host)
+SELECT host, n_docs, sum_quality_micro, n_low,
+       (n_low / n_docs > 0.5 AND n_docs >= 5) AS block_candidate
+FROM s
+"""
+
+
+def q_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-100 deterministic uniform sample (operators/mixing
+    .sample_exact_k): the 100 rows with the smallest md5-uniform —
+    TakeOrderedAndProject, never a global sort (plan pinned in
+    tests/test_mixing.py). Oracle = the same md5 math + LIMIT."""
+    from ..operators.mixing import sample_exact_k
+
+    docs = load(spark, sf, "documents").select("doc_id", "source")
+    return sample_exact_k(docs, 100)
+
+
+ORACLE["sample_topk"] = """
+WITH u AS (
+  SELECT doc_id, source,
+         (list_sum(list_transform(range(1, 9), j ->
+            CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), j, 1)) - 1 AS BIGINT)
+            * (CAST(1 AS BIGINT) << (4 * (8 - j)))))
+          / 4294967296.0) AS uu
+  FROM documents
+)
+SELECT doc_id, source FROM u ORDER BY uu, doc_id LIMIT 100
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -1918,6 +2029,8 @@ QUERIES = {
     "c4_filters": q_c4_filters,
     "url_filter": q_url_filter,
     "shard_assign": q_shard_assign,
+    "host_quality": q_host_quality,
+    "sample_topk": q_sample_topk,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

@@ -168,3 +168,37 @@ def test_filter_blocked_broadcasts_the_blocklist(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     # the crawl side must not shuffle for the blocklist join
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_host_quality_stats_are_mergeable(spark):
+    """The 100 TB contract: per-segment stats summed == whole-corpus
+    stats (mergeable integers — no floats to drift, no rescans)."""
+    from pyspark.sql import functions as F
+
+    from nidaba_spark.operators.hoststats import host_quality_stats
+
+    docs = spark.range(0, 400).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 7).cast("string"), F.lit(".example/p/"), F.col("id")
+        ).alias("url"),
+        F.round((F.col("id") % 100) / 100.0, 4).alias("quality"),
+    )
+    whole = {
+        r["host"]: (r["n_docs"], r["sum_quality_micro"], r["n_low"])
+        for r in host_quality_stats(docs).collect()
+    }
+    seg1 = host_quality_stats(docs.filter(F.col("url").substr(-1, 1).isin("0", "2", "4", "6", "8")))
+    seg2 = host_quality_stats(docs.filter(F.col("url").substr(-1, 1).isin("1", "3", "5", "7", "9")))
+    merged = {
+        r["host"]: (r["n_docs"], r["sum_quality_micro"], r["n_low"])
+        for r in seg1.unionByName(seg2)
+        .groupBy("host")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("sum_quality_micro").alias("sum_quality_micro"),
+            F.sum("n_low").alias("n_low"),
+        )
+        .collect()
+    }
+    assert merged == whole
+    assert len(whole) == 7

@@ -181,3 +181,38 @@ def test_split_assign_validates_and_deterministic(spark, docs):
         ).collect()
     )
     assert a == b
+
+
+def test_sample_exact_k_properties(spark):
+    from nidaba_spark.operators.mixing import sample_exact_k
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    k100 = sorted(r["doc_id"] for r in sample_exact_k(df, 100).collect())
+    assert len(k100) == 100
+    # deterministic under repartitioning
+    again = sorted(
+        r["doc_id"] for r in sample_exact_k(df.repartition(7), 100).collect()
+    )
+    assert k100 == again
+    # growing k keeps the old sample as a subset (nested prefixes)
+    k200 = set(r["doc_id"] for r in sample_exact_k(df, 200).collect())
+    assert set(k100) < k200 and len(k200) == 200
+    # a different salt draws an independent sample
+    other = set(r["doc_id"] for r in sample_exact_k(df, 100, salt="s2").collect())
+    assert other != set(k100)
+
+
+def test_sample_exact_k_plan_is_top_k(spark):
+    import contextlib
+    import io
+
+    from nidaba_spark.operators.mixing import sample_exact_k
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sample_exact_k(df, 100).explain(mode="formatted")
+    plan = buf.getvalue()
+    # per-partition heap + k-row merge, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
