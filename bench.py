@@ -51,6 +51,13 @@ AUX_QUERIES = [
     "page_links",
     "canonical_dedup",
     "normalize_urls",
+    # r05 continuation wave
+    "c4_filters",
+    "remove_dup_spans",
+    "url_filter",
+    "shard_assign",
+    "host_quality",
+    "sample_topk",
 ]
 
 

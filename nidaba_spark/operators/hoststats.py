@@ -155,3 +155,35 @@ def host_quality_stats(
         F.sum(F.round(q * 1e6).cast("long")).alias("sum_quality_micro"),
         F.sum((q < F.lit(low_threshold)).cast("long")).alias("n_low"),
     )
+
+
+def mine_blocklist(
+    scored_docs: DataFrame,
+    url_col: str = "url",
+    quality_col: str = "quality",
+    low_threshold: float = 0.5,
+    min_docs: int = 100,
+    max_low_frac: float = 0.5,
+) -> DataFrame:
+    """Derive a host blocklist FROM the crawl's own quality signal:
+    hosts with >= ``min_docs`` scored documents of which more than
+    ``max_low_frac`` fall under the quality floor. Returns a
+    one-column (host) DataFrame that feeds ``filter_blocked`` on the
+    NEXT crawl/segment directly.
+
+    Two-pass by design (like the PageRank authority prior): scoring
+    pass N's corpus mines the blocklist that pass N+1 applies before
+    parsing — the in-pass alternative would gate a page's survival on
+    an aggregate over the very corpus being built. host_quality_stats'
+    mergeable-integer output means pass-N stats can also accumulate
+    across segments and the blocklist re-derives from the rollup with
+    no rescans.
+    """
+    stats = host_quality_stats(
+        scored_docs, url_col=url_col, quality_col=quality_col,
+        low_threshold=low_threshold,
+    )
+    return stats.filter(
+        (F.col("n_docs") >= F.lit(min_docs))
+        & (F.col("n_low") / F.col("n_docs") > F.lit(max_low_frac))
+    ).select("host")

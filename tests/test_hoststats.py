@@ -202,3 +202,31 @@ def test_host_quality_stats_are_mergeable(spark):
     }
     assert merged == whole
     assert len(whole) == 7
+
+
+def test_mine_blocklist_feeds_filter_blocked(spark):
+    """The curation loop: pass-N quality stats -> blocklist ->
+    pass-N+1 filter_blocked drops exactly the majority-low hosts with
+    enough support."""
+    from pyspark.sql import functions as F
+
+    from nidaba_spark.operators.hoststats import filter_blocked, mine_blocklist
+
+    # h0: 20 docs, all low -> blocked; h1: 20 docs, all high -> kept;
+    # h2: 2 docs, low but under support -> kept
+    docs = spark.range(0, 42).select(
+        F.concat(
+            F.when(F.col("id") < 20, F.lit("https://h0.example/p/"))
+            .when(F.col("id") < 40, F.lit("https://h1.example/p/"))
+            .otherwise(F.lit("https://h2.example/p/")),
+            F.col("id"),
+        ).alias("url"),
+        F.when(
+            (F.col("id") < 20) | (F.col("id") >= 40), F.lit(0.1)
+        ).otherwise(F.lit(0.9)).alias("quality"),
+    )
+    blk = mine_blocklist(docs, min_docs=10, max_low_frac=0.5)
+    assert {r["host"] for r in blk.collect()} == {"h0.example"}
+    kept = filter_blocked(docs, blocked_hosts=blk)
+    hosts = {r["url"].split("/")[2] for r in kept.collect()}
+    assert hosts == {"h1.example", "h2.example"}
