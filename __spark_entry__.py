@@ -107,6 +107,7 @@ _RETIRED_FROM_DRIVER = [
     "shard_assign",
     "host_quality",
     "sample_topk",
+    "decontaminate_report",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -579,3 +579,33 @@ def remove_duplicate_spans(
             ).alias("clean_text"),
         )
     )
+
+
+def decontaminate_report(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """Contamination FORENSICS: which eval item leaked into which
+    training doc. Same broadcast shape as ``decontaminate`` but the
+    eval side keeps its id, so the output is one row per contaminated
+    (train doc, eval item) pair with the distinct shared-gram count —
+    the audit table a decontamination report/dataset card cites
+    (flag-only `decontaminate` answers "drop it?", this answers
+    "why, and against what").
+    """
+    eval_id = eval_id_col or eval_df.columns[0]
+    train_g = _exploded_grams(train, id_col, text_col, n, "gram").distinct()
+    eval_g = (
+        _exploded_grams(eval_df, eval_id, text_col, n, "gram")
+        .select(F.col("doc_id").alias("eval_id"), "gram")
+        .distinct()
+    )
+    return (
+        train_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+    )

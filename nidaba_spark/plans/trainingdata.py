@@ -1966,6 +1966,39 @@ FROM s
 """
 
 
+def q_decontaminate_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Contamination forensics (operators/filters.decontaminate_report):
+    the per-(train doc, eval item) audit table behind q_decontaminate's
+    flags — same 97-residue eval split, distinct shared 5-grams per
+    pair."""
+    from ..operators.filters import decontaminate_report
+
+    docs = load(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    train = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate_report(train, eval_df, n=5)
+
+
+ORACLE["decontaminate_report"] = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(words)-4)) AS t(i)
+), eval_g AS (
+  SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 97 = 0
+), train_g AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 97 <> 0
+)
+SELECT doc_id, eval_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM train_g JOIN eval_g USING (gram)
+GROUP BY doc_id, eval_id
+"""
+
+
 def q_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-100 deterministic uniform sample (operators/mixing
     .sample_exact_k): the 100 rows with the smallest md5-uniform —
@@ -2031,6 +2064,7 @@ QUERIES = {
     "shard_assign": q_shard_assign,
     "host_quality": q_host_quality,
     "sample_topk": q_sample_topk,
+    "decontaminate_report": q_decontaminate_report,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

@@ -384,3 +384,39 @@ def test_c4_clean_plan_is_shuffle_free(spark):
         c4_clean(docs).filter("c4_keep").explain(mode="formatted")
     # pure scan-level map: the whole operator must add zero Exchanges
     assert "Exchange" not in buf.getvalue()
+
+
+def test_c4_clean_is_idempotent(spark):
+    """Every line c4_clean keeps satisfies the line predicate, so a
+    second pass keeps everything: clean(clean(x)) == clean(x).
+    One DataFrame of combinatorial pages (ending char × word count ×
+    javascript × whitespace), both passes in one collect each."""
+    import itertools
+    import random
+
+    from nidaba_spark.operators.filters import c4_clean
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    lines = []
+    for end, nw, js, pad in itertools.product(
+        [".", "!", '"', "", "x"], [0, 2, 5, 9], [False, True], [False, True]
+    ):
+        ws = [rng.choice(words) for _ in range(nw)]
+        if js and ws:
+            ws[0] = "javascript"
+        body = " ".join(ws) + end
+        lines.append(("  " + body + " ") if pad else body)
+    pages = [
+        (i, "\n".join(rng.sample(lines, rng.randint(0, 10))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(pages, "doc_id long, text string")
+    once = c4_clean(docs).select("doc_id", "text", "n_kept_lines", "n_sentences")
+    twice = c4_clean(once.select("doc_id", "text")).select(
+        "doc_id", "text", "n_kept_lines", "n_sentences"
+    )
+    a = {r["doc_id"]: tuple(r)[1:] for r in once.collect()}
+    b = {r["doc_id"]: tuple(r)[1:] for r in twice.collect()}
+    assert a == b
+    assert any(v[1] > 0 for v in a.values())  # some lines actually survive
