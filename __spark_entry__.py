@@ -108,6 +108,7 @@ _RETIRED_FROM_DRIVER = [
     "host_quality",
     "sample_topk",
     "decontaminate_report",
+    "gopher_quality",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

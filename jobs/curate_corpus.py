@@ -55,6 +55,10 @@ def main() -> None:
     ap.add_argument("--pii-redact", action="store_true")
     ap.add_argument("--repetition-max-frac", type=float, default=None)
     ap.add_argument(
+        "--gopher-rules", action="store_true",
+        help="apply the Gopher A1.1 document-level quality rule set",
+    )
+    ap.add_argument(
         "--dup-span-max-frac", type=float, default=None,
         help="drop docs whose corpus-wide duplicated n-token-span "
         "fraction (Lee et al. substring signal) exceeds this cut",
@@ -165,6 +169,7 @@ def main() -> None:
         npartitions=args.npartitions,
         pii_redact=args.pii_redact,
         repetition_max_frac=args.repetition_max_frac,
+        gopher_rules=args.gopher_rules,
         dup_span_max_frac=args.dup_span_max_frac,
         dup_span_n=args.dup_span_n,
         dup_span_hash_keys=not args.dup_span_string_keys,

@@ -45,6 +45,7 @@ def curate(
     npartitions: int | None = None,
     pii_redact: bool = False,
     repetition_max_frac: float | None = None,
+    gopher_rules: bool = False,
     dup_span_max_frac: float | None = None,
     dup_span_n: int = 50,
     dup_span_hash_keys: bool = True,
@@ -80,6 +81,14 @@ def curate(
       pii_redact            — codegen regexp redaction applied to the
                               extracted text BEFORE scoring/dedup, so
                               downstream hashes see the shipped bytes;
+      gopher_rules          — the published Gopher §A1.1 document-
+                              level quality rule set (word-count band,
+                              mean word length, symbol/bullet/ellipsis
+                              ratios, alpha-word fraction, required
+                              stopwords; operators/filters
+                              .gopher_quality_flags) as a semi-join on
+                              the keep set — the paper-exact cousin of
+                              the min_quality heuristic floor;
       repetition_max_frac   — drop docs whose top word-bigram mass
                               exceeds the cut (Gopher rule; anti-join
                               on the repetition_stats aggregate);
@@ -331,6 +340,7 @@ def curate(
     if (
         compression_band is not None
         or repetition_max_frac is not None
+        or gopher_rules
         or dup_span_max_frac is not None
         or decontam_eval is not None
         or near_dup_threshold is not None
@@ -367,6 +377,13 @@ def curate(
             F.col("avg_logscore") < F.lit(lm_min_logscore)
         ).select(F.col("doc_id").alias("url"))
         good = good.join(gibberish, "url", "left_anti")
+    if gopher_rules:
+        from .operators.filters import gopher_quality_flags
+
+        ok = gopher_quality_flags(good, id_col="url").filter(
+            F.col("gopher_keep")
+        ).select(F.col("doc_id").alias("url"))
+        good = good.join(ok, "url", "left_semi")
     if repetition_max_frac is not None:
         spam = repetition_stats(good, id_col="url").filter(
             F.col("top_bigram_frac") > F.lit(repetition_max_frac)

@@ -609,3 +609,104 @@ def decontaminate_report(
         .groupBy("doc_id", "eval_id")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# ------------------------------------------------ Gopher quality rules
+# Rae et al. 2021 (Gopher, §A1.1 "Quality filtering") — the doc-level
+# rule set (the repetition rules live in repetition_stats above).
+GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher's published document-level quality rules as one pure
+    scan-level projection (zero shuffles, all codegen / single-level
+    HOFs over projected arrays — the split lands in a bound attribute
+    first, see _ngrams' inlining trap):
+
+      * min_words <= word count <= max_words (whitespace tokens);
+      * 3 <= mean word length <= 10;
+      * symbol-to-word ratio (# and ... occurrences) < 0.1;
+      * < 90% of lines start with a bullet (- * •);
+      * <= 30% of lines end with an ellipsis (... or …);
+      * >= 80% of words contain an alphabetic character;
+      * >= 2 of the 8 required English stopwords present.
+
+    Returns docs' id plus every rule's measured value and the
+    conjunction ``gopher_keep`` — thresholding stays inspectable, the
+    caller filters (curate's heuristic quality_score is the shallow
+    cousin; this is the paper's exact rule set).
+    """
+    text = F.col(text_col)
+    proj = docs.select(
+        F.col(id_col).alias("doc_id"),
+        text.alias("_t"),
+        F.filter(F.split(text, r"\s+"), lambda w: w != F.lit("")).alias("_ws"),
+        F.filter(
+            F.transform(F.split(text, "\n"), lambda line: F.trim(line)),
+            lambda lt: lt != F.lit(""),
+        ).alias("_lines"),
+        _words(text).alias("_lw"),
+    )
+    nw = F.size(F.col("_ws"))
+    nl = F.size(F.col("_lines"))
+    n_ellipsis = (
+        F.length(F.col("_t")) - F.length(F.replace(F.col("_t"), F.lit("...")))
+    ) / 3 + (F.length(F.col("_t")) - F.length(F.replace(F.col("_t"), F.lit("…"))))
+    n_hash = F.length(F.col("_t")) - F.length(F.replace(F.col("_t"), F.lit("#")))
+    mean_wl = F.when(
+        nw > 0,
+        F.aggregate(
+            F.col("_ws"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        )
+        / nw,
+    ).otherwise(F.lit(0.0))
+    frac_alpha = F.when(
+        nw > 0,
+        F.size(F.filter(F.col("_ws"), lambda w: w.rlike("[a-zA-Z]"))) / nw,
+    ).otherwise(F.lit(0.0))
+    bullet_frac = F.when(
+        nl > 0,
+        F.size(F.filter(F.col("_lines"), lambda lt: lt.rlike(r"^[-*•]"))) / nl,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(F.col("_lines"), lambda lt: lt.rlike(r"(\.\.\.|…)$"))
+        )
+        / nl,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(nw > 0, (n_hash + n_ellipsis) / nw).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("_lw")),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    )
+    out = proj.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(frac_alpha, 4).alias("alpha_word_frac"),
+        n_stop.alias("n_required_stopwords"),
+    )
+    return out.withColumn(
+        "gopher_keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_required_stopwords") >= 2),
+    )

@@ -1999,6 +1999,87 @@ GROUP BY doc_id, eval_id
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher §A1.1 document-level quality rules
+    (operators/filters.gopher_quality_flags) over lightly augmented
+    documents (hash runs on %7, bullet lines on %19, a trailing
+    ellipsis on %23 — the raw corpus has no symbols or lines, so the
+    residues give every rule non-degenerate values); keep varies via
+    the 50-word floor."""
+    from ..operators.filters import gopher_quality_flags
+
+    docs = load(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.lit(" "), F.repeat(F.lit("# "), 10))
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.lit("\n- bullet line one\n- bullet line two"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 23 == 0, F.lit("\ntrailing thought...")
+        ).otherwise(F.lit("")),
+    )
+    return gopher_quality_flags(docs.select("doc_id", aug.alias("text")))
+
+
+ORACLE["gopher_quality"] = r"""
+WITH a AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0 THEN ' ' || repeat('# ', 10) ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN chr(10) || '- bullet line one' || chr(10) || '- bullet line two'
+                 ELSE '' END
+         || CASE WHEN doc_id % 23 = 0
+                 THEN chr(10) || 'trailing thought...' ELSE '' END AS t
+  FROM documents
+), p AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS ws,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                     lt -> lt <> '') AS lines,
+         list_filter(string_split_regex(lower(t), '[^a-z0-9]+'), x -> x <> '') AS lw
+  FROM a
+), m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         len(lines) AS n_lines,
+         (length(t) - length(replace(t, '...', ''))) / 3
+           + (length(t) - length(replace(t, '…', ''))) AS n_ellipsis,
+         length(t) - length(replace(t, '#', '')) AS n_hash,
+         list_sum(list_transform(ws, w -> length(w))) AS sum_wl,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(lines, lt -> regexp_matches(lt, '^[-*•]'))) AS n_bullet,
+         len(list_filter(lines, lt -> regexp_matches(lt, '(\.\.\.|…)$'))) AS n_ell_l,
+         len(list_intersect(list_distinct(lw),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
+  FROM p
+), f AS (
+  SELECT doc_id,
+         CAST(n_words AS INTEGER) AS n_words,
+         round(CASE WHEN n_words > 0 THEN sum_wl / n_words ELSE 0.0 END, 4) AS mean_word_len,
+         round(CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) / n_words ELSE 0.0 END, 4) AS symbol_ratio,
+         round(CASE WHEN n_lines > 0 THEN n_bullet::DOUBLE / n_lines ELSE 0.0 END, 4) AS bullet_line_frac,
+         round(CASE WHEN n_lines > 0 THEN n_ell_l::DOUBLE / n_lines ELSE 0.0 END, 4) AS ellipsis_line_frac,
+         round(CASE WHEN n_words > 0 THEN n_alpha::DOUBLE / n_words ELSE 0.0 END, 4) AS alpha_word_frac,
+         CAST(n_stop AS INTEGER) AS n_required_stopwords
+  FROM m
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND symbol_ratio < 0.1
+        AND bullet_line_frac < 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND n_required_stopwords >= 2) AS gopher_keep
+FROM f
+"""
+
+
 def q_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-100 deterministic uniform sample (operators/mixing
     .sample_exact_k): the 100 rows with the smallest md5-uniform —
@@ -2065,6 +2146,7 @@ QUERIES = {
     "host_quality": q_host_quality,
     "sample_topk": q_sample_topk,
     "decontaminate_report": q_decontaminate_report,
+    "gopher_quality": q_gopher_quality,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

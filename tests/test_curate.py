@@ -476,3 +476,22 @@ def test_url_blocklist_stage_wired(spark, pages):
     }
     assert hosts[0] not in got_hosts and hosts[1] in got_hosts
     assert 0 < out.count() < base.count()
+
+
+def test_gopher_rules_stage_wired(spark, pages):
+    """The Gopher word-count floor bites on the synthetic corpus's
+    short docs: the rule-set output is a strict subset of baseline and
+    every survivor re-passes the flags."""
+    from nidaba_spark.operators.filters import gopher_quality_flags
+
+    base = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=8,
+    ).select("url", "text")
+    out = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=8,
+        gopher_rules=True,
+    ).select("url", "text")
+    n_base, n_out = base.count(), out.count()
+    assert 0 < n_out < n_base
+    redo = gopher_quality_flags(out, id_col="url")
+    assert redo.filter(~F.col("gopher_keep")).count() == 0

@@ -420,3 +420,33 @@ def test_c4_clean_is_idempotent(spark):
     b = {r["doc_id"]: tuple(r)[1:] for r in twice.collect()}
     assert a == b
     assert any(v[1] > 0 for v in a.values())  # some lines actually survive
+
+
+def test_gopher_quality_rule_trips(spark):
+    """Each Gopher §A1.1 rule tripped in isolation on hand-built docs
+    (the good doc differs from each bad one by exactly the rule under
+    test, minus unavoidable couplings which are asserted explicitly)."""
+    from nidaba_spark.operators.filters import gopher_quality_flags
+
+    good = "the quick brown fox jumps over lazy dogs and cats " * 6  # 60 words
+    rows = [
+        (1, good),
+        (2, "the of and that have short doc"),  # < 50 words
+        (3, ("a b " * 30) + "the of and that have with"),  # mean word len < 3
+        (4, ("1234 5678 " * 30) + "the of and that"),  # alpha frac < 0.8
+        (5, good + ("# " * 20)),  # symbol ratio >= 0.1
+        (6, "\n".join(["- bullet item here"] * 19 + [good])),  # 95% bullets
+        (7, "\n".join([good] + ["more text here..."] * 2)),  # 2/3 ellipsis lines
+        (8, "quick brown fox jumps over lazy dogs " * 8),  # no required stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in gopher_quality_flags(docs, min_words=50).collect()}
+    assert got[1]["gopher_keep"] is True
+    assert got[2]["gopher_keep"] is False and got[2]["n_words"] < 50
+    assert got[3]["gopher_keep"] is False and got[3]["mean_word_len"] < 3
+    assert got[4]["gopher_keep"] is False and got[4]["alpha_word_frac"] < 0.8
+    assert got[5]["gopher_keep"] is False and got[5]["symbol_ratio"] >= 0.1
+    assert got[6]["gopher_keep"] is False and got[6]["bullet_line_frac"] >= 0.9
+    assert got[7]["gopher_keep"] is False and got[7]["ellipsis_line_frac"] > 0.3
+    assert got[8]["gopher_keep"] is False and got[8]["n_required_stopwords"] < 2
+    assert got[8]["n_words"] >= 50  # rule 8 trips ONLY the stopword rule
