@@ -62,6 +62,12 @@ def main() -> None:
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--min-model-score", type=float, default=0.5)
     ap.add_argument("--max-docs-per-host", type=int, default=None)
+    ap.add_argument("--gopher-rules", action="store_true")
+    ap.add_argument("--c4-clean", action="store_true")
+    ap.add_argument(
+        "--blocked-hosts", default=None,
+        help="comma-separated hosts or @file, dropped before curation",
+    )
     ap.add_argument("--decontam-bloom-fpp", type=float, default=1e-9)
     ap.add_argument(
         "--eval-residue", type=int, default=997,
@@ -134,6 +140,21 @@ def main() -> None:
             decontam_eval=eval_df,
             decontam_bloom_fpp=args.decontam_bloom_fpp,
             max_docs_per_host=args.max_docs_per_host,
+            gopher_rules=args.gopher_rules,
+            c4_clean=args.c4_clean,
+            blocked_hosts=(
+                [
+                    h.strip()
+                    for h in (
+                        open(args.blocked_hosts[1:]).read().splitlines()
+                        if args.blocked_hosts.startswith("@")
+                        else args.blocked_hosts.split(",")
+                    )
+                    if h.strip()
+                ]
+                if args.blocked_hosts
+                else None
+            ),
             paragraph_dedup=True,
             min_model_score=args.min_model_score,
             splits={"train": 0.98, "val": 0.01, "test": 0.01},
