@@ -109,6 +109,7 @@ _RETIRED_FROM_DRIVER = [
     "sample_topk",
     "decontaminate_report",
     "gopher_quality",
+    "gopher_repetition",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -59,6 +59,12 @@ def main() -> None:
         help="apply the Gopher A1.1 document-level quality rule set",
     )
     ap.add_argument(
+        "--gopher-repetition", action="store_true",
+        help="apply the full Gopher A1.2 repetition-removal rule set "
+        "(dup line/para fractions, top 2-4-gram and dup 5-10-gram "
+        "character mass, all 13 published thresholds)",
+    )
+    ap.add_argument(
         "--dup-span-max-frac", type=float, default=None,
         help="drop docs whose corpus-wide duplicated n-token-span "
         "fraction (Lee et al. substring signal) exceeds this cut",
@@ -170,6 +176,7 @@ def main() -> None:
         pii_redact=args.pii_redact,
         repetition_max_frac=args.repetition_max_frac,
         gopher_rules=args.gopher_rules,
+        gopher_repetition=args.gopher_repetition,
         dup_span_max_frac=args.dup_span_max_frac,
         dup_span_n=args.dup_span_n,
         dup_span_hash_keys=not args.dup_span_string_keys,

@@ -46,6 +46,7 @@ def curate(
     pii_redact: bool = False,
     repetition_max_frac: float | None = None,
     gopher_rules: bool = False,
+    gopher_repetition: bool = False,
     dup_span_max_frac: float | None = None,
     dup_span_n: int = 50,
     dup_span_hash_keys: bool = True,
@@ -92,6 +93,14 @@ def curate(
       repetition_max_frac   — drop docs whose top word-bigram mass
                               exceeds the cut (Gopher rule; anti-join
                               on the repetition_stats aggregate);
+      gopher_repetition     — the FULL Gopher §A1.2 repetition-removal
+                              rule set (dup line/paragraph fractions +
+                              char fractions, top 2-4-gram char mass,
+                              dup 5-10-gram char mass; operators/
+                              filters.gopher_repetition_flags) as a
+                              semi-join on rep_keep — all 13 published
+                              thresholds, one exploded unit stream,
+                              every shuffle keyed by doc;
       dup_span_max_frac     — drop docs whose corpus-wide duplicated
                               n-token-span fraction (Lee et al.
                               substring signal) exceeds the cut;
@@ -341,6 +350,7 @@ def curate(
         compression_band is not None
         or repetition_max_frac is not None
         or gopher_rules
+        or gopher_repetition
         or dup_span_max_frac is not None
         or decontam_eval is not None
         or near_dup_threshold is not None
@@ -384,6 +394,13 @@ def curate(
             F.col("gopher_keep")
         ).select(F.col("doc_id").alias("url"))
         good = good.join(ok, "url", "left_semi")
+    if gopher_repetition:
+        from .operators.filters import gopher_repetition_flags
+
+        nonrep = gopher_repetition_flags(good, id_col="url").filter(
+            F.col("rep_keep")
+        ).select(F.col("doc_id").alias("url"))
+        good = good.join(nonrep, "url", "left_semi")
     if repetition_max_frac is not None:
         spam = repetition_stats(good, id_col="url").filter(
             F.col("top_bigram_frac") > F.lit(repetition_max_frac)

@@ -710,3 +710,148 @@ def gopher_quality_flags(
         & (F.col("alpha_word_frac") >= 0.8)
         & (F.col("n_required_stopwords") >= 2),
     )
+
+
+# Gopher §A1.2 "repetition removal" thresholds (Rae et al. 2021,
+# Table A1). A document is dropped when ANY measured fraction exceeds
+# its threshold; `gopher_repetition_flags` emits every measured value
+# so the policy stays inspectable.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+    "dup6_char_frac": 0.14,
+    "dup7_char_frac": 0.13,
+    "dup8_char_frac": 0.12,
+    "dup9_char_frac": 0.11,
+    "dup10_char_frac": 0.10,
+}
+
+
+def gopher_repetition_flags(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher's full §A1.2 repetition-removal rule set (Rae et al.
+    2021, Table A1) — 13 per-document statistics plus the conjunction
+    ``rep_keep``:
+
+      * duplicate line / paragraph fraction (occurrences beyond the
+        first, over total occurrences) <= 0.30;
+      * duplicate line / paragraph CHARACTER fraction (chars of the
+        occurrences beyond the first, over len(text)) <= 0.20;
+      * top word-{2,3,4}-gram character fraction (count x chars of the
+        single heaviest n-gram, over len(text)) <= 0.20/0.18/0.16;
+      * duplicate word-{5..10}-gram character fraction (count x chars
+        summed over every n-gram seen more than once, over len(text))
+        <= 0.15/0.14/0.13/0.12/0.11/0.10.
+
+    Two documented simplifications vs the DeepMind reference code
+    (kept because they are order-preserving repetition signals that an
+    ANSI-SQL oracle can replicate exactly): the "top" n-gram is the
+    one maximizing count x chars (not most-common-then-chars — ties
+    differ only when two grams tie on mass anyway), and gram character
+    masses count OVERLAPPING occurrences multiply instead of marking
+    covered character positions once, so a pathological doc can score
+    > 1.0 (an even stronger drop signal; thresholds unchanged).
+
+    Plan shape (the 100 TB story): every unit family — trimmed lines,
+    blank-line-split paragraphs, word n-grams for n=2..10 — is tagged
+    into ONE exploded (doc_id, u, g) stream from bound array
+    attributes (the split lands in a projected column first; an
+    inlined split would re-evaluate per element, see _ngrams). One
+    map-side-combined hash agg per (doc_id, u, g), one per (doc_id,
+    u), then a conditional-aggregation pivot per doc — every shuffle
+    key starts with doc_id, so skew is bounded by the largest single
+    document and no corpus-wide key ever concentrates. The join back
+    to the 2-column (doc_id, n_chars) projection is column-pruned at
+    the scan.
+    """
+    text = F.col(text_col)
+    proj = docs.select(
+        F.col(id_col).alias("doc_id"),
+        _words(text).alias("_w"),
+        F.filter(
+            F.transform(F.split(text, "\n"), lambda ln: F.trim(ln)),
+            lambda t: t != F.lit(""),
+        ).alias("_lines"),
+        F.filter(
+            F.transform(F.split(text, "\n\n"), lambda p: F.trim(p)),
+            lambda t: t != F.lit(""),
+        ).alias("_paras"),
+    )
+    def _tag(label: str):
+        # one-arg factory: a `lambda g, n=n:` default would make pyspark
+        # pass the element INDEX as the second lambda argument
+        return lambda g: F.struct(F.lit(label).alias("u"), g.alias("g"))
+
+    tagged = F.concat(
+        F.transform(F.col("_lines"), _tag("line")),
+        F.transform(F.col("_paras"), _tag("para")),
+        *[
+            F.transform(_ngrams(F.col("_w"), n), _tag(f"g{n:02d}"))
+            for n in range(2, 11)
+        ],
+    )
+    units = proj.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.u").alias("u"), F.col("t.g").alias("g")
+    )
+    per_gram = units.groupBy("doc_id", "u", "g").agg(F.count("*").alias("c"))
+    per_u = per_gram.select(
+        "doc_id", "u", "c", F.length("g").alias("glen")
+    ).groupBy("doc_id", "u").agg(
+        F.sum("c").alias("n_units"),
+        F.sum(F.col("c") - 1).alias("n_dup"),
+        F.sum((F.col("c") - 1) * F.col("glen")).alias("dup_chars_extra"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.col("glen"))).alias(
+            "dup_chars_all"
+        ),
+        F.max(F.col("c") * F.col("glen")).alias("top_chars"),
+    )
+
+    def _u(u: str, col: Column) -> Column:
+        return F.max(F.when(F.col("u") == u, col))
+
+    pivoted = per_u.groupBy("doc_id").agg(
+        _u("line", F.col("n_dup") / F.col("n_units")).alias("_dlf"),
+        _u("para", F.col("n_dup") / F.col("n_units")).alias("_dpf"),
+        _u("line", F.col("dup_chars_extra")).alias("_dlc"),
+        _u("para", F.col("dup_chars_extra")).alias("_dpc"),
+        *[_u(f"g{n:02d}", F.col("top_chars")).alias(f"_t{n}") for n in (2, 3, 4)],
+        *[
+            _u(f"g{n:02d}", F.col("dup_chars_all")).alias(f"_d{n}")
+            for n in range(5, 11)
+        ],
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.length(F.col(text_col)).alias("n_chars")
+    )
+    j = base.join(pivoted, "doc_id", "left")
+
+    def _frac(col: Column) -> Column:
+        return F.round(F.coalesce(col, F.lit(0.0)), 4)
+
+    nc = F.when(F.col("n_chars") > 0, F.col("n_chars")).otherwise(F.lit(None))
+    out = j.select(
+        "doc_id",
+        _frac(F.col("_dlf")).alias("dup_line_frac"),
+        _frac(F.col("_dpf")).alias("dup_para_frac"),
+        _frac(F.col("_dlc") / nc).alias("dup_line_char_frac"),
+        _frac(F.col("_dpc") / nc).alias("dup_para_char_frac"),
+        *[
+            _frac(F.col(f"_t{n}") / nc).alias(f"top{n}_char_frac")
+            for n in (2, 3, 4)
+        ],
+        *[
+            _frac(F.col(f"_d{n}") / nc).alias(f"dup{n}_char_frac")
+            for n in range(5, 11)
+        ],
+    )
+    keep = F.lit(True)
+    for name, thr in GOPHER_REPETITION_THRESHOLDS.items():
+        keep = keep & (F.col(name) <= F.lit(thr))
+    return out.withColumn("rep_keep", keep)

@@ -2080,6 +2080,120 @@ FROM f
 """
 
 
+def q_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher §A1.2 repetition-removal rules (operators/filters
+    .gopher_repetition_flags) over augmented documents: duplicated
+    lines on %11, a duplicated paragraph on %13, an n-gram spam run on
+    %17 (the raw word-salad corpus repeats almost nothing, so the
+    residues make each rule family fire); everything else measures the
+    corpus's organic gram repetition."""
+    from ..operators.filters import gopher_repetition_flags
+
+    docs = load(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.lit("\nrepeated boilerplate line\nrepeated boilerplate line"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("\n\nshared footer paragraph\n\nshared footer paragraph"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(F.lit(" "), F.repeat(F.lit("buy cheap meds now "), 12)),
+        ).otherwise(F.lit("")),
+    )
+    return gopher_repetition_flags(docs.select("doc_id", aug.alias("text")))
+
+
+ORACLE["gopher_repetition"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'repeated boilerplate line'
+                   || chr(10) || 'repeated boilerplate line' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || chr(10) || 'shared footer paragraph'
+                   || chr(10) || chr(10) || 'shared footer paragraph' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' ' || repeat('buy cheap meds now ', 12) ELSE '' END AS t
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(t), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM d
+), allu AS (
+  SELECT doc_id, 'line' AS u, tt.g AS g
+  FROM d, UNNEST(list_filter(list_transform(string_split(t, chr(10)),
+                 x -> trim(x)), x -> x <> '')) AS tt(g)
+  UNION ALL
+  SELECT doc_id, 'para' AS u, tt.g AS g
+  FROM d, UNNEST(list_filter(list_transform(string_split(t, chr(10)||chr(10)),
+                 x -> trim(x)), x -> x <> '')) AS tt(g)
+  UNION ALL
+  SELECT doc_id, printf('g%02d', n) AS u,
+         array_to_string(words[i:i+n-1], ' ') AS g
+  FROM w, UNNEST(generate_series(2, 10)) AS tn(n),
+       UNNEST(generate_series(1, len(words)-n+1)) AS ti(i)
+), c AS (
+  SELECT doc_id, u, g, count(*) AS c, length(g) AS glen
+  FROM allu GROUP BY doc_id, u, g
+), s AS (
+  SELECT doc_id, u,
+         sum(c) AS n_units, sum(c-1) AS n_dup,
+         sum((c-1)*glen) AS dup_chars_extra,
+         sum(CASE WHEN c > 1 THEN c*glen END) AS dup_chars_all,
+         max(c*glen) AS top_chars
+  FROM c GROUP BY doc_id, u
+), p AS (
+  SELECT doc_id,
+         max(CASE WHEN u='line' THEN n_dup::DOUBLE/n_units END) AS dlf,
+         max(CASE WHEN u='para' THEN n_dup::DOUBLE/n_units END) AS dpf,
+         max(CASE WHEN u='line' THEN dup_chars_extra END) AS dlc,
+         max(CASE WHEN u='para' THEN dup_chars_extra END) AS dpc,
+         max(CASE WHEN u='g02' THEN top_chars END) AS t2,
+         max(CASE WHEN u='g03' THEN top_chars END) AS t3,
+         max(CASE WHEN u='g04' THEN top_chars END) AS t4,
+         max(CASE WHEN u='g05' THEN dup_chars_all END) AS d5,
+         max(CASE WHEN u='g06' THEN dup_chars_all END) AS d6,
+         max(CASE WHEN u='g07' THEN dup_chars_all END) AS d7,
+         max(CASE WHEN u='g08' THEN dup_chars_all END) AS d8,
+         max(CASE WHEN u='g09' THEN dup_chars_all END) AS d9,
+         max(CASE WHEN u='g10' THEN dup_chars_all END) AS d10
+  FROM s GROUP BY doc_id
+), f AS (
+  SELECT d.doc_id,
+         round(coalesce(dlf, 0), 4) AS dup_line_frac,
+         round(coalesce(dpf, 0), 4) AS dup_para_frac,
+         round(coalesce(dlc::DOUBLE / nullif(length(t), 0), 0), 4) AS dup_line_char_frac,
+         round(coalesce(dpc::DOUBLE / nullif(length(t), 0), 0), 4) AS dup_para_char_frac,
+         round(coalesce(t2::DOUBLE / nullif(length(t), 0), 0), 4) AS top2_char_frac,
+         round(coalesce(t3::DOUBLE / nullif(length(t), 0), 0), 4) AS top3_char_frac,
+         round(coalesce(t4::DOUBLE / nullif(length(t), 0), 0), 4) AS top4_char_frac,
+         round(coalesce(d5::DOUBLE / nullif(length(t), 0), 0), 4) AS dup5_char_frac,
+         round(coalesce(d6::DOUBLE / nullif(length(t), 0), 0), 4) AS dup6_char_frac,
+         round(coalesce(d7::DOUBLE / nullif(length(t), 0), 0), 4) AS dup7_char_frac,
+         round(coalesce(d8::DOUBLE / nullif(length(t), 0), 0), 4) AS dup8_char_frac,
+         round(coalesce(d9::DOUBLE / nullif(length(t), 0), 0), 4) AS dup9_char_frac,
+         round(coalesce(d10::DOUBLE / nullif(length(t), 0), 0), 4) AS dup10_char_frac
+  FROM d LEFT JOIN p USING (doc_id)
+)
+SELECT *,
+       (dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        AND top2_char_frac <= 0.20 AND top3_char_frac <= 0.18
+        AND top4_char_frac <= 0.16
+        AND dup5_char_frac <= 0.15 AND dup6_char_frac <= 0.14
+        AND dup7_char_frac <= 0.13 AND dup8_char_frac <= 0.12
+        AND dup9_char_frac <= 0.11 AND dup10_char_frac <= 0.10) AS rep_keep
+FROM f
+"""
+
+
 def q_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-100 deterministic uniform sample (operators/mixing
     .sample_exact_k): the 100 rows with the smallest md5-uniform —
@@ -2147,6 +2261,7 @@ QUERIES = {
     "sample_topk": q_sample_topk,
     "decontaminate_report": q_decontaminate_report,
     "gopher_quality": q_gopher_quality,
+    "gopher_repetition": q_gopher_repetition,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

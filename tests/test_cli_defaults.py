@@ -57,6 +57,7 @@ def test_curate_cli_defaults_match_library():
         ("near_dup_threshold", "near_dup_threshold"),
         ("max_docs_per_host", "max_docs_per_host"),
         ("paragraph_dedup", "paragraph_dedup"),
+        ("gopher_repetition", "gopher_repetition"),
         ("min_model_score", "min_model_score"),
         ("decontam_bloom_fpp", "decontam_bloom_fpp"),
     ]:
