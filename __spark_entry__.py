@@ -110,6 +110,9 @@ _RETIRED_FROM_DRIVER = [
     "decontaminate_report",
     "gopher_quality",
     "gopher_repetition",
+    "line_dedup",
+    "temperature_rates",
+    "ccnet_buckets",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

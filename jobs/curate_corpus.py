@@ -77,6 +77,12 @@ def main() -> None:
         "ExactSubstr removal, vs the flag-and-drop --dup-span-max-frac",
     )
     ap.add_argument(
+        "--line-dedup", action="store_true",
+        help="intra-document exact line dedup (keep first occurrence, "
+        "whitespace-only lines survive) — RefinedWeb/MassiveText "
+        "repeated-line cleanup, a zero-shuffle projection",
+    )
+    ap.add_argument(
         "--c4-clean", action="store_true",
         help="C4 page cleaning (Raffel et al. 2020): terminal-punct / "
         ">=5-word / no-javascript line filter + code-brace, lorem-"
@@ -181,6 +187,7 @@ def main() -> None:
         dup_span_n=args.dup_span_n,
         dup_span_hash_keys=not args.dup_span_string_keys,
         dup_span_remove=args.dup_span_remove,
+        line_dedup=args.line_dedup,
         c4_clean=args.c4_clean,
         decontam_eval=eval_df,
         decontam_bloom_fpp=args.decontam_bloom_fpp,

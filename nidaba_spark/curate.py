@@ -51,6 +51,7 @@ def curate(
     dup_span_n: int = 50,
     dup_span_hash_keys: bool = True,
     dup_span_remove: bool = False,
+    line_dedup: bool = False,
     c4_clean: bool = False,
     decontam_eval: DataFrame | None = None,
     decontam_bloom_fpp: float | None = None,
@@ -121,6 +122,14 @@ def curate(
                               stripped) — downstream hashes/dedup see
                               those bytes; docs emptied by removal
                               drop;
+      line_dedup            — intra-document exact line dedup
+                              (RefinedWeb/MassiveText repeated-line
+                              cleanup; operators/filters
+                              .dedup_lines_within_doc): keep each
+                              line's first occurrence, whitespace-only
+                              lines survive; a pure zero-shuffle
+                              projection, runs first among the text
+                              transforms; docs emptied drop;
       c4_clean              — C4 page cleaning (Raffel et al. 2020
                               §2.2; operators/filters.c4_clean): line
                               filter (terminal punctuation, >=5 words,
@@ -297,6 +306,16 @@ def curate(
         ).join(
             F.broadcast(low), F.col("_h") == F.col("_lowhost"), "left_anti"
         ).drop("_h")
+    if line_dedup:
+        from .operators.filters import dedup_lines_within_doc
+
+        # pure projection (zero shuffles) — runs FIRST among the text
+        # transforms so the cross-corpus stages below see less data
+        docs = (
+            dedup_lines_within_doc(docs)
+            .filter(F.col("text") != "")
+            .select("url", "text", "source")
+        )
     if paragraph_dedup:
         from .operators.dedup import paragraph_dedup as _paragraph_dedup
 

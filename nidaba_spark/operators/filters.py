@@ -855,3 +855,45 @@ def gopher_repetition_flags(
     for name, thr in GOPHER_REPETITION_THRESHOLDS.items():
         keep = keep & (F.col(name) <= F.lit(thr))
     return out.withColumn("rep_keep", keep)
+
+
+def dedup_lines_within_doc(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Intra-document exact line deduplication (the RefinedWeb /
+    MassiveText "repeated line" cleanup): every line keeps only its
+    FIRST occurrence within the page; whitespace-only lines always
+    survive (they are paragraph structure, not content — removing
+    them would merge unrelated paragraphs downstream).
+
+    Returns ``docs`` with ``text_col`` rebuilt from the kept lines
+    plus (n_lines, n_removed). Matching is on the RAW line bytes
+    (no trim-normalization), so "  footer" and "footer" are distinct
+    — normalization is ``textnorm``'s job, upstream.
+
+    Plan shape: a pure scan-level projection, ZERO shuffles — the
+    cross-corpus sibling (``dedup.paragraph_dedup``) needs a
+    paragraph-keyed exchange; this one never leaves the row. The line
+    array is projected to a bound attribute first, then ONE
+    single-level higher-order filter keeps index i iff
+    ``array_position(lines, x) == i + 1``. array_position inside the
+    lambda is O(lines) per element → O(lines²) per DOCUMENT worst
+    case (interpreted HOF, CodegenFallback) — bounded by the largest
+    single page, never by the corpus; a boilerplate-heavy mega-page
+    (>~10^4 lines) should route through a hash-set mapInPandas
+    instead, the same trade documented at ``_ngrams``.
+    """
+    others = [c for c in docs.columns if c != text_col]
+    lines = F.split(F.col(text_col), "\n")
+    proj = docs.select(*others, lines.alias("_lines"))
+    kept = F.filter(
+        F.col("_lines"),
+        lambda x, i: (F.trim(x) == F.lit(""))
+        | (F.array_position(F.col("_lines"), x) == i + F.lit(1)),
+    )
+    return proj.select(
+        *others,
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(F.col("_lines")).alias("n_lines"),
+        (F.size(F.col("_lines")) - F.size(kept)).alias("n_removed"),
+    )

@@ -154,3 +154,75 @@ def sample_exact_k(
         .limit(k)
         .drop("_u")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    token_budget: float,
+    temperature: float = 1.0,
+    key_col: str = "source",
+    token_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture plan (the multilingual/pretraining
+    sampling rule of Arivazhagan et al. 2019 / GPT-3 / Gopher data
+    mixes): source i with n_i tokens gets sampling share
+
+        p_i = n_i^(1/T) / sum_j n_j^(1/T)
+
+    and per-row rate r_i = token_budget * p_i / n_i. T = 1 is
+    proportional (every source sees the same rate = budget/total);
+    T -> inf flattens toward uniform shares, upweighting small
+    high-quality sources (rates may exceed 1 — epochs — which
+    ``weighted_copies`` realizes as deterministic repeats).
+
+    Returns one row per source: (key, n_tokens, share, rate, epochs)
+    with share/rate rounded to 6 places, epochs = ceil(rate). By
+    construction sum_i rate_i * n_i == token_budget (pre-rounding) —
+    pinned in tests.
+
+    Scale shape: ONE map-side-combined hash agg over the corpus
+    (bounded by the number of sources, a handful of rows), then a
+    broadcast crossJoin with the 1-row normalizer — the 10^12-row
+    input is scanned once and never shuffled beyond the tiny agg.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    tok = F.col(token_col) if token_col else F.lit(1)
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(tok).cast("long").alias("n_tokens")
+    )
+    inv_t = 1.0 / float(temperature)
+    z = per.agg(F.sum(F.pow("n_tokens", F.lit(inv_t))).alias("_z"))
+    share = F.pow("n_tokens", F.lit(inv_t)) / F.col("_z")
+    rate = F.lit(float(token_budget)) * share / F.col("n_tokens")
+    return per.crossJoin(F.broadcast(z)).select(
+        "key",
+        "n_tokens",
+        F.round(share, 6).alias("share"),
+        F.round(rate, 6).alias("rate"),
+        F.ceil(rate).cast("int").alias("epochs"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    token_budget: float,
+    temperature: float = 1.0,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    token_col: str | None = None,
+    salt: str = "mix",
+) -> DataFrame:
+    """Apply a temperature-scaled mixture plan: compute the per-source
+    rates (``temperature_rates`` — a handful of rows, the ONLY
+    driver-side collect, bounded by source count) and realize them
+    with ``weighted_copies`` — i.e. the apply stage is a pure
+    deterministic scan predicate + JVM-side repeat explode, zero
+    shuffles over the corpus. Rates > 1 repeat rows (epochs)."""
+    rows = temperature_rates(
+        df, token_budget, temperature, key_col=key_col, token_col=token_col
+    ).collect()
+    rates = {r["key"]: float(r["rate"]) for r in rows}
+    return weighted_copies(
+        df, rates, key_col=key_col, id_col=id_col, default=0.0, salt=salt
+    )

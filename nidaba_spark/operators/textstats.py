@@ -268,3 +268,90 @@ def compression_ratio(
         F.octet_length(text_col).alias("n_bytes"),
         F.round(_ratio(F.col(text_col)), 6).alias("compression_ratio"),
     )
+
+
+def ccnet_buckets(
+    scored: DataFrame,
+    score_col: str = "avg_logprob",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style per-language perplexity terciles (Wenzek et al.
+    2020 §4.3): within each language, rank documents by LM typicality
+    (higher score = lower perplexity = more Wikipedia-like) and cut
+    into head / middle / tail thirds — the standard keep-head(-and-
+    middle) quality gate of CCNet/CC-100/LLaMA data prep.
+
+    EXACT form: percent_rank over (lang) ordered by (score DESC, id)
+    — the id tiebreak makes ranks unique, so pr and bucket are fully
+    deterministic and oracle-checkable. Returns (doc_id, lang, score,
+    pr, bucket).
+
+    Scale note — this exact form is the SMALL-corpus/oracle path: the
+    window partitions by LANGUAGE, a handful of giant keys at 10^12
+    rows (all-English-in-one-sort is textbook key skew). The
+    production path is ``ccnet_bucket_by_thresholds``: per-lang
+    approximate quantile cutoffs (a KB-scale aggregate) broadcast
+    back as a pure scan predicate — zero wide shuffles, at the price
+    of approx boundaries (agreement gate in tests/test_ccnet.py).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(lang_col).orderBy(
+        F.desc(score_col), F.col(id_col)
+    )
+    pr = F.percent_rank().over(w)
+    return scored.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        F.col(score_col).alias("score"),
+        F.round(pr, 6).alias("pr"),
+        F.when(pr < 1.0 / 3, F.lit("head"))
+        .when(pr < 2.0 / 3, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def ccnet_bucket_thresholds(
+    scored: DataFrame,
+    score_col: str = "avg_logprob",
+    lang_col: str = "lang",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Per-language bucket cutoffs for the scan-side CCNet path:
+    (lang, t_head, t_middle) where t_head/t_middle are the ascending
+    2/3 and 1/3 approx quantiles of the score. ONE map-side-combined
+    aggregate whose state is a bounded quantile sketch per language —
+    rows out = number of languages, broadcastable by construction."""
+    q = F.percentile_approx(score_col, [2.0 / 3, 1.0 / 3], accuracy)
+    return scored.groupBy(F.col(lang_col).alias("lang")).agg(
+        q.getItem(0).alias("t_head"), q.getItem(1).alias("t_middle")
+    )
+
+
+def ccnet_bucket_by_thresholds(
+    scored: DataFrame,
+    thresholds: DataFrame,
+    score_col: str = "avg_logprob",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The 10^12-row CCNet bucket assignment: broadcast-join the
+    per-lang cutoff table (languages × 2 doubles) and bucket with a
+    pure predicate — no window, no per-lang sort, no skew (the only
+    exchange anywhere is inside the threshold aggregate's sketch
+    merge). Ties AT a cutoff go to the better bucket (>=), so a
+    constant-score language lands entirely in head — the conservative
+    keep-more choice."""
+    j = scored.join(F.broadcast(thresholds), on=lang_col, how="left")
+    s = F.col(score_col)
+    return j.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        s.alias("score"),
+        F.when(s >= F.col("t_head"), F.lit("head"))
+        .when(s >= F.col("t_middle"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -2194,6 +2194,134 @@ FROM f
 """
 
 
+def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document exact line dedup (operators/filters
+    .dedup_lines_within_doc) over residue-augmented documents — the
+    word-salad corpus is single-line, so the query plants a repeated
+    boilerplate line on %7 (twice) and a footer pair on %5 (one
+    repeat of the %7 line + a fresh cookie line) with a structural
+    blank line that must SURVIVE; %35 docs therefore remove two
+    copies. Emits md5(text) so the oracle checks the rebuilt page
+    byte-identically (the q_redact_pii idiom)."""
+    from ..operators.filters import dedup_lines_within_doc
+
+    docs = load(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.lit("\nsubscribe to our newsletter\nsubscribe to our newsletter"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\n\nsubscribe to our newsletter\nthis site uses cookies"),
+        ).otherwise(F.lit("")),
+    )
+    out = dedup_lines_within_doc(docs.select("doc_id", aug.alias("text")))
+    return out.select(
+        "doc_id", "n_lines", "n_removed", F.md5("text").alias("clean_md5")
+    )
+
+
+ORACLE["line_dedup"] = """
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'subscribe to our newsletter'
+                   || chr(10) || 'subscribe to our newsletter' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || chr(10) || 'subscribe to our newsletter'
+                   || chr(10) || 'this site uses cookies' ELSE '' END AS t
+  FROM documents
+), l AS (
+  SELECT doc_id, string_split(t, chr(10)) AS lines FROM d
+)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       CAST(len(lines) - len(list_filter(lines,
+            (x, i) -> trim(x) = '' OR list_position(lines, x) = i))
+            AS INTEGER) AS n_removed,
+       md5(coalesce(array_to_string(list_filter(lines,
+            (x, i) -> trim(x) = '' OR list_position(lines, x) = i),
+            chr(10)), '')) AS clean_md5
+FROM l
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet per-language perplexity terciles (operators/textstats
+    .ccnet_buckets, exact percent_rank form) over the corpus's own
+    unigram-LM typicality score — rank on the ROUNDED score with a
+    doc_id tiebreak so both engines order identically. The
+    production scan-side variant (ccnet_bucket_by_thresholds) carries
+    an agreement gate in tests/test_ccnet.py instead."""
+    from ..operators.textstats import ccnet_buckets
+
+    docs = load(spark, sf, "documents")
+    scored = textstats.unigram_logprob(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return ccnet_buckets(scored)
+
+
+ORACLE["ccnet_buckets"] = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+tf AS (
+  SELECT doc_id, word, count(*) AS k FROM w GROUP BY 1, 2),
+cnt AS (
+  SELECT word, sum(k) AS c FROM tf GROUP BY word),
+tot AS (
+  SELECT sum(c)::DOUBLE AS n FROM cnt),
+s AS (
+  SELECT doc_id, round(sum(k * log10(c / n)) / sum(k), 6) AS score
+  FROM tf JOIN cnt USING (word), tot GROUP BY doc_id),
+sc AS (
+  SELECT d.doc_id, d.lang, s.score FROM documents d JOIN s USING (doc_id)),
+p AS (
+  SELECT doc_id, lang, score,
+         percent_rank() OVER (PARTITION BY lang
+                              ORDER BY score DESC, doc_id) AS pr
+  FROM sc)
+SELECT doc_id, lang, score, round(pr, 6) AS pr,
+       CASE WHEN pr < 1.0/3 THEN 'head'
+            WHEN pr < 2.0/3 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM p
+"""
+
+
+def q_temperature_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-scaled mixture plan (operators/mixing
+    .temperature_rates): per-source shares ∝ n^(1/T) at T=2 with a
+    1M-char token budget over the documents corpus (n_chars as the
+    size measure — any per-row count column rides the same plan).
+    Σ rate·n == budget by construction (pinned in tests/
+    test_temperature_mix.py along with the T=1 proportional and
+    T→∞ flattening laws)."""
+    from ..operators.mixing import temperature_rates
+
+    docs = load(spark, sf, "documents")
+    return temperature_rates(docs, 1_000_000, 2.0, token_col="n_chars")
+
+
+ORACLE["temperature_rates"] = """
+WITH t AS (
+  SELECT source AS key, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), z AS (
+  SELECT sum(pow(n_tokens, 0.5)) AS z FROM t
+)
+SELECT key, n_tokens,
+       round(pow(n_tokens, 0.5) / z, 6) AS share,
+       round(1000000.0 * pow(n_tokens, 0.5) / z / n_tokens, 6) AS rate,
+       CAST(ceil(1000000.0 * pow(n_tokens, 0.5) / z / n_tokens) AS INTEGER)
+         AS epochs
+FROM t, z
+"""
+
+
 def q_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-100 deterministic uniform sample (operators/mixing
     .sample_exact_k): the 100 rows with the smallest md5-uniform —
@@ -2262,6 +2390,9 @@ QUERIES = {
     "decontaminate_report": q_decontaminate_report,
     "gopher_quality": q_gopher_quality,
     "gopher_repetition": q_gopher_repetition,
+    "line_dedup": q_line_dedup,
+    "temperature_rates": q_temperature_rates,
+    "ccnet_buckets": q_ccnet_buckets,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

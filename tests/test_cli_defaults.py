@@ -58,6 +58,7 @@ def test_curate_cli_defaults_match_library():
         ("max_docs_per_host", "max_docs_per_host"),
         ("paragraph_dedup", "paragraph_dedup"),
         ("gopher_repetition", "gopher_repetition"),
+        ("line_dedup", "line_dedup"),
         ("min_model_score", "min_model_score"),
         ("decontam_bloom_fpp", "decontam_bloom_fpp"),
     ]:
