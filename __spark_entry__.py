@@ -113,6 +113,8 @@ _RETIRED_FROM_DRIVER = [
     "line_dedup",
     "temperature_rates",
     "ccnet_buckets",
+    "script_stats",
+    "corpus_diff",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -355,3 +355,61 @@ def ccnet_bucket_by_thresholds(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+# Unicode scripts the detector distinguishes, in deterministic
+# tiebreak priority order (earlier wins on equal counts). Values are
+# Java-regex script classes (\p{IsXxx}); the DuckDB oracle uses the
+# RE2 spellings (\p{Xxx}) of the SAME Unicode script properties, so
+# both engines count identical code-point sets.
+SCRIPT_CLASSES: tuple[tuple[str, str], ...] = (
+    ("latin", r"\p{IsLatin}"),
+    ("cyrillic", r"\p{IsCyrillic}"),
+    ("greek", r"\p{IsGreek}"),
+    ("arabic", r"\p{IsArabic}"),
+    ("hebrew", r"\p{IsHebrew}"),
+    ("devanagari", r"\p{IsDevanagari}"),
+    ("han", r"\p{IsHan}"),
+    ("hiragana", r"\p{IsHiragana}"),
+    ("katakana", r"\p{IsKatakana}"),
+    ("hangul", r"\p{IsHangul}"),
+)
+
+
+def script_counts(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode script identification (the writing-system sibling of
+    lang_id — CLD/fastText pipelines gate on script before language:
+    a 'zh'-labeled page full of Latin code points is mislabeled or
+    boilerplate). Per document: the code-point count of each script
+    in SCRIPT_CLASSES plus ``dominant_script`` (argmax, ties broken
+    by the fixed priority order above; all-zero → 'none' — e.g. pure
+    digits/punctuation, which belong to Common, not a script).
+
+    Counts are code points, not bytes: Spark ``length`` and DuckDB
+    ``length`` both count code points, so the oracle comparison is
+    exact even for astral-plane text.
+
+    Scale shape: pure whole-stage-codegen string expressions — one
+    regexp_replace + two lengths per script — ZERO shuffles, ZERO
+    Python. At 10 scripts that is 10 regex passes per page; a fused
+    single-pass counter would need a UDF and lose codegen — the
+    regex passes are JVM-side and stream, the UDF would not.
+    """
+    counts = [
+        (F.length(F.col(text_col)) - F.length(
+            F.regexp_replace(F.col(text_col), pat + "+", "")
+        )).alias(f"n_{name}")
+        for name, pat in SCRIPT_CLASSES
+    ]
+    out = docs.select(F.col(id_col), F.col(text_col), *counts)
+    m = F.greatest(*[F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES])
+    dominant = F.when(m == 0, F.lit("none"))
+    for name, _ in SCRIPT_CLASSES:
+        dominant = dominant.when(F.col(f"n_{name}") == m, F.lit(name))
+    return out.select(
+        id_col,
+        *[f"n_{name}" for name, _ in SCRIPT_CLASSES],
+        dominant.alias("dominant_script"),
+    )

@@ -2322,6 +2322,133 @@ FROM t, z
 """
 
 
+def q_script_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode script identification (operators/textstats
+    .script_counts) over multiscript-augmented documents — the word
+    salad is pure Latin, so the query plants Cyrillic (%3), Han (%5)
+    and Greek (%7) residue, and on %11 a Cyrillic run LONGER than the
+    page (repeat('п', n_chars + 1)) so dominant_script actually flips
+    away from latin. Pure codegen regex counting, zero shuffles."""
+    from ..operators.textstats import script_counts
+
+    docs = load(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" привет мир")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" 漢字文化圏")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" αβγδ")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.repeat(F.lit("п"), (F.col("n_chars") + 1).cast("int")),
+        ).otherwise(F.lit("")),
+    )
+    return script_counts(docs.select("doc_id", aug.alias("text"))).select(
+        "doc_id", "n_latin", "n_cyrillic", "n_han", "n_greek",
+        "dominant_script",
+    )
+
+
+ORACLE["script_stats"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' привет мир' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' 漢字文化圏' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' αβγδ' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN repeat('п', CAST(n_chars + 1 AS INTEGER))
+                 ELSE '' END AS t
+  FROM documents
+), c AS (
+  SELECT doc_id,
+    length(t) - length(regexp_replace(t, '\p{Latin}+', '', 'g')) AS n_latin,
+    length(t) - length(regexp_replace(t, '\p{Cyrillic}+', '', 'g'))
+      AS n_cyrillic,
+    length(t) - length(regexp_replace(t, '\p{Han}+', '', 'g')) AS n_han,
+    length(t) - length(regexp_replace(t, '\p{Greek}+', '', 'g')) AS n_greek,
+    length(t) - length(regexp_replace(t, '\p{Arabic}+', '', 'g')) AS n_arabic,
+    length(t) - length(regexp_replace(t, '\p{Hebrew}+', '', 'g')) AS n_hebrew,
+    length(t) - length(regexp_replace(t, '\p{Devanagari}+', '', 'g'))
+      AS n_devanagari,
+    length(t) - length(regexp_replace(t, '\p{Hiragana}+', '', 'g'))
+      AS n_hiragana,
+    length(t) - length(regexp_replace(t, '\p{Katakana}+', '', 'g'))
+      AS n_katakana,
+    length(t) - length(regexp_replace(t, '\p{Hangul}+', '', 'g')) AS n_hangul
+  FROM d
+), m AS (
+  SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+                     n_devanagari, n_han, n_hiragana, n_katakana, n_hangul)
+            AS mx
+  FROM c
+)
+SELECT doc_id,
+       CAST(n_latin AS INTEGER) AS n_latin,
+       CAST(n_cyrillic AS INTEGER) AS n_cyrillic,
+       CAST(n_han AS INTEGER) AS n_han,
+       CAST(n_greek AS INTEGER) AS n_greek,
+       CASE WHEN mx = 0 THEN 'none'
+            WHEN n_latin = mx THEN 'latin'
+            WHEN n_cyrillic = mx THEN 'cyrillic'
+            WHEN n_greek = mx THEN 'greek'
+            WHEN n_arabic = mx THEN 'arabic'
+            WHEN n_hebrew = mx THEN 'hebrew'
+            WHEN n_devanagari = mx THEN 'devanagari'
+            WHEN n_han = mx THEN 'han'
+            WHEN n_hiragana = mx THEN 'hiragana'
+            WHEN n_katakana = mx THEN 'katakana'
+            ELSE 'hangul' END AS dominant_script
+FROM m
+"""
+
+
+def q_corpus_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-snapshot recrawl diff (operators/snapshot.corpus_diff):
+    snapshot OLD = docs with doc_id%10 != 0, snapshot NEW = docs with
+    doc_id%7 != 0 where %3 pages got a ' v2' edit — so every status
+    (added/removed/changed/unchanged) occurs. The join carries only
+    (url, xxhash64) pairs; the oracle compares text equality directly
+    (identical modulo 2^-64 hash collisions)."""
+    from ..operators.snapshot import corpus_diff
+
+    docs = load(spark, sf, "documents")
+    url = F.concat(F.lit("https://ex.com/"), F.col("doc_id"))
+    old = docs.filter(F.col("doc_id") % 10 != 0).select(
+        url.alias("url"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        url.alias("url"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return corpus_diff(old, new)
+
+
+ORACLE["corpus_diff"] = """
+WITH old AS (
+  SELECT 'https://ex.com/' || doc_id AS url, text
+  FROM documents WHERE doc_id % 10 <> 0
+), new AS (
+  SELECT 'https://ex.com/' || doc_id AS url,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT coalesce(old.url, new.url) AS url,
+       CASE WHEN old.url IS NULL THEN 'added'
+            WHEN new.url IS NULL THEN 'removed'
+            WHEN old.text = new.text THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM old FULL OUTER JOIN new ON old.url = new.url
+"""
+
+
 def q_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-100 deterministic uniform sample (operators/mixing
     .sample_exact_k): the 100 rows with the smallest md5-uniform —
@@ -2393,6 +2520,8 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "temperature_rates": q_temperature_rates,
     "ccnet_buckets": q_ccnet_buckets,
+    "script_stats": q_script_stats,
+    "corpus_diff": q_corpus_diff,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,
