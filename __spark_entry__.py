@@ -115,6 +115,8 @@ _RETIRED_FROM_DRIVER = [
     "ccnet_buckets",
     "script_stats",
     "corpus_diff",
+    "pack_bins",
+    "iclm_pack",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

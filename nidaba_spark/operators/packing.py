@@ -171,3 +171,151 @@ def write_shards(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.parquet(path)
+
+
+def pack_bins_ffd(
+    docs: DataFrame,
+    n_tokens: Column,
+    capacity: int,
+    id_col: str = "doc_id",
+    num_groups: int | None = None,
+    salt: str = "ffd",
+) -> DataFrame:
+    """No-split sequence packing (the fine-tuning/SFT regime):
+    assign each document to exactly one fixed-capacity bin, never
+    splitting a document across bins, minimizing padding waste — vs
+    ``pack_assignments``'s document-contiguous GPT regime where docs
+    straddle boundaries and there is no padding at all.
+
+    Algorithm: best-fit-decreasing over the per-group LENGTH
+    HISTOGRAM (the batched variant of Krell et al. 2021's
+    shortest-pack-first histogram packing): docs sort by
+    (length desc, id), and each batch places min(#docs_at_L,
+    #bins_in_tightest_class) docs at once, so the inner loop runs
+    per (length, remainder-class) TRANSITION — remainders are
+    integers in [0, capacity], so the successor structure is a
+    bisect over <= capacity+1 keys, never a per-doc scan. FFD/BFD
+    guarantees <= 11/9 OPT + 1 bins per group.
+
+    Scale shape: docs hash into ``num_groups`` independent groups
+    (md5-style xxhash64 on id — uniform, no skew), ONE shuffle of the
+    slim (id, n) projection, then applyInPandas packs each group in
+    isolation; bin ids are (group << 40) | local, globally unique
+    without coordination. Group count trades waste (each group wastes
+    <= 2/9 of a bin-capacity extra vs global FFD) against parallelism
+    — size groups to ~10^5-10^6 docs. Oversize docs (n > capacity)
+    get singleton bins keyed by their own id under group -1, flagged
+    ``oversize`` (the downstream truncation decision is the
+    trainer's). Zero/negative lengths pack as length 1 (a doc still
+    occupies a slot).
+
+    Deterministic: ordering, hashing, and batching are all pure
+    functions of (id, n, capacity, salt) — re-runs and different
+    input partitionings produce identical assignments (pinned in
+    tests/test_ffd.py).
+    """
+    spark = docs.sparkSession
+    g = num_groups or spark.sparkContext.defaultParallelism
+    slim = docs.select(
+        F.col(id_col).alias("_id"),
+        F.greatest(n_tokens.cast("long"), F.lit(1)).alias("n_tokens"),
+    )
+    oversize = slim.filter(F.col("n_tokens") > capacity).select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.lit(-1).alias("grp"),
+        F.col("_id").cast("long").alias("bin"),
+        F.lit(0).alias("bin_pos"),
+        F.lit(True).alias("oversize"),
+    )
+    normal = slim.filter(F.col("n_tokens") <= capacity).withColumn(
+        "grp", F.pmod(F.xxhash64("_id", F.lit(salt)), F.lit(g)).cast("int")
+    )
+
+    cap = int(capacity)
+
+    def pack_group(pdf):
+        import pandas as pd
+        from bisect import bisect_left, insort
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        ns = pdf["n_tokens"].astype("int64").to_list()
+        bin_of = [0] * len(ns)
+        classes: dict[int, list[int]] = {}  # remainder -> bin ids (FIFO)
+        rems: list[int] = []  # sorted distinct nonempty remainders
+        next_bin = 0
+        i = 0
+        while i < len(ns):
+            length = ns[i]
+            j = i
+            while j < len(ns) and ns[j] == length:
+                j += 1
+            c, idx = j - i, i
+            while c > 0:
+                k = bisect_left(rems, length)
+                if k == len(rems):
+                    # no open bin fits: open exactly enough fresh bins
+                    # to hold the rest of this length class
+                    per = max(1, cap // length)
+                    t = -(-c // per)
+                    fresh = list(range(next_bin, next_bin + t))
+                    next_bin += t
+                    if cap not in classes or not classes[cap]:
+                        classes.setdefault(cap, [])
+                        insort(rems, cap)
+                    classes[cap].extend(fresh)
+                    continue
+                r = rems[k]
+                blist = classes[r]
+                t = min(c, len(blist))
+                take, classes[r] = blist[:t], blist[t:]
+                if not classes[r]:
+                    rems.pop(k)
+                for d in range(t):
+                    bin_of[idx + d] = take[d]
+                nr = r - length
+                if nr not in classes or not classes[nr]:
+                    classes.setdefault(nr, [])
+                    insort(rems, nr)
+                classes[nr].extend(take)
+                c -= t
+                idx += t
+            i = j
+        pdf["bin"] = pd.Series(bin_of, dtype="int64")
+        pdf["bin_pos"] = pdf.groupby("bin").cumcount().astype("int32")
+        return pdf
+
+    packed = normal.groupBy("grp").applyInPandas(
+        pack_group, schema="_id long, n_tokens long, grp int, bin long, bin_pos int"
+    )
+    out = packed.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "grp",
+        (F.shiftleft(F.col("grp").cast("long"), 40) + F.col("bin")).alias("bin"),
+        "bin_pos",
+        F.lit(False).alias("oversize"),
+    )
+    return out.unionByName(oversize)
+
+
+def bin_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """One-row packing-efficiency report for a ``pack_bins_ffd``
+    result (non-oversize bins): n_bins, total tokens, padding waste
+    = n_bins*capacity - tokens, and fill_rate. Map-side-combined
+    two-level agg; rows out = 1."""
+    per_bin = (
+        packed.filter(~F.col("oversize"))
+        .groupBy("bin")
+        .agg(F.sum("n_tokens").alias("fill"))
+    )
+    return per_bin.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("fill").alias("total_tokens"),
+        (F.lit(capacity) * F.count("*") - F.sum("fill")).alias("waste"),
+        F.round(F.sum("fill") / (F.lit(capacity) * F.count("*")), 6).alias(
+            "fill_rate"
+        ),
+    )

@@ -2449,6 +2449,38 @@ FROM old FULL OUTER JOIN new ON old.url = new.url
 """
 
 
+def q_pack_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """No-split FFD bin packing (operators/packing.pack_bins_ffd) at
+    capacity 512 over n_chars/4 length estimates — rows-only by
+    nature (batched best-fit-decreasing is procedural, not SQL-
+    expressible); validity/determinism/waste gates live in
+    tests/test_ffd.py. num_groups pinned so the assignment is
+    identical on any parallelism."""
+    from ..operators.packing import pack_bins_ffd
+
+    docs = load(spark, sf, "documents")
+    return pack_bins_ffd(
+        docs, (F.col("n_chars") / 4).cast("long"), 512, num_groups=4
+    )
+
+
+def q_iclm_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """In-context-pretraining packing (operators/iclm.iclm_pack):
+    IVF-cell semantic ordering then the distributed prefix-sum pack —
+    rows-only by nature (iterative k-means); coherence / exact
+    pack-arithmetic / determinism gates in tests/test_iclm.py."""
+    from ..operators.iclm import iclm_pack
+
+    emb = load(spark, sf, "embeddings")
+    return iclm_pack(
+        emb,
+        (100 + F.col("vec_id") % 400).cast("long"),
+        2000,
+        nlist=8,
+        id_col="vec_id",
+    )
+
+
 def q_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-100 deterministic uniform sample (operators/mixing
     .sample_exact_k): the 100 rows with the smallest md5-uniform —
@@ -2522,6 +2554,8 @@ QUERIES = {
     "ccnet_buckets": q_ccnet_buckets,
     "script_stats": q_script_stats,
     "corpus_diff": q_corpus_diff,
+    "pack_bins": q_pack_bins,
+    "iclm_pack": q_iclm_pack,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,
