@@ -117,6 +117,7 @@ _RETIRED_FROM_DRIVER = [
     "corpus_diff",
     "pack_bins",
     "iclm_pack",
+    "hashed_embedding",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

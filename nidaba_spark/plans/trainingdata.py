@@ -2481,6 +2481,61 @@ def q_iclm_pack(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Feature-hashed document vectors (operators/hashvec
+    .hashed_tf_embedding) at dim=16 — the model-free text→embedding
+    bridge, fully oracle-checkable because slot/sign come from the
+    md5 cross-engine idiom. The oracle rebuilds the identical signed
+    histogram with 16 conditional sums and normalizes with the same
+    IEEE ops."""
+    from ..operators.hashvec import hashed_tf_embedding
+
+    docs = load(spark, sf, "documents")
+    return hashed_tf_embedding(docs, dim=16)
+
+
+def _htf_slot_sql(dim: int) -> tuple[str, str]:
+    val4 = (
+        "list_sum(list_transform(range(1, 5), j -> "
+        "CAST(strpos('0123456789abcdef', "
+        "substr(md5(word || ':htf'), j, 1)) - 1 AS BIGINT) "
+        "* (CAST(1 AS BIGINT) << (4 * (4 - j)))))"
+    )
+    sign = (
+        "(CAST(strpos('0123456789abcdef', "
+        "substr(md5(word || ':htf'), 5, 1)) - 1 AS BIGINT) % 2 * 2 - 1)"
+    )
+    return f"({val4} % {dim})", sign
+
+
+_HTF_SLOT, _HTF_SIGN = _htf_slot_sql(16)
+_HTF_SUMS = ",\n         ".join(
+    f"sum(CASE WHEN slot = {i} THEN sign ELSE 0 END) AS c{i}" for i in range(16)
+)
+_HTF_NORM = " + ".join(f"c{i}*c{i}" for i in range(16))
+_HTF_LIST = ", ".join(
+    f"round(CASE WHEN nrm = 0 THEN 0.0 ELSE c{i}/nrm END, 6)" for i in range(16)
+)
+
+ORACLE["hashed_embedding"] = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+), s AS (
+  SELECT doc_id, {_HTF_SLOT} AS slot, {_HTF_SIGN} AS sign FROM w
+), a AS (
+  SELECT doc_id, {_HTF_SUMS}
+  FROM s GROUP BY doc_id
+), n AS (
+  SELECT *, sqrt(CAST({_HTF_NORM} AS DOUBLE)) AS nrm FROM a
+)
+SELECT d.doc_id,
+       CASE WHEN n.doc_id IS NULL
+            THEN [{", ".join(["0.0"] * 16)}]
+            ELSE [{_HTF_LIST}] END AS embedding
+FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+"""
+
+
 def q_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-100 deterministic uniform sample (operators/mixing
     .sample_exact_k): the 100 rows with the smallest md5-uniform —
@@ -2556,6 +2611,7 @@ QUERIES = {
     "corpus_diff": q_corpus_diff,
     "pack_bins": q_pack_bins,
     "iclm_pack": q_iclm_pack,
+    "hashed_embedding": q_hashed_embedding,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,
