@@ -104,6 +104,11 @@ def main() -> None:
         "over-removal) instead of the exact broadcast join",
     )
     ap.add_argument("--near-dup-threshold", type=float, default=None)
+    ap.add_argument(
+        "--near-dup-keep", choices=["rep", "best_quality"], default="rep",
+        help="duplicate-family survivor policy: 'rep' = min-key member, "
+        "'best_quality' = argmax heuristic quality (tiebreak min key)",
+    )
     ap.add_argument("--max-docs-per-host", type=int, default=None)
     ap.add_argument("--paragraph-dedup", action="store_true")
     ap.add_argument("--min-model-score", type=float, default=None)
@@ -192,6 +197,7 @@ def main() -> None:
         decontam_eval=eval_df,
         decontam_bloom_fpp=args.decontam_bloom_fpp,
         near_dup_threshold=args.near_dup_threshold,
+        near_dup_keep=args.near_dup_keep,
         max_docs_per_host=args.max_docs_per_host,
         paragraph_dedup=args.paragraph_dedup,
         min_model_score=args.min_model_score,

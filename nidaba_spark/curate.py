@@ -56,6 +56,7 @@ def curate(
     decontam_eval: DataFrame | None = None,
     decontam_bloom_fpp: float | None = None,
     near_dup_threshold: float | None = None,
+    near_dup_keep: str = "rep",
     max_docs_per_host: int | None = None,
     paragraph_dedup: bool = False,
     min_model_score: float | None = None,
@@ -224,6 +225,12 @@ def curate(
                               by connected components; only each
                               cluster's representative (min 64-bit
                               url-hash key — deterministic) survives.
+      near_dup_keep         — 'rep' (default, min-key member) or
+                              'best_quality' (operators/cluster
+                              .keep_best: argmax heuristic quality
+                              per family, tiebreak min key — keeps
+                              the clean twin instead of the
+                              boilerplate-ridden one).
                               NOTE: this stage is iterative, so unlike
                               every other stage it runs Spark jobs at
                               curate() call time (the CC fixpoint
@@ -447,18 +454,32 @@ def curate(
             )
         good = good.join(dirty, "url", "left_anti")
     if near_dup_threshold is not None:
-        from .operators.cluster import connected_components
+        from .operators.cluster import connected_components, keep_best
         from .operators.dedup import minhash_lsh_pairs
 
         keyed = good.withColumn("_k", F.xxhash64("url"))
         pairs = minhash_lsh_pairs(
             keyed, threshold=near_dup_threshold, id_col="_k"
         ).select("id_a", "id_b")
-        non_rep = (
-            connected_components(pairs)
-            .filter(F.col("node") != F.col("rep"))
-            .select(F.col("node").alias("_k"))
-        )
+        cc = connected_components(pairs)
+        if near_dup_keep == "best_quality":
+            # quality-aware family resolution: survive the highest-
+            # quality member (tiebreak min key), not the min-key one
+            survivors = keep_best(
+                cc, keyed.select(F.col("_k").alias("node"), "quality")
+            ).select(F.col("keep_node").alias("node"))
+            non_rep = cc.join(survivors, "node", "left_anti").select(
+                F.col("node").alias("_k")
+            )
+        elif near_dup_keep == "rep":
+            non_rep = cc.filter(F.col("node") != F.col("rep")).select(
+                F.col("node").alias("_k")
+            )
+        else:
+            raise ValueError(
+                f"near_dup_keep must be 'rep' or 'best_quality', "
+                f"got {near_dup_keep!r}"
+            )
         good = keyed.join(non_rep, "_k", "left_anti").drop("_k")
     # exact dedup on extracted text: keep the lexicographically first
     # url per text (deterministic); semi-join back to keep columns

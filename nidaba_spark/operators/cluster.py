@@ -171,3 +171,49 @@ def dedup_clusters(
         F.count(F.lit(1)).alias("cluster_size"),
         F.array_sort(F.collect_list("node")).alias("members"),
     )
+
+
+def keep_best(
+    cc: DataFrame,
+    scores: DataFrame,
+    score_col: str = "quality",
+    node_col: str = "node",
+    rep_col: str = "rep",
+) -> DataFrame:
+    """Quality-aware duplicate-family resolution: per cluster, the
+    one surviving node = argmax score, ties broken by MIN node id —
+    vs the default keep-the-rep policy (rep = min node id regardless
+    of quality), which can throw away a clean page in favor of its
+    boilerplate-ridden twin. ``scores`` maps node → score (rows for
+    nodes absent from ``cc`` are ignored; cluster nodes missing a
+    score rank below every scored sibling).
+
+    Returns (rep, keep_node, keep_score). Scale shape: one join to
+    attach scores (cc holds only nodes that appear in duplicate
+    pairs — a small fraction of the corpus) and one map-side-
+    combinable struct-min agg per family; the argmax is
+    min(struct(-score, node)), so no window, no sort, and negating
+    the DOUBLE score cannot overflow (negating a 64-bit node id
+    could, under ANSI, at LONG_MIN)."""
+    ranked = cc.join(
+        scores.select(
+            F.col(node_col), F.col(score_col).cast("double").alias("_s")
+        ),
+        node_col,
+        "left",
+    )
+    m = F.min(
+        F.struct(
+            (-F.coalesce(F.col("_s"), F.lit(float("-inf")))).alias("ns"),
+            F.col(node_col).alias("n"),
+        )
+    ).alias("_m")
+    return (
+        ranked.groupBy(rep_col)
+        .agg(m)
+        .select(
+            rep_col,
+            F.col("_m.n").alias("keep_node"),
+            (-F.col("_m.ns")).alias("keep_score"),
+        )
+    )

@@ -546,3 +546,54 @@ def test_new_hygiene_stages_compose(spark, pages, curated):
         acc += r["n_tokens"]
     again = curate.curate(pages, npartitions=3, **kwargs)
     assert sorted(tuple(r) for r in again.collect()) == [tuple(r) for r in rows]
+
+
+def test_near_dup_keep_best_quality(spark, pages):
+    """'best_quality' family resolution must survive the highest-
+    quality member even when it is NOT the min-key rep, and the two
+    policies must agree on which families exist (same drop COUNT)."""
+    base = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=8,
+        near_dup_threshold=0.9,
+    )
+    best = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=8,
+        near_dup_threshold=0.9, near_dup_keep="best_quality",
+    )
+    n_base, n_best = base.count(), best.count()
+    assert n_base == n_best  # one survivor per family either way
+    q_base = base.agg(F.sum("quality")).collect()[0][0]
+    q_best = best.agg(F.sum("quality")).collect()[0][0]
+    assert q_best >= q_base  # argmax policy never loses total quality
+
+
+def test_near_dup_keep_best_hand_case(spark):
+    """Two near-dup pages where the min-hash rep is the LOWER quality
+    one: keep_best must pick the other."""
+    from nidaba_spark.operators.cluster import keep_best
+
+    cc = spark.createDataFrame(
+        [(10, 10), (20, 10), (30, 30)], "node long, rep long"
+    )
+    scores = spark.createDataFrame(
+        [(10, 0.2), (20, 0.9), (30, 0.5)], "node long, quality double"
+    )
+    got = {r["rep"]: r for r in keep_best(cc, scores).collect()}
+    assert got[10]["keep_node"] == 20 and got[10]["keep_score"] == 0.9
+    assert got[30]["keep_node"] == 30
+    # tie → min node id
+    cc2 = spark.createDataFrame([(1, 1), (2, 1)], "node long, rep long")
+    sc2 = spark.createDataFrame(
+        [(1, 0.7), (2, 0.7)], "node long, quality double"
+    )
+    assert keep_best(cc2, sc2).collect()[0]["keep_node"] == 1
+    # unscored node ranks below every scored sibling
+    sc3 = spark.createDataFrame([(2, 0.1)], "node long, quality double")
+    assert keep_best(cc2, sc3).collect()[0]["keep_node"] == 2
+
+
+def test_near_dup_keep_rejects_unknown_policy(spark, pages):
+    with pytest.raises(ValueError):
+        curate.curate(
+            pages, near_dup_threshold=0.9, near_dup_keep="newest"
+        ).count()
