@@ -118,6 +118,7 @@ _RETIRED_FROM_DRIVER = [
     "pack_bins",
     "iclm_pack",
     "hashed_embedding",
+    "budget_select",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

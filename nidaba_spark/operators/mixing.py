@@ -226,3 +226,64 @@ def temperature_mix(
     return weighted_copies(
         df, rates, key_col=key_col, id_col=id_col, default=0.0, salt=salt
     )
+
+
+def budget_select(
+    df: DataFrame,
+    n_tokens: Column,
+    token_budget: int,
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Token-budget quality selection: keep the BEST documents by
+    score until the token budget is exactly reached — the 'train on
+    the top-X%' policy (FineWeb-Edu, phi-style data selection) with
+    the cutoff derived from the budget instead of hand-picked.
+
+    Exact, not quantile-approximate: documents order by
+    (score DESC, id ASC) and the doc is selected iff the running
+    token total BEFORE it is < token_budget (so the selection always
+    includes the doc that crosses the budget line — trim-at-doc
+    granularity, the same boundary rule pack_assignments uses).
+
+    Returns (id, n_tokens, score, cum_before, selected). Scale shape:
+    the ordering key quantizes the score (6 dp — the repo's float
+    convention) into the high bits of a composite long, then the
+    distributed prefix sum of ``packing.pack_assignments`` does the
+    rest — ONE range shuffle of the slim key projection, no global
+    sort, no single-partition window; score and id decode back out of
+    the key, so nothing joins back. Ids must be non-negative and
+    < 2^36; scores must lie in [0, 1] (the repo's quality
+    conventions).
+    """
+    from .packing import pack_assignments
+
+    _ID_BITS = 36
+    q = F.round(F.col(score_col).cast("double"), 6)
+    # (1 - q) ascending == q descending; 6-dp quantization makes the
+    # integer key exact, deterministic, and invertible
+    okey = (
+        (F.round((F.lit(1.0) - q) * 1_000_000).cast("long") * (1 << _ID_BITS))
+        + F.col(id_col).cast("long")
+    )
+    slim = df.select(okey.alias("_okey"), n_tokens.cast("long").alias("_n"))
+    packed = pack_assignments(
+        slim,
+        F.col("_n"),
+        max(int(token_budget), 1),
+        order_col="_okey",
+        npartitions=npartitions,
+    )
+    score = F.round(
+        F.lit(1.0)
+        - F.shiftright(F.col("_okey"), _ID_BITS).cast("double") / 1_000_000,
+        6,
+    )
+    return packed.select(
+        F.col("_okey").bitwiseAND(F.lit((1 << _ID_BITS) - 1)).alias(id_col),
+        "n_tokens",
+        score.alias(score_col),
+        F.col("tokens_before").alias("cum_before"),
+        (F.col("tokens_before") < F.lit(int(token_budget))).alias("selected"),
+    )

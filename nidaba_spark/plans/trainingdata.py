@@ -2536,6 +2536,50 @@ FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
 """
 
 
+def q_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget quality selection (operators/mixing
+    .budget_select): best-docs-first until a 20k-token budget, score
+    = the md5-uniform (so the oracle shares the exact score math),
+    n_tokens = n_chars/4. The oracle is the global SQL window cumsum
+    over (score DESC, doc_id) — exactly what the distributed prefix
+    sum must reproduce."""
+    from ..operators.mixing import budget_select, uniform_hash
+
+    docs = load(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 4).cast("long").alias("n_est"),
+        F.round(uniform_hash(F.col("doc_id"), "qsel"), 6).alias("q"),
+    )
+    return budget_select(
+        scored, F.col("n_est"), 20_000, score_col="q", id_col="doc_id"
+    )
+
+
+ORACLE["budget_select"] = """
+WITH u AS (
+  SELECT doc_id,
+         CAST(floor(n_chars / 4) AS BIGINT) AS n_tokens,
+         round((list_sum(list_transform(range(1, 9), j ->
+            CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':qsel'), j, 1)) - 1
+                 AS BIGINT)
+            * (CAST(1 AS BIGINT) << (4 * (8 - j)))))
+          / 4294967296.0), 6) AS q
+  FROM documents
+), w AS (
+  SELECT doc_id, n_tokens, q,
+         CAST(coalesce(sum(n_tokens) OVER (
+            ORDER BY q DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM u
+)
+SELECT doc_id, n_tokens, q, cum_before, cum_before < 20000 AS selected
+FROM w
+"""
+
+
 def q_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-100 deterministic uniform sample (operators/mixing
     .sample_exact_k): the 100 rows with the smallest md5-uniform —
@@ -2612,6 +2656,7 @@ QUERIES = {
     "pack_bins": q_pack_bins,
     "iclm_pack": q_iclm_pack,
     "hashed_embedding": q_hashed_embedding,
+    "budget_select": q_budget_select,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

@@ -216,3 +216,50 @@ def test_sample_exact_k_plan_is_top_k(spark):
     # per-partition heap + k-row merge, never a global sort
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_budget_select_boundary_and_monotone(spark):
+    from nidaba_spark.operators.mixing import budget_select
+
+    rows = [(1, 100, 0.9), (2, 100, 0.8), (3, 100, 0.7), (4, 100, 0.6)]
+    df = spark.createDataFrame(rows, "doc_id long, n long, q double")
+
+    def sel(budget):
+        out = budget_select(df, F.col("n"), budget, score_col="q")
+        return {r["doc_id"] for r in out.collect() if r["selected"]}
+
+    # the doc CROSSING the budget line is included (trim-at-doc rule)
+    assert sel(150) == {1, 2}
+    assert sel(100) == {1}  # cum_before of doc 2 is 100, not < 100
+    assert sel(1) == {1}
+    assert sel(0) == set()
+    assert sel(10_000) == {1, 2, 3, 4}
+    # monotone in budget
+    assert sel(150) <= sel(250) <= sel(350)
+
+
+def test_budget_select_orders_by_score_then_id(spark):
+    from nidaba_spark.operators.mixing import budget_select
+
+    rows = [(10, 50, 0.5), (2, 50, 0.5), (7, 50, 0.9)]
+    df = spark.createDataFrame(rows, "doc_id long, n long, q double")
+    out = {r["doc_id"]: r for r in budget_select(df, F.col("n"), 100, score_col="q").collect()}
+    assert out[7]["cum_before"] == 0
+    assert out[2]["cum_before"] == 50  # tie at 0.5 → lower id first
+    assert out[10]["cum_before"] == 100
+    assert out[7]["selected"] and out[2]["selected"] and not out[10]["selected"]
+    # decoded score survives the key round-trip
+    assert out[7]["q"] == 0.9 and out[2]["q"] == 0.5
+
+
+def test_budget_select_no_single_partition_window(spark):
+    from nidaba_spark.operators.mixing import budget_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = budget_select(
+        docs.select("doc_id", F.col("n_chars").alias("n"),
+                    (F.col("doc_id") % 100 / 100.0).alias("q")),
+        F.col("n"), 5000, score_col="q",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
