@@ -58,6 +58,13 @@ AUX_QUERIES = [
     "shard_assign",
     "host_quality",
     "sample_topk",
+    # r05 late wave
+    "line_dedup",
+    "script_stats",
+    "corpus_diff",
+    "hashed_embedding",
+    "budget_select",
+    "pack_bins",
 ]
 
 

@@ -14,12 +14,11 @@ semantic neighborhood (boundary packs straddle two cells at most).
 
 Scale shape: centroid training is the IVF path (KB-scale matrices to
 the driver, GEMM per Arrow batch); cell assignment is one Arrow-
-batched projection; the ordering key is a plain long, so the pack is
-exactly ``packing.pack_assignments``'s distributed prefix sum — ONE
-range shuffle of the slim (key, n_tokens) projection, never a global
-sort, never the text. Ids must fit in 40 bits (the cell rides the
-high bits of the composite key); cells must fit in 23 (int key
-headroom).
+batched projection; the ordering is the lexicographic (cell, id)
+composite handed straight to ``packing.pack_assignments``'s
+distributed prefix sum — ONE range shuffle of the slim
+(cell, id, n_tokens) projection, never a global sort, never the
+text. Ids may be any orderable type (strings, longs, ...).
 """
 
 from __future__ import annotations
@@ -30,8 +29,6 @@ from pyspark.sql import functions as F
 
 from .ivf import _assign_udf, train_centroids
 from .packing import pack_assignments
-
-_ID_BITS = 40
 
 
 def assign_cells(
@@ -94,21 +91,13 @@ def iclm_pack(
             F.coalesce(F.col("cell"), F.lit(int(len(centroids)))).alias("cell"),
         )
     )
-    keyed = slim.select(
-        (
-            F.shiftleft(F.col("cell").cast("long"), _ID_BITS)
-            + F.col(id_col).cast("long")
-        ).alias("_okey"),
-        "_n",
-    )
     packed = pack_assignments(
-        keyed, F.col("_n"), budget, order_col="_okey", npartitions=npartitions
+        slim,
+        F.col("_n"),
+        budget,
+        order_col=["cell", id_col],
+        npartitions=npartitions,
     )
     return packed.select(
-        F.col("_okey").bitwiseAND(F.lit((1 << _ID_BITS) - 1)).alias(id_col),
-        F.shiftright(F.col("_okey"), _ID_BITS).cast("int").alias("cell"),
-        "n_tokens",
-        "tokens_before",
-        "pack_id",
-        "pack_pos",
+        id_col, "cell", "n_tokens", "tokens_before", "pack_id", "pack_pos"
     )

@@ -42,22 +42,27 @@ def pack_assignments(
     docs: DataFrame,
     n_tokens: Column,
     budget: int,
-    order_col: str = "doc_id",
+    order_col: str | list[str] = "doc_id",
     npartitions: int | None = None,
 ) -> DataFrame:
-    """docs + token counts → (order_col, n_tokens, tokens_before,
+    """docs + token counts → (order_col..., n_tokens, tokens_before,
     pack_id, pack_pos) with pack_id = floor(tokens_before / budget)
-    over the global order_col ordering.
+    over the global order_col ordering. ``order_col`` may be a LIST
+    of columns for a lexicographic composite ordering (e.g.
+    (cell, id) for ICLM semantic packing — no bit-packed key needed,
+    so ids of any type and range work); the combination must be
+    unique for the ordering to be total.
 
     ``tokens_before`` is the exclusive prefix sum — the number of
     tokens in all strictly-earlier documents; ``pack_pos`` numbers
     documents within their pack (0-based)."""
     spark = docs.sparkSession
+    ocols = [order_col] if isinstance(order_col, str) else list(order_col)
     n = npartitions or spark.sparkContext.defaultParallelism * 2
     slim = (
-        docs.select(F.col(order_col), n_tokens.cast("long").alias("n_tokens"))
-        .repartitionByRange(n, F.col(order_col))
-        .sortWithinPartitions(order_col)
+        docs.select(*ocols, n_tokens.cast("long").alias("n_tokens"))
+        .repartitionByRange(n, *[F.col(c) for c in ocols])
+        .sortWithinPartitions(*ocols)
         .withColumn("_pid", F.spark_partition_id())
         # Materialize ONCE: phases 2 and 3 both consume this plan, and
         # re-executing it would re-sample the range partitioner /
@@ -85,7 +90,7 @@ def pack_assignments(
     # Phase 3: parallel per-partition running sum + broadcast offset.
     w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*ocols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     out = (
@@ -97,10 +102,10 @@ def pack_assignments(
         .withColumn("pack_id", F.floor(F.col("tokens_before") / F.lit(budget)))
         .drop("_pid", "_offset")
     )
-    wpack = Window.partitionBy("pack_id").orderBy(order_col)
+    wpack = Window.partitionBy("pack_id").orderBy(*ocols)
     return out.withColumn(
         "pack_pos", F.row_number().over(wpack) - F.lit(1)
-    ).select(order_col, "n_tokens", "tokens_before", "pack_id", "pack_pos")
+    ).select(*ocols, "n_tokens", "tokens_before", "pack_id", "pack_pos")
 
 
 def shard_assign(
@@ -200,22 +205,30 @@ def pack_bins_ffd(
     Scale shape: docs hash into ``num_groups`` independent groups
     (md5-style xxhash64 on id — uniform, no skew), ONE shuffle of the
     slim (id, n) projection, then applyInPandas packs each group in
-    isolation; bin ids are (group << 40) | local, globally unique
-    without coordination. Group count trades waste (each group wastes
-    <= 2/9 of a bin-capacity extra vs global FFD) against parallelism
-    — size groups to ~10^5-10^6 docs. Oversize docs (n > capacity)
-    get singleton bins keyed by their own id under group -1, flagged
-    ``oversize`` (the downstream truncation decision is the
-    trainer's). Zero/negative lengths pack as length 1 (a doc still
-    occupies a slot).
+    isolation; normal bin ids are (group << 40) + local — NON-NEGATIVE
+    and globally unique without coordination. Group count trades
+    waste (each group wastes <= 2/9 of a bin-capacity extra vs global
+    FFD) against parallelism — size groups to ~10^5-10^6 docs, and
+    PIN num_groups when assignments must reproduce across cluster
+    sizes (the default follows the session's parallelism). Ids may be
+    any hashable column type (longs, url strings, ...). Oversize docs
+    (n > capacity) get singleton bins under group -1 keyed by a
+    strictly NEGATIVE hash of their id — sign-disjoint from every
+    normal bin (an id-valued key could collide with a (group, local)
+    composite) — flagged ``oversize`` (the downstream truncation
+    decision is the trainer's); two oversize bins collide with
+    probability ~2^-62 per pair, the corpus-wide hash-key trade made
+    everywhere else. Zero/negative lengths pack as length 1 (a doc
+    still occupies a slot).
 
     Deterministic: ordering, hashing, and batching are all pure
-    functions of (id, n, capacity, salt) — re-runs and different
-    input partitionings produce identical assignments (pinned in
-    tests/test_ffd.py).
+    functions of (id, n, capacity, salt, num_groups) — re-runs and
+    different input partitionings produce identical assignments
+    (pinned in tests/test_ffd.py).
     """
     spark = docs.sparkSession
     g = num_groups or spark.sparkContext.defaultParallelism
+    id_type = docs.select(F.col(id_col).alias("_id")).schema["_id"].dataType.simpleString()
     slim = docs.select(
         F.col(id_col).alias("_id"),
         F.greatest(n_tokens.cast("long"), F.lit(1)).alias("n_tokens"),
@@ -224,7 +237,10 @@ def pack_bins_ffd(
         F.col("_id").alias(id_col),
         "n_tokens",
         F.lit(-1).alias("grp"),
-        F.col("_id").cast("long").alias("bin"),
+        # strictly negative → disjoint from every (group << 40) + local
+        (
+            -F.pmod(F.xxhash64("_id", F.lit(salt)), F.lit((1 << 62) - 1)) - 1
+        ).alias("bin"),
         F.lit(0).alias("bin_pos"),
         F.lit(True).alias("oversize"),
     )
@@ -288,7 +304,8 @@ def pack_bins_ffd(
         return pdf
 
     packed = normal.groupBy("grp").applyInPandas(
-        pack_group, schema="_id long, n_tokens long, grp int, bin long, bin_pos int"
+        pack_group,
+        schema=f"_id {id_type}, n_tokens long, grp int, bin long, bin_pos int",
     )
     out = packed.select(
         F.col("_id").alias(id_col),

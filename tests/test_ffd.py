@@ -111,3 +111,17 @@ def test_tokens_conserved(spark):
         ffd.agg(F.sum("n_tokens")).collect()[0][0]
         == docs.agg(F.sum(F.greatest(F.col("n_est"), F.lit(1)))).collect()[0][0]
     )
+
+
+def test_string_ids_and_sign_disjoint_bins(spark):
+    """url-keyed corpora (curate output) pack directly: string ids
+    flow through, and oversize bins are strictly negative — disjoint
+    from every normal (group<<40)+local bin id by sign."""
+    rows = [("https://a/1", 600), ("https://a/2", 100), ("https://a/3", 90)]
+    df = spark.createDataFrame(rows, "url string, n long")
+    out = pack_bins_ffd(df, F.col("n"), 512, id_col="url", num_groups=2)
+    got = {r["url"]: r for r in out.collect()}
+    assert got["https://a/1"]["oversize"]
+    assert got["https://a/1"]["bin"] < 0
+    assert not got["https://a/2"]["oversize"]
+    assert got["https://a/2"]["bin"] >= 0 and got["https://a/3"]["bin"] >= 0
