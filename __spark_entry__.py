@@ -119,6 +119,8 @@ _RETIRED_FROM_DRIVER = [
     "iclm_pack",
     "hashed_embedding",
     "budget_select",
+    "mixture_entropy",
+    "curriculum",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -287,3 +287,30 @@ def budget_select(
         F.col("tokens_before").alias("cum_before"),
         (F.col("tokens_before") < F.lit(int(token_budget))).alias("selected"),
     )
+
+
+def mixture_entropy(
+    df: DataFrame,
+    group_col: str,
+    key_col: str = "source",
+) -> DataFrame:
+    """Per-group mixture diversity: Shannon entropy (nats) of the
+    ``key_col`` distribution within each ``group_col`` — the standard
+    diversity audit for shards/packs/splits ("did the deterministic
+    shuffle actually interleave sources, or did a shard collapse to
+    one domain?"). Also emits n rows and distinct keys; entropy 0
+    for single-key groups, ln(k) for a perfectly uniform k-key mix.
+
+    Scale shape: two map-side-combined hash aggregations
+    ((group, key) counts, then per-group fold) — rows bounded by
+    groups × keys, no window, no skew beyond the largest group's key
+    set."""
+    per = df.groupBy(group_col, key_col).agg(F.count("*").alias("_c"))
+    tot = F.sum("_c")
+    # H = ln(n) - Σ c·ln(c) / n  (one pass, no second join)
+    h = F.log(tot) - F.sum(F.col("_c") * F.log("_c")) / tot
+    return per.groupBy(group_col).agg(
+        tot.cast("long").alias("n"),
+        F.count("*").cast("int").alias("n_keys"),
+        F.round(h, 6).alias("entropy"),
+    )

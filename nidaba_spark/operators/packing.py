@@ -336,3 +336,34 @@ def bin_stats(packed: DataFrame, capacity: int) -> DataFrame:
             "fill_rate"
         ),
     )
+
+
+def curriculum_order(
+    packed: DataFrame,
+    score_col: str = "quality",
+    pack_col: str = "pack_id",
+    descending: bool = False,
+) -> DataFrame:
+    """Curriculum ordering over PACKS: (pack_id, n_docs, pack_tokens,
+    mean_score, curriculum_pos) where curriculum_pos ranks packs by
+    mean document score — ascending by default (easy→hard curricula
+    train on cleaner text first when 'score' is a difficulty proxy;
+    flip with descending=True for quality-first annealing orders).
+    Tiebreak on pack_id keeps the rank total and deterministic.
+
+    Scale shape: one map-side-combined per-pack aggregate (rows =
+    number of packs, ~corpus_tokens/budget — already millions of
+    times smaller than the corpus), then a rank window over that
+    SMALL aggregate. The window is a single partition BY DESIGN: at
+    100 TB / 8k-token packs that is ~10^7 64-byte rows on one
+    executor, fine; the corpus itself never enters the window."""
+    agg = packed.groupBy(pack_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.round(F.avg(score_col), 6).alias("mean_score"),
+    )
+    key = F.desc("mean_score") if descending else F.asc("mean_score")
+    w = Window.orderBy(key, F.asc(pack_col))
+    return agg.withColumn(
+        "curriculum_pos", F.row_number().over(w) - F.lit(1)
+    )

@@ -2580,6 +2580,86 @@ FROM w
 """
 
 
+def q_mixture_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source language-mix diversity (operators/mixing
+    .mixture_entropy): Shannon entropy in nats of the lang
+    distribution within each source — the shard/mix diversity audit.
+    Two map-side-combined aggs, rows = sources × langs then
+    sources."""
+    from ..operators.mixing import mixture_entropy
+
+    docs = load(spark, sf, "documents")
+    return mixture_entropy(docs, group_col="source", key_col="lang")
+
+
+ORACLE["mixture_entropy"] = """
+WITH c AS (
+  SELECT source, lang, count(*) AS c FROM documents GROUP BY source, lang
+)
+SELECT source,
+       CAST(sum(c) AS BIGINT) AS n,
+       CAST(count(*) AS INTEGER) AS n_keys,
+       round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 6) AS entropy
+FROM c GROUP BY source
+"""
+
+
+def q_curriculum(spark: SparkSession, sf: str) -> DataFrame:
+    """Curriculum ordering over packs (operators/packing
+    .curriculum_order): docs pack contiguously by doc_id at a
+    4096-token budget (whitespace counts — the pack_documents
+    tokenizer), each doc scored by the md5-uniform (SQL-sharable),
+    packs rank ascending by mean score. The oracle replays the whole
+    composition: window cumsum pack assignment → per-pack agg →
+    rank."""
+    from ..operators.mixing import uniform_hash
+    from ..operators.packing import curriculum_order, pack_assignments
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).cast("long").alias("_n"),
+        F.round(uniform_hash(F.col("doc_id"), "curr"), 6).alias("q"),
+    )
+    packed = pack_assignments(docs, F.col("_n"), 4096, order_col="doc_id")
+    scored = packed.join(docs.select("doc_id", "q"), "doc_id")
+    return curriculum_order(scored, score_col="q")
+
+
+ORACLE["curriculum"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+              x -> x != '')) AS BIGINT) AS n_tokens,
+         round((list_sum(list_transform(range(1, 9), j ->
+            CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':curr'), j, 1)) - 1
+                 AS BIGINT)
+            * (CAST(1 AS BIGINT) << (4 * (8 - j)))))
+          / 4294967296.0), 6) AS q
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens, q,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tokens_before
+  FROM t),
+p AS (
+  SELECT CAST(floor(tokens_before / 4096) AS BIGINT) AS pack_id,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         round(avg(q), 6) AS mean_score
+  FROM c GROUP BY 1)
+SELECT pack_id, n_docs, pack_tokens, mean_score,
+       CAST(row_number() OVER (ORDER BY mean_score, pack_id) - 1 AS INTEGER)
+         AS curriculum_pos
+FROM p
+"""
+
+
 def q_sample_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-100 deterministic uniform sample (operators/mixing
     .sample_exact_k): the 100 rows with the smallest md5-uniform —
@@ -2657,6 +2737,8 @@ QUERIES = {
     "iclm_pack": q_iclm_pack,
     "hashed_embedding": q_hashed_embedding,
     "budget_select": q_budget_select,
+    "mixture_entropy": q_mixture_entropy,
+    "curriculum": q_curriculum,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

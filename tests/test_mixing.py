@@ -263,3 +263,28 @@ def test_budget_select_no_single_partition_window(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_mixture_entropy_laws(spark):
+    from math import log
+
+    from nidaba_spark.operators.mixing import mixture_entropy
+
+    rows = (
+        [(0, "a")] * 4 + [(0, "b")] * 4  # uniform 2-key → ln 2
+        + [(1, "a")] * 5                 # single key → 0
+        + [(2, "a")] * 3 + [(2, "b")] * 1
+    )
+    df = spark.createDataFrame(
+        [(g, k, i) for i, (g, k) in enumerate(rows)],
+        "grp int, src string, i long",
+    )
+    got = {
+        r["grp"]: r
+        for r in mixture_entropy(df, group_col="grp", key_col="src").collect()
+    }
+    assert got[0]["entropy"] == round(log(2), 6) and got[0]["n_keys"] == 2
+    assert got[1]["entropy"] == 0.0 and got[1]["n_keys"] == 1
+    expected = -(0.75 * log(0.75) + 0.25 * log(0.25))
+    assert abs(got[2]["entropy"] - expected) < 1e-6
+    assert got[0]["n"] == 8 and got[1]["n"] == 5 and got[2]["n"] == 4

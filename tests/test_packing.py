@@ -154,3 +154,26 @@ def test_write_shards_layout(spark, docs, tmp_path):
         if f.endswith(".parquet")
     ]
     assert len(files) > 1
+
+
+def test_curriculum_order_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from nidaba_spark.operators.packing import curriculum_order
+
+    rows = [
+        (0, 100, 0.9), (0, 50, 0.7),   # pack 0: mean 0.8
+        (1, 80, 0.2), (1, 80, 0.4),    # pack 1: mean 0.3
+        (2, 10, 0.55),                 # pack 2: mean 0.55
+        (3, 10, 0.55),                 # pack 3: tie with 2 → id order
+    ]
+    df = spark.createDataFrame(rows, "pack_id long, n_tokens long, quality double")
+    asc = {r["pack_id"]: r for r in curriculum_order(df).collect()}
+    assert [asc[p]["curriculum_pos"] for p in (1, 2, 3, 0)] == [0, 1, 2, 3]
+    assert asc[0]["mean_score"] == 0.8 and asc[0]["pack_tokens"] == 150
+    assert asc[1]["n_docs"] == 2
+    desc = {
+        r["pack_id"]: r["curriculum_pos"]
+        for r in curriculum_order(df, descending=True).collect()
+    }
+    assert [desc[p] for p in (0, 2, 3, 1)] == [0, 1, 2, 3]
