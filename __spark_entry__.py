@@ -121,6 +121,8 @@ _RETIRED_FROM_DRIVER = [
     "budget_select",
     "mixture_entropy",
     "curriculum",
+    "unicode_nfc",
+    "soft_dedup",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

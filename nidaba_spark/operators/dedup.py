@@ -671,3 +671,63 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col_name: str | None = None,
+) -> DataFrame:
+    """Duplication-aware sampling weights instead of hard removal
+    (SoftDeDup, He et al. 2024: down-weight common documents rather
+    than dropping all-but-one copy — hard dedup throws away the
+    signal that a document was popular, soft dedup keeps every copy
+    but makes the FAMILY, not the copy, the unit of sampling mass).
+
+    Returns (id, family_size, weight, eff_tokens):
+      family_size — exact-duplicate family cardinality (xxhash64 of
+                    the text bytes; run unicode_normalize first if
+                    composed/decomposed variants should join);
+      weight      — 1.0 / family_size, so sum(weight) over a family
+                    is 1.0 and a sampler drawing proportional to
+                    weight sees the deduplicated distribution while
+                    any individual copy remains available;
+      eff_tokens  — weight x n_tokens when ``tokens_col_name`` is
+                    given (the family's one "effective" token mass
+                    spread over its members), else omitted.
+
+    Plan (scale): hash once, ONE map-side-combined groupBy on the
+    8-byte hash (family counts are bounded by distinct-doc count, and
+    partial aggregation collapses a 10^6-copy boilerplate family to
+    one row per map task before the exchange), then a hash-keyed join
+    back. The join side with counts is far smaller than the corpus
+    (distinct texts), and a hyper-duplicated family is ONE row on the
+    build side — AQE skew handling covers the probe side. No window
+    over the raw corpus: a Window.partitionBy(hash) count would ship
+    every copy of the mega-family to one partition with no partial
+    aggregation.
+    """
+    h = F.xxhash64(F.col(text_col)).alias("_fam")
+    fam = docs.select(h).groupBy("_fam").agg(
+        F.count(F.lit(1)).alias("family_size")
+    )
+    out = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            h,
+            *([F.col(tokens_col_name)] if tokens_col_name else []),
+        )
+        .join(fam, "_fam")
+        .withColumn(
+            "weight", F.round(F.lit(1.0) / F.col("family_size"), 6)
+        )
+    )
+    cols = ["id", "family_size", "weight"]
+    if tokens_col_name:
+        out = out.withColumn(
+            "eff_tokens",
+            F.round(F.col(tokens_col_name) / F.col("family_size"), 6),
+        )
+        cols.append("eff_tokens")
+    return out.select(*cols)

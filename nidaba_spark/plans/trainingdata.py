@@ -2685,6 +2685,100 @@ SELECT doc_id, source FROM u ORDER BY uu, doc_id LIMIT 100
 """
 
 
+def q_unicode_nfc(spark: SparkSession, sf: str) -> DataFrame:
+    """NFC Unicode normalization (operators/unicodenorm
+    .unicode_normalize) -- the pure-ASCII word salad is NFC-invariant,
+    so the query plants decomposed sequences via explicit escapes:
+    combining acute U+0301 after 'cafe' (%3), a combining
+    diaeresis+macron stack U+0308 U+0304 (%5), and composed U+00E9
+    plus the U+FB01 'fi' ligature (%7; both NFC fixed points, pinning
+    the no-op path on non-ASCII input too). Oracle is DuckDB's
+    nfc_normalize -- byte-exact. Zero Exchanges: one Arrow-batched
+    projection."""
+    from ..operators.unicodenorm import unicode_normalize
+
+    docs = load(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit(" a\u0308\u0304b")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0, F.lit(" \u00e9\ufb01n")
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select("doc_id", aug.alias("text"))
+    out = unicode_normalize(planted, "text", "NFC")
+    return out.select(
+        "doc_id",
+        F.col("text").alias("text_nfc"),
+        F.length("text").alias("n_chars_nfc"),
+    )
+
+
+ORACLE["unicode_nfc"] = """
+WITH d AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' a' || chr(776) || chr(772) || 'b' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' ' || chr(233) || chr(64257) || 'n' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(t) AS text_nfc,
+       length(nfc_normalize(t)) AS n_chars_nfc
+FROM d
+"""
+
+
+def q_soft_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplication-aware soft-dedup weights (operators/dedup
+    .soft_dedup_weights, SoftDeDup He et al. 2024). The word-salad
+    texts are (near-)unique, so the query plants two boilerplate
+    families on doc_id %7 in {0, 1}; every family's weights sum to
+    1.0 and singletons keep weight 1. Oracle groups by the text bytes
+    themselves (identical to the xxhash64 key modulo 2^-64
+    collisions). One map-side-combined hash agg + one hash-keyed
+    join."""
+    docs = load(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("family alpha boilerplate"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("family beta boilerplate"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "n_chars",
+    )
+    return dedup.soft_dedup_weights(
+        planted, text_col="text", id_col="doc_id", tokens_col_name="n_chars"
+    )
+
+
+ORACLE["soft_dedup"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'family alpha boilerplate'
+              WHEN doc_id % 7 = 1 THEN 'family beta boilerplate'
+              ELSE text END AS t,
+         n_chars
+  FROM documents
+), f AS (
+  SELECT t, COUNT(*) AS family_size FROM d GROUP BY t
+)
+SELECT d.doc_id AS id,
+       CAST(f.family_size AS BIGINT) AS family_size,
+       ROUND(CAST(1.0 AS DOUBLE) / f.family_size, 6) AS weight,
+       ROUND(CAST(d.n_chars AS DOUBLE) / f.family_size, 6) AS eff_tokens
+FROM d JOIN f ON d.t = f.t
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -2739,6 +2833,8 @@ QUERIES = {
     "budget_select": q_budget_select,
     "mixture_entropy": q_mixture_entropy,
     "curriculum": q_curriculum,
+    "unicode_nfc": q_unicode_nfc,
+    "soft_dedup": q_soft_dedup,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,
