@@ -123,6 +123,7 @@ _RETIRED_FROM_DRIVER = [
     "curriculum",
     "unicode_nfc",
     "soft_dedup",
+    "char_spans",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -146,6 +146,17 @@ def main() -> None:
         help="drop urls matching this regex (repeatable; case-folded)",
     )
     ap.add_argument(
+        "--recipe", default=None,
+        help="published-pipeline preset (c4|gopher|ccnet|refinedweb|"
+        "fineweb): applies nidaba_spark.curate.RECIPES[name] for every "
+        "option you leave at its default; options you set explicitly "
+        "(to a non-default value) win over the preset",
+    )
+    ap.add_argument(
+        "--unicode-nfc", action="store_true",
+        help="NFC-normalize extracted text before any hash-keyed stage",
+    )
+    ap.add_argument(
         "--split", action="append", default=[], metavar="NAME=FRAC",
         help="stratified split assignment, e.g. --split train=0.8 "
         "--split val=0.1 --split test=0.1 (fractions must sum to 1; "
@@ -176,8 +187,7 @@ def main() -> None:
         else spark.read.parquet(args.input)
     )
     eval_df = spark.read.parquet(args.decontam_eval) if args.decontam_eval else None
-    out = curate.curate(
-        pages,
+    kwargs = dict(
         min_quality=args.min_quality,
         source_rates=_parse_rates(args.rate),
         default_rate=args.default_rate,
@@ -234,7 +244,26 @@ def main() -> None:
             else None
         ),
         blocked_url_patterns=args.blocked_url_pattern,
+        unicode_nfc=args.unicode_nfc,
     )
+    if args.recipe:
+        import inspect
+
+        if args.recipe not in curate.RECIPES:
+            ap.error(
+                f"unknown --recipe {args.recipe!r}; "
+                f"have {sorted(curate.RECIPES)}"
+            )
+        sig_defaults = {
+            k: p.default
+            for k, p in inspect.signature(curate.curate).parameters.items()
+        }
+        # preset fills every option still at curate()'s own default;
+        # anything the user moved off-default stays as given
+        for k, v in curate.RECIPES[args.recipe].items():
+            if kwargs.get(k) == sig_defaults.get(k):
+                kwargs[k] = v
+    out = curate.curate(pages, **kwargs)
     out.write.mode("overwrite").parquet(args.output)
     written = spark.read.parquet(args.output)
     n = written.count()

@@ -70,6 +70,7 @@ def curate(
     min_host_authority: float = 0.0,
     blocked_hosts: DataFrame | list[str] | None = None,
     blocked_url_patterns: list[str] | None = None,
+    unicode_nfc: bool = False,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -123,6 +124,11 @@ def curate(
                               stripped) — downstream hashes/dedup see
                               those bytes; docs emptied by removal
                               drop;
+      unicode_nfc           — NFC-normalize the extracted text bytes
+                              (operators/unicodenorm) before any
+                              hash-keyed stage, so composed vs
+                              decomposed spellings dedup together; a
+                              zero-shuffle Arrow projection;
       line_dedup            — intra-document exact line dedup
                               (RefinedWeb/MassiveText repeated-line
                               cleanup; operators/filters
@@ -292,6 +298,14 @@ def curate(
     docs = ext1.filter(F.col("text") != "").select(
         "url", "text", F.col("lang").alias("source")
     )
+    if unicode_nfc:
+        from .operators.unicodenorm import unicode_normalize
+
+        # narrow Arrow-batched projection, BEFORE anything that keys
+        # on the text bytes (exact/paragraph/span hashing, near-dup
+        # shingles, decontamination grams) so composed and decomposed
+        # spellings of the same content land in the same family
+        docs = unicode_normalize(docs, "text", "NFC")
     if max_docs_per_host is not None:
         from .operators.hoststats import cap_per_host
 
@@ -512,3 +526,57 @@ def curate(
         # independent of the mixing sample (different salt).
         out = mixing.split_assign(out, splits, id_col="url")
     return out
+
+
+# ------------------------------------------------------------------ recipes
+# Published curation pipelines as named flag bundles over curate().
+# Each recipe covers ONLY the stages expressible as scalar flags; the
+# DataFrame-valued inputs the paper also uses (CCNet's reference LM,
+# RefinedWeb's URL blocklist, any decontamination eval set) are passed
+# by the caller as **overrides, exactly like individual flags —
+# overrides always win over the bundle.
+RECIPES: dict[str, dict] = {
+    # Raffel et al. 2020 §2.2: line rules + page rules + span dedup
+    "c4": dict(
+        unicode_nfc=True, c4_clean=True, line_dedup=True,
+        paragraph_dedup=True,
+    ),
+    # Rae et al. 2021 (MassiveText §A1): doc-quality rules, repetition
+    # rules, repeated-line cleanup, MinHash near-dup at J≈0.8
+    "gopher": dict(
+        unicode_nfc=True, gopher_rules=True, gopher_repetition=True,
+        line_dedup=True, near_dup_threshold=0.8,
+    ),
+    # Wenzek et al. 2020: paragraph-hash dedup (+ lm_ref /
+    # lm_min_logscore via overrides for the perplexity gate)
+    "ccnet": dict(unicode_nfc=True, paragraph_dedup=True),
+    # Penedo et al. 2023: URL filtering (blocked_hosts /
+    # blocked_url_patterns via overrides), line corrections, fuzzy
+    # dedup + exact-substring removal, canonical-URL collapse
+    "refinedweb": dict(
+        unicode_nfc=True, line_dedup=True, canonical_url_dedup=True,
+        near_dup_threshold=0.8, dup_span_remove=True,
+    ),
+    # Penedo et al. 2024: C4 line rules + Gopher quality/repetition +
+    # MinHash dedup + PII redaction
+    "fineweb": dict(
+        unicode_nfc=True, c4_clean=True, gopher_rules=True,
+        gopher_repetition=True, near_dup_threshold=0.8, pii_redact=True,
+    ),
+}
+
+
+def curate_recipe(pages: DataFrame, recipe: str, **overrides) -> DataFrame:
+    """``curate(pages, **RECIPES[recipe])`` with per-call overrides.
+
+    ``curate_recipe(pages, "gopher", near_dup_threshold=0.7)`` runs
+    the Gopher bundle with a looser dedup cut; equivalence of a
+    recipe call and the equivalent explicit-flag call is pinned in
+    tests/test_curate.py.
+    """
+    if recipe not in RECIPES:
+        raise ValueError(
+            f"unknown recipe {recipe!r}; have {sorted(RECIPES)}"
+        )
+    kwargs = {**RECIPES[recipe], **overrides}
+    return curate(pages, **kwargs)

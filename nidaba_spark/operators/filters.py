@@ -897,3 +897,104 @@ def dedup_lines_within_doc(
         F.size(F.col("_lines")).alias("n_lines"),
         (F.size(F.col("_lines")) - F.size(kept)).alias("n_removed"),
     )
+
+
+def char_span_dup_stats(
+    docs: DataFrame,
+    L: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Character-level duplicated-span signal — the codepoint-window
+    sibling of ``duplicate_span_stats``. Lee et al.'s suffix-array
+    ExactSubstr operates on BYTES, not tokens: character windows catch
+    boilerplate that crosses token boundaries, reflowed whitespace
+    variants that re-tokenize differently, and no-space scripts (CJK)
+    where "50 tokens" is meaningless. Per document: the fraction of
+    its length-``L`` codepoint windows that occur more than once
+    corpus-wide.
+
+    Returns (doc_id, n_spans, dup_char_span_frac) for docs with
+    >= L codepoints.
+
+    Two span streams, identical downstream plan (map-side-combined
+    count on the span key -> join back -> per-doc aggregate):
+
+      exact=False (default, the scale path) — an Arrow-batched
+        ``mapInPandas`` emits one xxhash-style 64-bit ROLLING
+        polynomial hash per window: codepoints come from one
+        ``encode('utf-32-le')`` + ``np.frombuffer`` per doc, and the
+        Horner update is L vectorized numpy ops over the whole doc
+        (O(n*L) word-ops, no per-window string ever materialized —
+        the window stream that leaves Python is 8-byte keys, the same
+        ~30-60x shuffle-byte cut as duplicate_span_stats'
+        hash_keys=True, with the same ~d^2/2^65 birthday bound).
+
+      exact=True (the oracle form) — windows as real substrings via a
+        projected-length transform. Spark's UTF-8 ``substring`` seeks
+        O(i) to position i, so this form is O(n^2/L) per doc — fine
+        at oracle scale, wrong at 10^12 rows; the DuckDB mirror in
+        plans/trainingdata.q_char_spans compares it byte-exactly, and
+        the hashed path is pinned equal to it on collision-free
+        corpora in tests/test_trainingdata_ops.py.
+    """
+    if exact:
+        spans = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+            F.length(text_col).alias("_n"),
+        ).filter(F.col("_n") >= L).select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - F.lit(L) + 1),
+                    lambda i: F.substring(F.col("_t"), i, F.lit(L)),
+                )
+            ).alias("span"),
+        )
+    else:
+        import numpy as _np
+        import pandas as _pd
+
+        B = _np.uint64(1099511628211)  # FNV-ish odd multiplier
+
+        def roll(batches):
+            for pdf in batches:
+                ids, hs = [], []
+                for did, t in zip(pdf[id_col], pdf[text_col]):
+                    if t is None:
+                        continue
+                    cp = _np.frombuffer(
+                        t.encode("utf-32-le"), dtype=_np.uint32
+                    ).astype(_np.uint64)
+                    n = cp.size
+                    if n < L:
+                        continue
+                    h = _np.zeros(n - L + 1, dtype=_np.uint64)
+                    for i in range(L):
+                        h = h * B + cp[i : n - L + 1 + i]
+                    ids.append(_np.full(h.size, did, dtype=_np.int64))
+                    hs.append(h.view(_np.int64))
+                if ids:
+                    yield _pd.DataFrame(
+                        {
+                            "doc_id": _np.concatenate(ids),
+                            "span": _np.concatenate(hs),
+                        }
+                    )
+
+        spans = docs.select(
+            F.col(id_col).cast("long").alias(id_col), text_col
+        ).mapInPandas(roll, "doc_id long, span long")
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("_cnt"))
+    return (
+        spans.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.round(F.avg((F.col("_cnt") > 1).cast("double")), 4).alias(
+                "dup_char_span_frac"
+            ),
+        )
+    )

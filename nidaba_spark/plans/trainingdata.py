@@ -2779,6 +2779,50 @@ FROM d JOIN f ON d.t = f.t
 """
 
 
+def q_char_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-window duplicated-span stats (operators/filters
+    .char_span_dup_stats, exact string-keyed form at L=20 so DuckDB
+    can mirror it byte-exactly). The word salad has no cross-doc
+    20-char repeats, so a shared boilerplate tail is planted on %9
+    docs — its interior windows duplicate corpus-wide while windows
+    straddling the splice stay unique per doc. The hashed rolling
+    scale path is pinned equal to this form in pytest."""
+    from ..operators.filters import char_span_dup_stats
+
+    docs = load(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit(" shared boilerplate tail for the char span test"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return char_span_dup_stats(planted, L=20, exact=True)
+
+
+ORACLE["char_spans"] = """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 9 = 0
+                 THEN ' shared boilerplate tail for the char span test'
+                 ELSE '' END AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, substr(t, CAST(i AS INTEGER), 20) AS span
+  FROM d, UNNEST(generate_series(1, length(t) - 19)) AS u(i)
+  WHERE length(t) >= 20),
+c AS (SELECT span, count(*) AS cnt FROM g GROUP BY span)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       round(avg(CASE WHEN c.cnt > 1 THEN 1.0 ELSE 0.0 END), 4)
+         AS dup_char_span_frac
+FROM g JOIN c USING (span)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -2835,6 +2879,7 @@ QUERIES = {
     "curriculum": q_curriculum,
     "unicode_nfc": q_unicode_nfc,
     "soft_dedup": q_soft_dedup,
+    "char_spans": q_char_spans,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

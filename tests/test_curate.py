@@ -597,3 +597,43 @@ def test_near_dup_keep_rejects_unknown_policy(spark, pages):
         curate.curate(
             pages, near_dup_threshold=0.9, near_dup_keep="newest"
         ).count()
+
+
+def test_recipe_equals_explicit_flags(spark, pages):
+    """A named recipe is EXACTLY curate(**RECIPES[name]) — no hidden
+    extra behavior — and overrides win over the bundle."""
+    via_recipe = curate.curate_recipe(pages, "c4", pack_budget=512)
+    explicit = curate.curate(
+        pages, pack_budget=512, **curate.RECIPES["c4"]
+    )
+    assert sorted(map(tuple, via_recipe.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_recipe_override_wins(spark, pages):
+    loose = curate.curate_recipe(
+        pages, "gopher", near_dup_threshold=None, pack_budget=512
+    )
+    strict = curate.curate_recipe(pages, "gopher", pack_budget=512)
+    # dropping the near-dup stage can only keep MORE documents
+    assert loose.count() >= strict.count()
+
+
+def test_recipe_unknown_rejected(spark, pages):
+    with pytest.raises(ValueError):
+        curate.curate_recipe(pages, "nosuch")
+
+
+def test_unicode_nfc_stage_wired(spark, pages):
+    """Two crawls whose extracted text differs only by NFC form must
+    land in the same exact-dedup family when unicode_nfc=True."""
+    from nidaba_spark.operators.unicodenorm import unicode_normalize
+
+    out = curate.curate(pages, unicode_nfc=True, pack_budget=512)
+    # every surviving text is already NFC (normalize is idempotent on
+    # the output bytes)
+    renorm = unicode_normalize(out.select("url", "text"), "text", "NFC")
+    a = {(r["url"], r["text"]) for r in out.select("url", "text").collect()}
+    b = {(r["url"], r["text"]) for r in renorm.collect()}
+    assert a == b

@@ -258,3 +258,39 @@ def test_compression_ratio_signal(spark):
     # determinism under repartition
     again = {r["doc_id"]: r for r in compression_ratio(df.repartition(3)).collect()}
     assert all(got[k]["compression_ratio"] == again[k]["compression_ratio"] for k in got)
+
+
+def test_char_span_dup_stats_hashed_equals_exact(spark):
+    """The rolling-hash scale path must agree with the substring-keyed
+    oracle form, including cases word-level spans cannot see: a repeat
+    that crosses token boundaries with different surrounding tokens,
+    and a no-space CJK repeat."""
+    from nidaba_spark.operators.filters import char_span_dup_stats
+
+    boiler = "exactly twenty chars"  # 20 codepoints
+    hand = spark.createDataFrame(
+        [
+            (1, f"alpha {boiler} omega filler text one two"),
+            (2, f"begin {boiler} differently continued here"),
+            (3, "totally unrelated content with no repeats at all"),
+            (4, "漢字文化圏の共通テキストという二十字の列がある" * 2),
+            (5, "漢字文化圏の共通テキストという二十字の列がある padding"),
+            (6, "short"),  # < L: must drop from the output
+        ],
+        "doc_id long, text string",
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    exact = rows(char_span_dup_stats(hand, L=20, exact=True))
+    hashed = rows(char_span_dup_stats(hand, L=20, exact=False))
+    assert exact == hashed
+    by_id = {r[0]: r for r in exact}
+    assert 6 not in by_id
+    # the shared 20-char window duplicates for docs 1 and 2 even though
+    # their word tokenizations differ
+    assert by_id[1][2] > 0 and by_id[2][2] > 0
+    assert by_id[3][2] == 0.0
+    # CJK repeat detected with no whitespace tokens at all
+    assert by_id[4][2] > 0 and by_id[5][2] > 0
