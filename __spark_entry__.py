@@ -124,6 +124,8 @@ _RETIRED_FROM_DRIVER = [
     "unicode_nfc",
     "soft_dedup",
     "char_spans",
+    "char_span_remove",
+    "host_boilerplate",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -153,6 +153,17 @@ def main() -> None:
         "(to a non-default value) win over the preset",
     )
     ap.add_argument(
+        "--char-dup-span-remove", action="store_true",
+        help="char-level ExactSubstr removal (original bytes kept "
+        "outside cut regions); window length via --char-dup-span-L",
+    )
+    ap.add_argument("--char-dup-span-L", type=int, default=200)
+    ap.add_argument(
+        "--host-boilerplate-min-pages", type=int, default=None,
+        help="remove lines appearing on >= N distinct pages of the "
+        "same host (site nav/footer/cookie-banner templates)",
+    )
+    ap.add_argument(
         "--unicode-nfc", action="store_true",
         help="NFC-normalize extracted text before any hash-keyed stage",
     )
@@ -245,6 +256,9 @@ def main() -> None:
         ),
         blocked_url_patterns=args.blocked_url_pattern,
         unicode_nfc=args.unicode_nfc,
+        char_dup_span_remove=args.char_dup_span_remove,
+        char_dup_span_L=args.char_dup_span_L,
+        host_boilerplate_min_pages=args.host_boilerplate_min_pages,
     )
     if args.recipe:
         import inspect

@@ -71,6 +71,9 @@ def curate(
     blocked_hosts: DataFrame | list[str] | None = None,
     blocked_url_patterns: list[str] | None = None,
     unicode_nfc: bool = False,
+    char_dup_span_remove: bool = False,
+    char_dup_span_L: int = 200,
+    host_boilerplate_min_pages: int | None = None,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -124,6 +127,25 @@ def curate(
                               stripped) — downstream hashes/dedup see
                               those bytes; docs emptied by removal
                               drop;
+      host_boilerplate_min_pages — site-template line removal
+                              (operators/filters
+                              .remove_host_boilerplate_lines): a line
+                              on >= this many distinct pages of the
+                              SAME host (nav/footer/cookie banner) is
+                              cut from all of them; empty lines and
+                              cross-host repeats survive; runs before
+                              the cross-corpus span/dedup stages with
+                              hash_keys=True; docs emptied drop;
+      char_dup_span_remove  — char-level ExactSubstr removal
+                              (operators/filters
+                              .remove_duplicate_char_spans): cut every
+                              codepoint covered by an L-char window
+                              (char_dup_span_L, default 200 ≈ the
+                              50-token rule) duplicated corpus-wide
+                              and keep the ORIGINAL bytes elsewhere —
+                              unlike dup_span_remove's normalized
+                              word stream; rolling-hash 8-byte span
+                              keys; docs emptied drop;
       unicode_nfc           — NFC-normalize the extracted text bytes
                               (operators/unicodenorm) before any
                               hash-keyed stage, so composed vs
@@ -365,6 +387,37 @@ def curate(
             .filter(F.col("text") != "")
             .select("url", "text", "source")
         )
+    if host_boilerplate_min_pages is not None:
+        from .operators.filters import remove_host_boilerplate_lines
+
+        docs = docs.localCheckpoint(eager=False)
+        rebuilt_b = remove_host_boilerplate_lines(
+            docs, min_pages=host_boilerplate_min_pages, hash_keys=True
+        ).select("url", F.col("clean_text").alias("text"))
+        docs = (
+            docs.drop("text")
+            .join(rebuilt_b, "url")
+            .filter(F.col("text") != "")
+            .select("url", "text", "source")
+        )
+    if char_dup_span_remove:
+        from .operators.filters import remove_duplicate_char_spans
+
+        # codepoint-window twin of dup_span_remove: preserves the
+        # original bytes outside cut regions (the token form ships a
+        # normalized word stream); rolling-hash scale path
+        docs = docs.localCheckpoint(eager=False)
+        rebuilt_c = remove_duplicate_char_spans(
+            docs, L=char_dup_span_L, id_col="url", exact=False
+        ).select(
+            F.col("doc_id").alias("url"), F.col("clean_text").alias("text")
+        )
+        docs = (
+            docs.drop("text")
+            .join(rebuilt_c, "url")
+            .filter(F.col("text") != "")
+            .select("url", "text", "source")
+        )
     if c4_clean:
         from .operators.filters import c4_clean as _c4_clean
 
@@ -556,6 +609,7 @@ RECIPES: dict[str, dict] = {
     "refinedweb": dict(
         unicode_nfc=True, line_dedup=True, canonical_url_dedup=True,
         near_dup_threshold=0.8, dup_span_remove=True,
+        host_boilerplate_min_pages=3,
     ),
     # Penedo et al. 2024: C4 line rules + Gopher quality/repetition +
     # MinHash dedup + PII redaction

