@@ -126,6 +126,7 @@ _RETIRED_FROM_DRIVER = [
     "char_spans",
     "char_span_remove",
     "host_boilerplate",
+    "budget_select_grouped",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -314,3 +314,76 @@ def mixture_entropy(
         F.count("*").cast("int").alias("n_keys"),
         F.round(h, 6).alias("entropy"),
     )
+
+
+def budget_select_grouped(
+    df: DataFrame,
+    n_tokens: Column,
+    budgets: dict[str, int] | int,
+    group_col: str = "source",
+    score_col: str = "quality",
+    id_col: str = "doc_id",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Per-group token-budget quality selection — ``budget_select``
+    with an independent budget per language/source (the FineWeb /
+    multilingual-mix shape: "top N_en tokens of English, top N_de of
+    German", each group's cutoff derived from ITS budget, never
+    competing across groups).
+
+    ``budgets``: dict group -> token budget (groups absent from the
+    dict get budget 0 — returned with selected=false), or one int
+    applied to every group.
+
+    Returns (group_col, id, n_tokens, score, cum_before, selected)
+    where cum_before is the running token total WITHIN the group
+    before this doc in (score DESC, id ASC) order, and selected uses
+    the same trim-at-doc boundary rule as budget_select.
+
+    Scale shape: the quantized (1-score, id) composite key rides
+    packing.grouped_prefix_sum — ONE range shuffle on (group, key),
+    per-group offsets chain across partitions (no per-group single
+    partition), nothing joins back. Same key-domain limits as
+    budget_select: ids non-negative < 2^36, scores in [0, 1].
+    """
+    from .packing import grouped_prefix_sum
+
+    _ID_BITS = 36
+    q = F.round(F.col(score_col).cast("double"), 6)
+    okey = (
+        (F.round((F.lit(1.0) - q) * 1_000_000).cast("long") * (1 << _ID_BITS))
+        + F.col(id_col).cast("long")
+    )
+    slim = df.select(
+        group_col, okey.alias("_okey"), n_tokens.cast("long").alias("_n")
+    )
+    ps = grouped_prefix_sum(
+        slim, F.col("_n"), group_col, "_okey", npartitions=npartitions
+    )
+    if isinstance(budgets, dict):
+        pairs: list = []
+        for g, b in budgets.items():
+            pairs.extend([F.lit(g), F.lit(int(b)).cast("long")])
+        budget = (
+            F.coalesce(
+                F.element_at(F.create_map(*pairs), F.col(group_col)),
+                F.lit(0).cast("long"),
+            )
+            if pairs
+            else F.lit(0).cast("long")
+        )
+    else:
+        budget = F.lit(int(budgets)).cast("long")
+    score = F.round(
+        F.lit(1.0)
+        - F.shiftright(F.col("_okey"), _ID_BITS).cast("double") / 1_000_000,
+        6,
+    )
+    return ps.select(
+        group_col,
+        F.col("_okey").bitwiseAND(F.lit((1 << _ID_BITS) - 1)).alias(id_col),
+        F.col("n_tokens"),
+        score.alias(score_col),
+        F.col("tokens_before").alias("cum_before"),
+        (F.col("tokens_before") < budget).alias("selected"),
+    )

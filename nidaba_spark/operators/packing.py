@@ -367,3 +367,74 @@ def curriculum_order(
     return agg.withColumn(
         "curriculum_pos", F.row_number().over(w) - F.lit(1)
     )
+
+
+def grouped_prefix_sum(
+    docs: DataFrame,
+    n_tokens: Column,
+    group_col: str,
+    order_col: str | list[str],
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Per-GROUP exclusive prefix sum — pack_assignments' distributed
+    cumsum generalized to independent running totals per group (one
+    per language/source/split), still with NO per-group single
+    partition: rows range-partition on (group, order...), so a group
+    larger than one partition spans several and its offsets chain
+    across them, while each partition's window covers only its own
+    (partition, group) slice.
+
+    Returns (group_col, order_col..., n_tokens, tokens_before).
+
+    Driver traffic is the per-(partition, group) subtotal table —
+    bounded by P + G rows for contiguous range blocks (each partition
+    holds whole groups plus at most a leading/trailing partial), the
+    same few-MB regime as pack_assignments' P rows.
+    """
+    spark = docs.sparkSession
+    ocols = [order_col] if isinstance(order_col, str) else list(order_col)
+    n = npartitions or spark.sparkContext.defaultParallelism * 2
+    g_t = docs.schema[group_col].dataType.simpleString()
+    slim = (
+        docs.select(
+            group_col, *ocols, n_tokens.cast("long").alias("n_tokens")
+        )
+        .repartitionByRange(
+            n, F.col(group_col), *[F.col(c) for c in ocols]
+        )
+        .sortWithinPartitions(group_col, *ocols)
+        .withColumn("_pid", F.spark_partition_id())
+        # same pin rationale as pack_assignments: totals and output
+        # must read the SAME physical partitions
+        .localCheckpoint(eager=False)
+    )
+    totals = slim.groupBy("_pid", group_col).agg(
+        F.sum("n_tokens").alias("t")
+    ).collect()
+    per_group: dict = {}
+    for r in sorted(totals, key=lambda r: r["_pid"]):
+        g = r[group_col]
+        per_group.setdefault(g, []).append((r["_pid"], r["t"]))
+    offs = []
+    for g, lst in per_group.items():
+        acc = 0
+        for pid, t in lst:
+            offs.append((pid, g, acc))
+            acc += t
+    offsets_df = spark.createDataFrame(
+        offs, f"_pid int, {group_col} {g_t}, _offset long"
+    )
+    w = (
+        Window.partitionBy("_pid", group_col)
+        .orderBy(*ocols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        slim.join(F.broadcast(offsets_df), ["_pid", group_col])
+        .withColumn(
+            "tokens_before",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+            + F.col("_offset"),
+        )
+        .select(group_col, *ocols, "n_tokens", "tokens_before")
+    )

@@ -2965,6 +2965,61 @@ FROM c LEFT JOIN r USING (url)
 """
 
 
+def q_budget_select_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token-budget selection (operators/mixing
+    .budget_select_grouped): each source gets its OWN budget — en a
+    big one, de a small one, one source deliberately absent from the
+    dict (budget 0 → all selected=false). Score = md5-uniform shared
+    with the oracle; the oracle is the SQL window cumsum PARTITIONED
+    BY source, which the grouped distributed prefix sum must
+    reproduce exactly."""
+    from ..operators.mixing import budget_select_grouped, uniform_hash
+
+    docs = load(spark, sf, "documents")
+    scored = docs.select(
+        "source",
+        "doc_id",
+        (F.col("n_chars") / 4).cast("long").alias("n_est"),
+        F.round(uniform_hash(F.col("doc_id"), "qsel"), 6).alias("q"),
+    )
+    return budget_select_grouped(
+        scored,
+        F.col("n_est"),
+        {"en": 15_000, "de": 4_000, "fr": 2_500, "es": 1_000},
+        group_col="source",
+        score_col="q",
+        id_col="doc_id",
+    )
+
+
+ORACLE["budget_select_grouped"] = """
+WITH u AS (
+  SELECT source, doc_id,
+         CAST(floor(n_chars / 4) AS BIGINT) AS n_tokens,
+         round((list_sum(list_transform(range(1, 9), j ->
+            CAST(strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR) || ':qsel'), j, 1)) - 1
+                 AS BIGINT)
+            * (CAST(1 AS BIGINT) << (4 * (8 - j)))))
+          / 4294967296.0), 6) AS q
+  FROM documents
+), w AS (
+  SELECT source, doc_id, n_tokens, q,
+         CAST(coalesce(sum(n_tokens) OVER (
+            PARTITION BY source
+            ORDER BY q DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM u
+)
+SELECT source, doc_id, n_tokens, q, cum_before,
+       cum_before < (CASE source WHEN 'en' THEN 15000 WHEN 'de' THEN 4000
+                     WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000
+                     ELSE 0 END) AS selected
+FROM w
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -3024,6 +3079,7 @@ QUERIES = {
     "char_spans": q_char_spans,
     "char_span_remove": q_char_span_remove,
     "host_boilerplate": q_host_boilerplate,
+    "budget_select_grouped": q_budget_select_grouped,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,

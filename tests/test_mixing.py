@@ -288,3 +288,62 @@ def test_mixture_entropy_laws(spark):
     expected = -(0.75 * log(0.75) + 0.25 * log(0.25))
     assert abs(got[2]["entropy"] - expected) < 1e-6
     assert got[0]["n"] == 8 and got[1]["n"] == 5 and got[2]["n"] == 4
+
+
+def test_budget_select_grouped_laws(spark):
+    from nidaba_spark.operators.mixing import budget_select_grouped
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("en", 1, 40, 0.9), ("en", 2, 40, 0.8), ("en", 3, 40, 0.7),
+        ("de", 4, 40, 0.95), ("de", 5, 40, 0.5),
+        ("xx", 6, 40, 1.0),  # no budget entry -> never selected
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n long, q double")
+    out = {
+        r["doc_id"]: r
+        for r in budget_select_grouped(
+            df, F.col("n"), {"en": 80, "de": 40}, score_col="q"
+        ).collect()
+    }
+    # en: docs 1,2 fill the 80-token budget; doc 3 starts at 80 -> out
+    assert [out[i]["selected"] for i in (1, 2, 3)] == [True, True, False]
+    assert out[3]["cum_before"] == 80
+    # de: independent budget and cumsum (de's best doc starts at 0)
+    assert out[4]["selected"] and out[4]["cum_before"] == 0
+    assert not out[5]["selected"]
+    # absent group -> budget 0, trim-at-doc rule still reports cumsum
+    assert not out[6]["selected"] and out[6]["cum_before"] == 0
+    # group independence: inflating en CANNOT change de's selection
+    more = spark.createDataFrame(
+        [("en", 7, 1000, 0.99)], "source string, doc_id long, n long, q double"
+    )
+    out2 = {
+        r["doc_id"]: r["selected"]
+        for r in budget_select_grouped(
+            df.union(more), F.col("n"), {"en": 80, "de": 40}, score_col="q"
+        ).collect()
+    }
+    assert out2[4] and not out2[5]
+    assert out2[7] and not out2[1]  # en's budget now eaten by doc 7
+
+
+def test_budget_select_grouped_uniform_budget_and_plan(spark):
+    from nidaba_spark.operators.mixing import budget_select_grouped
+    from pyspark.sql import functions as F
+
+    df = spark.range(200).select(
+        (F.col("id") % 5).cast("string").alias("source"),
+        F.col("id").alias("doc_id"),
+        F.lit(10).alias("n"),
+        (F.col("id") % 7 / 7.0).alias("q"),
+    )
+    out = budget_select_grouped(df, F.col("n"), 100, score_col="q")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    rows = out.collect()
+    # uniform budget: every group selects exactly 10 docs (40 each)
+    import collections
+
+    sel = collections.Counter(r["source"] for r in rows if r["selected"])
+    assert sel == {str(g): 10 for g in range(5)}
