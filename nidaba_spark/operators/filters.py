@@ -617,6 +617,44 @@ def decontaminate_report(
 GOPHER_REQUIRED_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_bound_cols(text: Column) -> list[Column]:
+    """The bound-array attributes the Gopher quality rules read
+    (``_t``/``_ws``/``_lines``/``_lw``) — projected FIRST so every
+    higher-order lambda slices a bound attribute instead of
+    re-splitting the document (the _ngrams inlining trap). Shared by
+    gopher_quality_flags and annotate.annotate's one-scan signal
+    pass."""
+    return [
+        text.alias("_t"),
+        F.filter(F.split(text, r"\s+"), lambda w: w != F.lit("")).alias(
+            "_ws"
+        ),
+        F.filter(
+            F.transform(F.split(text, "\n"), lambda line: F.trim(line)),
+            lambda lt: lt != F.lit(""),
+        ).alias("_lines"),
+        _words(text).alias("_lw"),
+    ]
+
+
+def gopher_keep_col(
+    min_words: int = 50, max_words: int = 100_000
+) -> Column:
+    """The published threshold conjunction over the (already rounded)
+    gopher measure columns of the current projection."""
+    return (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= 3)
+        & (F.col("mean_word_len") <= 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_required_stopwords") >= 2)
+    )
+
+
 def gopher_quality_flags(
     docs: DataFrame,
     text_col: str = "text",
@@ -644,14 +682,7 @@ def gopher_quality_flags(
     """
     text = F.col(text_col)
     proj = docs.select(
-        F.col(id_col).alias("doc_id"),
-        text.alias("_t"),
-        F.filter(F.split(text, r"\s+"), lambda w: w != F.lit("")).alias("_ws"),
-        F.filter(
-            F.transform(F.split(text, "\n"), lambda line: F.trim(line)),
-            lambda lt: lt != F.lit(""),
-        ).alias("_lines"),
-        _words(text).alias("_lw"),
+        F.col(id_col).alias("doc_id"), *gopher_bound_cols(text)
     )
     nw = F.size(F.col("_ws"))
     nl = F.size(F.col("_lines"))
@@ -699,16 +730,7 @@ def gopher_quality_flags(
         n_stop.alias("n_required_stopwords"),
     )
     return out.withColumn(
-        "gopher_keep",
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len") >= 3)
-        & (F.col("mean_word_len") <= 10)
-        & (F.col("symbol_ratio") < 0.1)
-        & (F.col("bullet_line_frac") < 0.9)
-        & (F.col("ellipsis_line_frac") <= 0.3)
-        & (F.col("alpha_word_frac") >= 0.8)
-        & (F.col("n_required_stopwords") >= 2),
+        "gopher_keep", gopher_keep_col(min_words, max_words)
     )
 
 
@@ -1043,12 +1065,17 @@ def remove_duplicate_char_spans(
     import pandas as _pd
 
     id_t = docs.schema[id_col].dataType.simpleString()
+    # pin: the span stream AND the rebuild join both read this
+    # projection — without it a nondeterministic upstream could pair
+    # rebuild rows with dup-start arrays from a different execution
+    # (the pack_assignments/remove_duplicate_spans pin rationale)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t")
+    ).localCheckpoint(eager=False)
     if exact:
-        spans = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(text_col).alias("_t"),
-            F.length(text_col).alias("_n"),
-        ).filter(F.col("_n") >= L).select(
+        spans = base.withColumn("_n", F.length("_t")).filter(
+            F.col("_n") >= L
+        ).select(
             "doc_id",
             F.posexplode(
                 F.transform(
@@ -1090,10 +1117,9 @@ def remove_duplicate_char_spans(
                         }
                     )
 
-        spans = docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(text_col).alias("_t"),
-        ).mapInPandas(roll_pos, f"doc_id {id_t}, pos int, span long")
+        spans = base.mapInPandas(
+            roll_pos, f"doc_id {id_t}, pos int, span long"
+        )
     counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("_cnt"))
     dup_starts = (
         spans.join(counts, "span")
@@ -1143,11 +1169,7 @@ def remove_duplicate_char_spans(
                 )
 
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(text_col).alias("_t"),
-        )
-        .join(dup_starts, "doc_id", "left")
+        base.join(dup_starts, "doc_id", "left")
         .mapInPandas(
             rebuild,
             f"doc_id {id_t}, n_chars int, n_removed_chars int,"
@@ -1196,7 +1218,7 @@ def remove_host_boilerplate_lines(
         F.col(url_col).alias("url"),
         F.col(text_col).alias("_t"),
         canonical_host(F.col(url_col)).alias("_h"),
-    )
+    ).localCheckpoint(eager=False)  # pin: line stream + final join both read it
     lines = base.select(
         "url",
         "_h",
