@@ -127,6 +127,7 @@ _RETIRED_FROM_DRIVER = [
     "char_span_remove",
     "host_boilerplate",
     "budget_select_grouped",
+    "annotate",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -1,0 +1,80 @@
+"""spark-submit entry: corpus → one-scan per-document signal table.
+
+The Dolma-style tagger pass (nidaba_spark/annotate.py): every
+scan-level quality signal — heuristic quality, token counts,
+fingerprint, PII counts, Unicode scripts, Gopher A1.1 measures, C4
+page stats, each family's keep flag — computed in a SINGLE pass over
+the text and persisted keyed by document. Downstream recipes filter
+the signal table (tiny) instead of re-reading the 100 TB text column;
+threshold changes cost a signal-table scan, not a corpus scan.
+
+Input: either an extracted/curated docs parquet (has a text column and
+an id column — defaults doc_id/text, override with --id-col/--text-col
+e.g. url), or raw pages via --extract (runs pipeline.extract first).
+
+    spark-submit --py-files nidaba_spark.zip jobs/annotate_corpus.py \
+        --input out/extracted --output out/signals --id-col url
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="nidaba-spark corpus tagger pass")
+    ap.add_argument("--input", required=True, help="docs/pages parquet path")
+    ap.add_argument("--output", required=True, help="signal-table parquet path")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument(
+        "--extract", action="store_true",
+        help="input is raw pages: run the fused extraction first "
+        "(signals then key by url)",
+    )
+    ap.add_argument("--gopher-min-words", type=int, default=50)
+    ap.add_argument("--gopher-max-words", type=int, default=100_000)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from nidaba_spark.annotate import annotate
+    from nidaba_spark.session import get_spark, tune_session
+
+    active = SparkSession.getActiveSession()
+    spark = (
+        tune_session(active)
+        if active
+        else get_spark(app="nidaba-annotate", cores=args.cores)
+    )
+    docs = spark.read.parquet(args.input)
+    id_col, text_col = args.id_col, args.text_col
+    if args.extract:
+        from nidaba_spark import pipeline
+
+        docs = pipeline.extract(docs)
+        id_col, text_col = "url", "text"
+    out = annotate(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        gopher_min_words=args.gopher_min_words,
+        gopher_max_words=args.gopher_max_words,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    n = written.count()
+    kept = written.filter("c4_keep AND gopher_keep").count()
+    print(
+        f"annotated {n} documents ({len(written.columns)} signals) -> "
+        f"{args.output}; c4&gopher keep: {kept}"
+    )
+
+
+if __name__ == "__main__":
+    main()

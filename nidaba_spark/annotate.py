@@ -1,0 +1,202 @@
+"""One-scan corpus annotation: every scan-level quality signal as one
+wide "taggers" table (the Dolma/Common-Pile architecture: run the
+taggers ONCE over the raw text, persist the signals keyed by doc, and
+let every downstream recipe filter on the signals table without ever
+re-reading the 100 TB text column again).
+
+This is the architectural complement to ``curate()``: curate composes
+the filters lazily into one plan for a single recipe run; annotate
+materializes the SIGNALS so that ten different recipes (different
+thresholds, different mixes) cost ten cheap signal-table scans plus
+ONE text scan total.
+
+Signals (all computed in a single pass over the text — the plan is a
+chain of narrow projections, ZERO Exchanges, plan-asserted in
+tests/test_annotate.py):
+
+  * heuristic quality features + score   (textstats.quality_*)
+  * whitespace / BPE-ish token counts    (textstats.token_count_*)
+  * md5 rolling document fingerprint     (textstats.fingerprint)
+  * PII match counts                     (filters.pii_counts)
+  * Unicode script counts + dominant     (textstats.SCRIPT_CLASSES)
+  * C4 page stats + keep flag            (filters.c4_clean, on a copy
+                                          — the original text column
+                                          is NOT rewritten)
+  * Gopher A1.1 measures + keep flag     (filters.gopher_* helpers)
+
+Name collisions between rule families are prefixed (``gopher_n_words``
+is the paper's whitespace-token count; bare ``n_words`` is the
+quality-feature regex-word count; ``c4_n_lines`` is the raw line
+count). Signals that need a shuffle or Python (repetition fractions,
+corpus-wide span stats, language ID, compression ratio, model score)
+deliberately stay OUT of this pass — they are separate operators with
+their own plans; annotate is the zero-shuffle core every document
+pays exactly once.
+
+The composed one-scan pass is oracle-checked end-to-end
+(plans/trainingdata.q_annotate — quality + PII + scripts + C4 + Gopher
+over the SAME planted text, one DuckDB query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .operators.filters import (
+    c4_clean,
+    gopher_bound_cols,
+    pii_counts,
+)
+from .operators.textstats import (
+    SCRIPT_CLASSES,
+    fingerprint,
+    quality_features,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+def annotate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gopher_min_words: int = 50,
+    gopher_max_words: int = 100_000,
+) -> DataFrame:
+    """docs → one wide per-document signal row (id + ~30 signals);
+    the id column keeps its input name (doc_id, url, ...).
+
+    Chain of three narrow projections over one scan:
+      1. C4 page stats on a COPY of the text (original preserved) +
+         the Gopher bound arrays + script counts;
+      2. rounded Gopher measures + every scalar signal;
+      3. keep flags / argmax that read the bound measure columns.
+    """
+    text = F.col(text_col)
+
+    # 1 — c4_clean rewrites its text col; feed it a copy so the raw
+    # text survives for the other signal families
+    c4d = c4_clean(
+        docs.select(
+            F.col(id_col), text.alias(text_col), text.alias("_c4t")
+        ),
+        text_col="_c4t",
+    ).select(
+        id_col,
+        F.col(text_col),
+        F.col("n_lines").alias("c4_n_lines"),
+        F.col("n_kept_lines").alias("c4_n_kept_lines"),
+        F.col("n_sentences").alias("c4_n_sentences"),
+        "c4_keep",
+    )
+
+    script_counts = [
+        (
+            F.length(text) - F.length(F.regexp_replace(text, pat + "+", ""))
+        ).alias(f"n_{name}")
+        for name, pat in SCRIPT_CLASSES
+    ]
+    bound = c4d.select(
+        id_col,
+        "c4_n_lines",
+        "c4_n_kept_lines",
+        "c4_n_sentences",
+        "c4_keep",
+        *gopher_bound_cols(text),
+        *script_counts,
+    )
+
+    # 2 — gopher measures over the bound arrays (same expressions as
+    # gopher_quality_flags, aliased with the family prefix) + scalars
+    t = F.col("_t")
+    nw = F.size(F.col("_ws"))
+    nl = F.size(F.col("_lines"))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("...")))
+    ) / 3 + (F.length(t) - F.length(F.replace(t, F.lit("…"))))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
+    mean_wl = F.when(
+        nw > 0,
+        F.aggregate(
+            F.col("_ws"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        )
+        / nw,
+    ).otherwise(F.lit(0.0))
+    frac_alpha = F.when(
+        nw > 0,
+        F.size(F.filter(F.col("_ws"), lambda w: w.rlike("[a-zA-Z]"))) / nw,
+    ).otherwise(F.lit(0.0))
+    bullet_frac = F.when(
+        nl > 0,
+        F.size(F.filter(F.col("_lines"), lambda lt: lt.rlike(r"^[-*•]")))
+        / nl,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(F.col("_lines"), lambda lt: lt.rlike(r"(\.\.\.|…)$"))
+        )
+        / nl,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(nw > 0, (n_hash + n_ellipsis) / nw).otherwise(
+        F.lit(0.0)
+    )
+    from .operators.filters import GOPHER_REQUIRED_STOPWORDS
+
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("_lw")),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    )
+    measured = bound.select(
+        id_col,
+        *quality_features(t),
+        quality_score(t).alias("quality"),
+        token_count_ws(t).alias("n_tokens_ws"),
+        token_count_bpe(t).alias("n_tokens_bpe"),
+        fingerprint(t).alias("fingerprint"),
+        *pii_counts(t),
+        *[F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES],
+        nw.alias("gopher_n_words"),
+        F.round(mean_wl, 4).alias("gopher_mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(frac_alpha, 4).alias("alpha_word_frac"),
+        n_stop.alias("n_required_stopwords"),
+        "c4_n_lines",
+        "c4_n_kept_lines",
+        "c4_n_sentences",
+        "c4_keep",
+    )
+
+    # 3 — flags/argmax over the bound measure columns. gopher_keep_col
+    # reads the unprefixed names, so rebind them for the conjunction.
+    m = F.greatest(*[F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES])
+    dominant = F.when(m == 0, F.lit("none"))
+    for name, _ in SCRIPT_CLASSES:
+        dominant = dominant.when(F.col(f"n_{name}") == m, F.lit(name))
+    # gopher_keep_col reads the flags function's unprefixed names;
+    # here n_words/mean_word_len belong to the quality family, so the
+    # conjunction is restated over the gopher_-prefixed columns
+    # (thresholds identical — pinned against gopher_quality_flags in
+    # tests/test_annotate.py)
+    gopher_keep = (
+        (F.col("gopher_n_words") >= gopher_min_words)
+        & (F.col("gopher_n_words") <= gopher_max_words)
+        & (F.col("gopher_mean_word_len") >= 3)
+        & (F.col("gopher_mean_word_len") <= 10)
+        & (F.col("symbol_ratio") < 0.1)
+        & (F.col("bullet_line_frac") < 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("alpha_word_frac") >= 0.8)
+        & (F.col("n_required_stopwords") >= 2)
+    )
+    return measured.select(
+        "*",
+        dominant.alias("dominant_script"),
+        gopher_keep.alias("gopher_keep"),
+    )

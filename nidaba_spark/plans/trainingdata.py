@@ -3020,6 +3020,283 @@ FROM w
 """
 
 
+def q_annotate(spark: SparkSession, sf: str) -> DataFrame:
+    """The one-scan Dolma-style tagger pass (nidaba_spark/annotate
+    .annotate) — quality + tokens + fingerprint + PII + scripts +
+    Gopher A1.1 + C4, all over the SAME planted text, checked by ONE
+    DuckDB query. Plants combine the established residue idioms:
+    PII on %7/%11/%13, Cyrillic on %5, '# ' spam on %29, two honest
+    sentences on every doc (line structure for C4), a brace line on
+    %17, bullets on %19, a trailing ellipsis line on %23. The oracle
+    covers the 27 cross-family columns; the remaining script-count
+    columns ride the script_stats oracle."""
+    from ..annotate import annotate
+
+    docs = load(spark, sf, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call +1 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" from 192.168."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((F.col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(" привет мир")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 29 == 0,
+            F.concat(F.lit(" "), F.repeat(F.lit("# "), 10)),
+        ).otherwise(F.lit("")),
+        F.lit(
+            "\nA proper second sentence keeps the annotate counter honest"
+            " here.\nAnother good sentence rides along to satisfy the"
+            " minimum count."
+        ),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.lit("\nthis line has a { brace and no terminal punctuation"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 19 == 0,
+            F.lit("\n- bullet line one\n- bullet line two"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 23 == 0, F.lit("\ntrailing thought...")
+        ).otherwise(F.lit("")),
+    )
+    planted = docs.select("doc_id", aug.alias("text"))
+    return annotate(planted).select(
+        "doc_id",
+        "n_chars", "n_words", "stop_ratio", "punct_ratio", "mean_word_len",
+        "quality", "n_tokens_ws", "n_tokens_bpe", "fingerprint",
+        "n_email", "n_phone", "n_ip",
+        "n_latin", "n_cyrillic", "dominant_script",
+        "gopher_n_words", "gopher_mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_required_stopwords", "gopher_keep",
+        "c4_n_lines", "c4_n_kept_lines", "c4_n_sentences", "c4_keep",
+    )
+
+
+ORACLE["annotate"] = r"""
+WITH a AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com now'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1 555-010-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 192.168.' || (doc_id % 256) || '.'
+                      || ((doc_id * 7) % 256)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' привет мир' ELSE '' END
+         || CASE WHEN doc_id % 29 = 0
+                 THEN ' ' || repeat('# ', 10) ELSE '' END
+         || chr(10) || 'A proper second sentence keeps the annotate'
+         || ' counter honest here.'
+         || chr(10) || 'Another good sentence rides along to satisfy'
+         || ' the minimum count.'
+         || CASE WHEN doc_id % 17 = 0
+                 THEN chr(10)
+                      || 'this line has a { brace and no terminal punctuation'
+                 ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN chr(10) || '- bullet line one'
+                      || chr(10) || '- bullet line two'
+                 ELSE '' END
+         || CASE WHEN doc_id % 23 = 0
+                 THEN chr(10) || 'trailing thought...' ELSE '' END AS t
+  FROM documents
+), qf AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(lower(t), '[^a-z0-9'']+'),
+                     x -> x <> '') AS qwords,
+         list_filter(string_split_regex(lower(t), '[^a-z0-9]+'),
+                     x -> x <> '') AS fwords
+  FROM a
+), q AS (
+  SELECT doc_id,
+         length(t) AS n_chars,
+         len(qwords) AS n_words,
+         len(list_filter(qwords, x -> list_contains(__STOPLIST__, x)))
+           AS n_stop,
+         length(regexp_replace(t, '[^\.,;:!\?''"-]', '', 'g')) AS n_punct,
+         list_sum(list_transform(qwords, x -> length(x))) AS sum_wl
+  FROM qf
+), fp AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(range(1, len(fwords) + 1),
+            i -> (list_sum(list_transform(range(1, 5), j ->
+              (strpos('0123456789abcdef', substr(md5(fwords[i]), j, 1)) - 1)
+              * (1 << (4 * (4 - j))))) * i) % 2147483647)), 0)
+            % 2147483647 AS BIGINT) AS fingerprint
+  FROM qf
+), sc AS (
+  SELECT doc_id,
+    length(t) - length(regexp_replace(t, '\p{Latin}+', '', 'g')) AS n_latin,
+    length(t) - length(regexp_replace(t, '\p{Cyrillic}+', '', 'g'))
+      AS n_cyrillic,
+    length(t) - length(regexp_replace(t, '\p{Han}+', '', 'g')) AS n_han,
+    length(t) - length(regexp_replace(t, '\p{Greek}+', '', 'g')) AS n_greek,
+    length(t) - length(regexp_replace(t, '\p{Arabic}+', '', 'g')) AS n_arabic,
+    length(t) - length(regexp_replace(t, '\p{Hebrew}+', '', 'g')) AS n_hebrew,
+    length(t) - length(regexp_replace(t, '\p{Devanagari}+', '', 'g'))
+      AS n_devanagari,
+    length(t) - length(regexp_replace(t, '\p{Hiragana}+', '', 'g'))
+      AS n_hiragana,
+    length(t) - length(regexp_replace(t, '\p{Katakana}+', '', 'g'))
+      AS n_katakana,
+    length(t) - length(regexp_replace(t, '\p{Hangul}+', '', 'g')) AS n_hangul
+  FROM a
+), scm AS (
+  SELECT *, greatest(n_latin, n_cyrillic, n_greek, n_arabic, n_hebrew,
+                     n_devanagari, n_han, n_hiragana, n_katakana, n_hangul)
+            AS mx
+  FROM sc
+), gp AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS ws,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                     lt -> lt <> '') AS lines,
+         list_filter(string_split_regex(lower(t), '[^a-z0-9]+'),
+                     x -> x <> '') AS lw
+  FROM a
+), gm AS (
+  SELECT doc_id,
+         len(ws) AS g_n_words,
+         len(lines) AS g_n_lines,
+         (length(t) - length(replace(t, '...', ''))) / 3
+           + (length(t) - length(replace(t, '…', ''))) AS n_ellipsis,
+         length(t) - length(replace(t, '#', '')) AS n_hash,
+         list_sum(list_transform(ws, w -> length(w))) AS g_sum_wl,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+         len(list_filter(lines, lt -> regexp_matches(lt, '^[-*•]')))
+           AS n_bullet,
+         len(list_filter(lines, lt -> regexp_matches(lt, '(\.\.\.|…)$')))
+           AS n_ell_l,
+         len(list_intersect(list_distinct(lw),
+             ['the','be','to','of','and','that','have','with'])) AS g_n_stop
+  FROM gp
+), gf AS (
+  SELECT doc_id,
+         CAST(g_n_words AS INTEGER) AS gopher_n_words,
+         round(CASE WHEN g_n_words > 0 THEN g_sum_wl / g_n_words
+               ELSE 0.0 END, 4) AS gopher_mean_word_len,
+         round(CASE WHEN g_n_words > 0 THEN (n_hash + n_ellipsis) / g_n_words
+               ELSE 0.0 END, 4) AS symbol_ratio,
+         round(CASE WHEN g_n_lines > 0 THEN n_bullet::DOUBLE / g_n_lines
+               ELSE 0.0 END, 4) AS bullet_line_frac,
+         round(CASE WHEN g_n_lines > 0 THEN n_ell_l::DOUBLE / g_n_lines
+               ELSE 0.0 END, 4) AS ellipsis_line_frac,
+         round(CASE WHEN g_n_words > 0 THEN n_alpha::DOUBLE / g_n_words
+               ELSE 0.0 END, 4) AS alpha_word_frac,
+         CAST(g_n_stop AS INTEGER) AS n_required_stopwords
+  FROM gm
+), ck AS (
+  SELECT doc_id, t,
+         list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+                     lt -> regexp_matches(lt, '[.!?"]$')
+                           AND len(string_split_regex(lt, '\s+')) >= 5
+                           AND NOT regexp_matches(lower(lt), '\bjavascript\b'))
+           AS kept
+  FROM a
+), c4 AS (
+  SELECT doc_id,
+         CAST(len(string_split(t, chr(10))) AS INTEGER) AS c4_n_lines,
+         CAST(len(kept) AS INTEGER) AS c4_n_kept_lines,
+         CAST(len(string_split_regex(
+              coalesce(array_to_string(kept, chr(10)), ''), '[.!?"]')) - 1
+              AS INTEGER) AS c4_n_sentences,
+         (NOT contains(t, '{') AND NOT contains(lower(t), 'lorem ipsum')
+          AND NOT regexp_matches(lower(t), '\b(porn|xxx)\b')
+          AND len(string_split_regex(
+              coalesce(array_to_string(kept, chr(10)), ''), '[.!?"]')) - 1
+              >= 3) AS c4_keep
+  FROM ck
+)
+SELECT q.doc_id,
+       CAST(q.n_chars AS INTEGER) AS n_chars,
+       CAST(q.n_words AS INTEGER) AS n_words,
+       CASE WHEN q.n_words > 0 THEN round(q.n_stop / q.n_words, 4)
+            ELSE 0.0 END AS stop_ratio,
+       CASE WHEN q.n_chars > 0 THEN round(q.n_punct / q.n_chars, 4)
+            ELSE 0.0 END AS punct_ratio,
+       CASE WHEN q.n_words > 0 THEN round(q.sum_wl / q.n_words, 4)
+            ELSE 0.0 END AS mean_word_len,
+       round((least(q.n_words / 100.0, 1.0)
+            + least((CASE WHEN q.n_words > 0 THEN q.n_stop / q.n_words
+                     ELSE 0.0 END) * 5.0, 1.0)
+            + (1.0 - least((CASE WHEN q.n_chars > 0
+                     THEN q.n_punct / q.n_chars ELSE 0.0 END) * 5.0, 1.0)))
+            / 3.0, 4) AS quality,
+       CAST(len(list_filter(string_split_regex(a.t, '\s+'), w -> w <> ''))
+            AS INTEGER) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(a.t,
+            '[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER)
+            AS n_tokens_bpe,
+       fp.fingerprint,
+       CAST(len(regexp_extract_all(a.t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+            AS n_email,
+       CAST(len(regexp_extract_all(a.t, '\+\d{1,2} \d{3}-\d{3}-\d{4}'))
+            AS INTEGER) AS n_phone,
+       CAST(len(regexp_extract_all(a.t, '\b\d{1,3}(\.\d{1,3}){3}\b'))
+            AS INTEGER) AS n_ip,
+       CAST(scm.n_latin AS INTEGER) AS n_latin,
+       CAST(scm.n_cyrillic AS INTEGER) AS n_cyrillic,
+       CASE WHEN scm.mx = 0 THEN 'none'
+            WHEN scm.n_latin = scm.mx THEN 'latin'
+            WHEN scm.n_cyrillic = scm.mx THEN 'cyrillic'
+            WHEN scm.n_greek = scm.mx THEN 'greek'
+            WHEN scm.n_arabic = scm.mx THEN 'arabic'
+            WHEN scm.n_hebrew = scm.mx THEN 'hebrew'
+            WHEN scm.n_devanagari = scm.mx THEN 'devanagari'
+            WHEN scm.n_han = scm.mx THEN 'han'
+            WHEN scm.n_hiragana = scm.mx THEN 'hiragana'
+            WHEN scm.n_katakana = scm.mx THEN 'katakana'
+            ELSE 'hangul' END AS dominant_script,
+       gf.gopher_n_words, gf.gopher_mean_word_len, gf.symbol_ratio,
+       gf.bullet_line_frac, gf.ellipsis_line_frac, gf.alpha_word_frac,
+       gf.n_required_stopwords,
+       (gf.gopher_n_words >= 50 AND gf.gopher_n_words <= 100000
+        AND gf.gopher_mean_word_len >= 3 AND gf.gopher_mean_word_len <= 10
+        AND gf.symbol_ratio < 0.1
+        AND gf.bullet_line_frac < 0.9
+        AND gf.ellipsis_line_frac <= 0.3
+        AND gf.alpha_word_frac >= 0.8
+        AND gf.n_required_stopwords >= 2) AS gopher_keep,
+       c4.c4_n_lines, c4.c4_n_kept_lines, c4.c4_n_sentences, c4.c4_keep
+FROM q
+JOIN a USING (doc_id)
+JOIN fp USING (doc_id)
+JOIN scm USING (doc_id)
+JOIN gf USING (doc_id)
+JOIN c4 USING (doc_id)
+""".replace("__STOPLIST__", _STOPLIST_SQL)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -3080,6 +3357,7 @@ QUERIES = {
     "char_span_remove": q_char_span_remove,
     "host_boilerplate": q_host_boilerplate,
     "budget_select_grouped": q_budget_select_grouped,
+    "annotate": q_annotate,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,
