@@ -46,13 +46,17 @@ from pyspark.sql import functions as F
 from .operators.filters import (
     c4_clean,
     gopher_bound_cols,
+    gopher_keep_col,
+    gopher_measure_cols,
     pii_counts,
 )
 from .operators.textstats import (
     SCRIPT_CLASSES,
+    dominant_script_col,
     fingerprint,
     quality_features,
     quality_score,
+    script_count_cols,
     token_count_bpe,
     token_count_ws,
 )
@@ -92,12 +96,6 @@ def annotate(
         "c4_keep",
     )
 
-    script_counts = [
-        (
-            F.length(text) - F.length(F.regexp_replace(text, pat + "+", ""))
-        ).alias(f"n_{name}")
-        for name, pat in SCRIPT_CLASSES
-    ]
     bound = c4d.select(
         id_col,
         "c4_n_lines",
@@ -105,52 +103,17 @@ def annotate(
         "c4_n_sentences",
         "c4_keep",
         *gopher_bound_cols(text),
-        *script_counts,
+        *script_count_cols(text),
     )
 
-    # 2 — gopher measures over the bound arrays (same expressions as
-    # gopher_quality_flags, aliased with the family prefix) + scalars
+    # 2 — the SHARED gopher measures (filters.gopher_measure_cols —
+    # single source of truth with gopher_quality_flags; the two names
+    # that collide with the quality family get the gopher_ prefix)
+    _GOPHER_RENAME = {
+        "n_words": "gopher_n_words",
+        "mean_word_len": "gopher_mean_word_len",
+    }
     t = F.col("_t")
-    nw = F.size(F.col("_ws"))
-    nl = F.size(F.col("_lines"))
-    n_ellipsis = (
-        F.length(t) - F.length(F.replace(t, F.lit("...")))
-    ) / 3 + (F.length(t) - F.length(F.replace(t, F.lit("…"))))
-    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
-    mean_wl = F.when(
-        nw > 0,
-        F.aggregate(
-            F.col("_ws"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-        )
-        / nw,
-    ).otherwise(F.lit(0.0))
-    frac_alpha = F.when(
-        nw > 0,
-        F.size(F.filter(F.col("_ws"), lambda w: w.rlike("[a-zA-Z]"))) / nw,
-    ).otherwise(F.lit(0.0))
-    bullet_frac = F.when(
-        nl > 0,
-        F.size(F.filter(F.col("_lines"), lambda lt: lt.rlike(r"^[-*•]")))
-        / nl,
-    ).otherwise(F.lit(0.0))
-    ellipsis_frac = F.when(
-        nl > 0,
-        F.size(
-            F.filter(F.col("_lines"), lambda lt: lt.rlike(r"(\.\.\.|…)$"))
-        )
-        / nl,
-    ).otherwise(F.lit(0.0))
-    symbol_ratio = F.when(nw > 0, (n_hash + n_ellipsis) / nw).otherwise(
-        F.lit(0.0)
-    )
-    from .operators.filters import GOPHER_REQUIRED_STOPWORDS
-
-    n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(F.col("_lw")),
-            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
-        )
-    )
     measured = bound.select(
         id_col,
         *quality_features(t),
@@ -160,43 +123,18 @@ def annotate(
         fingerprint(t).alias("fingerprint"),
         *pii_counts(t),
         *[F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES],
-        nw.alias("gopher_n_words"),
-        F.round(mean_wl, 4).alias("gopher_mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(bullet_frac, 4).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
-        F.round(frac_alpha, 4).alias("alpha_word_frac"),
-        n_stop.alias("n_required_stopwords"),
+        *gopher_measure_cols(rename=_GOPHER_RENAME),
         "c4_n_lines",
         "c4_n_kept_lines",
         "c4_n_sentences",
         "c4_keep",
     )
 
-    # 3 — flags/argmax over the bound measure columns. gopher_keep_col
-    # reads the unprefixed names, so rebind them for the conjunction.
-    m = F.greatest(*[F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES])
-    dominant = F.when(m == 0, F.lit("none"))
-    for name, _ in SCRIPT_CLASSES:
-        dominant = dominant.when(F.col(f"n_{name}") == m, F.lit(name))
-    # gopher_keep_col reads the flags function's unprefixed names;
-    # here n_words/mean_word_len belong to the quality family, so the
-    # conjunction is restated over the gopher_-prefixed columns
-    # (thresholds identical — pinned against gopher_quality_flags in
-    # tests/test_annotate.py)
-    gopher_keep = (
-        (F.col("gopher_n_words") >= gopher_min_words)
-        & (F.col("gopher_n_words") <= gopher_max_words)
-        & (F.col("gopher_mean_word_len") >= 3)
-        & (F.col("gopher_mean_word_len") <= 10)
-        & (F.col("symbol_ratio") < 0.1)
-        & (F.col("bullet_line_frac") < 0.9)
-        & (F.col("ellipsis_line_frac") <= 0.3)
-        & (F.col("alpha_word_frac") >= 0.8)
-        & (F.col("n_required_stopwords") >= 2)
-    )
+    # 3 — flags/argmax over the bound measure columns (shared helpers)
     return measured.select(
         "*",
-        dominant.alias("dominant_script"),
-        gopher_keep.alias("gopher_keep"),
+        dominant_script_col().alias("dominant_script"),
+        gopher_keep_col(
+            gopher_min_words, gopher_max_words, rename=_GOPHER_RENAME
+        ).alias("gopher_keep"),
     )

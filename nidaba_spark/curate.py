@@ -136,7 +136,9 @@ def curate(
                               cross-host repeats survive; runs before
                               the cross-corpus span/dedup stages with
                               hash_keys=True; docs emptied drop;
-      char_dup_span_remove  — char-level ExactSubstr removal
+      char_dup_span_remove  — char-level ExactSubstr removal (exact
+                              duplicates collapse keep-min-url first,
+                              as for dup_span_remove)
                               (operators/filters
                               .remove_duplicate_char_spans): cut every
                               codepoint covered by an L-char window
@@ -359,6 +361,24 @@ def curate(
             .filter(F.col("text") != "")
             .select("url", "text", "source")
         )
+    if host_boilerplate_min_pages is not None:
+        from .operators.filters import remove_host_boilerplate_lines
+
+        # MUST precede the span-removal stages: dup_span_remove ships
+        # a newline-free normalized word stream, after which every doc
+        # is one "line" and template detection is a silent no-op
+        # (review r05). Template lines also vanish before paragraph
+        # dedup pays to hash them.
+        docs = docs.localCheckpoint(eager=False)
+        rebuilt_b = remove_host_boilerplate_lines(
+            docs, min_pages=host_boilerplate_min_pages, hash_keys=True
+        ).select("url", F.col("clean_text").alias("text"))
+        docs = (
+            docs.drop("text")
+            .join(rebuilt_b, "url")
+            .filter(F.col("text") != "")
+            .select("url", "text", "source")
+        )
     if paragraph_dedup:
         from .operators.dedup import paragraph_dedup as _paragraph_dedup
 
@@ -372,6 +392,18 @@ def curate(
             .filter(F.col("text") != "")
             .select("url", "text", "source")
         )
+    if dup_span_remove or char_dup_span_remove:
+        # collapse exact duplicates (keep-min-url, the same rule as
+        # the main dedup below) BEFORE ExactSubstr removal: the
+        # removal operators cut EVERY occurrence of a corpus-
+        # duplicated span, so two byte-identical pages would
+        # otherwise annihilate each other (all spans duplicated ->
+        # both rebuilt empty -> both dropped) instead of one copy
+        # surviving (review r05; Lee et al. run exact dedup first).
+        keep_first = docs.groupBy("text").agg(
+            F.min("url").alias("url")
+        ).select("url")
+        docs = docs.join(keep_first, "url", "left_semi")
     if dup_span_remove:
         from .operators.filters import remove_duplicate_spans
 
@@ -384,19 +416,6 @@ def curate(
         docs = (
             docs.drop("text")
             .join(rebuilt, "url")
-            .filter(F.col("text") != "")
-            .select("url", "text", "source")
-        )
-    if host_boilerplate_min_pages is not None:
-        from .operators.filters import remove_host_boilerplate_lines
-
-        docs = docs.localCheckpoint(eager=False)
-        rebuilt_b = remove_host_boilerplate_lines(
-            docs, min_pages=host_boilerplate_min_pages, hash_keys=True
-        ).select("url", F.col("clean_text").alias("text"))
-        docs = (
-            docs.drop("text")
-            .join(rebuilt_b, "url")
             .filter(F.col("text") != "")
             .select("url", "text", "source")
         )

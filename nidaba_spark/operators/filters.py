@@ -638,21 +638,87 @@ def gopher_bound_cols(text: Column) -> list[Column]:
 
 
 def gopher_keep_col(
-    min_words: int = 50, max_words: int = 100_000
+    min_words: int = 50,
+    max_words: int = 100_000,
+    rename: dict[str, str] | None = None,
 ) -> Column:
     """The published threshold conjunction over the (already rounded)
-    gopher measure columns of the current projection."""
+    gopher measure columns of the current projection. ``rename`` maps
+    canonical measure names to the projection's aliases (annotate
+    prefixes the two that collide with the quality family)."""
+    r = rename or {}
+
+    def c(name: str) -> Column:
+        return F.col(r.get(name, name))
+
     return (
-        (F.col("n_words") >= min_words)
-        & (F.col("n_words") <= max_words)
-        & (F.col("mean_word_len") >= 3)
-        & (F.col("mean_word_len") <= 10)
-        & (F.col("symbol_ratio") < 0.1)
-        & (F.col("bullet_line_frac") < 0.9)
-        & (F.col("ellipsis_line_frac") <= 0.3)
-        & (F.col("alpha_word_frac") >= 0.8)
-        & (F.col("n_required_stopwords") >= 2)
+        (c("n_words") >= min_words)
+        & (c("n_words") <= max_words)
+        & (c("mean_word_len") >= 3)
+        & (c("mean_word_len") <= 10)
+        & (c("symbol_ratio") < 0.1)
+        & (c("bullet_line_frac") < 0.9)
+        & (c("ellipsis_line_frac") <= 0.3)
+        & (c("alpha_word_frac") >= 0.8)
+        & (c("n_required_stopwords") >= 2)
     )
+
+
+def gopher_measure_cols(rename: dict[str, str] | None = None) -> list:
+    """The seven rounded Gopher A1.1 measures, as aliased Columns over
+    the bound attributes of ``gopher_bound_cols`` (``_t``/``_ws``/
+    ``_lines``/``_lw``). Single source of truth shared by
+    gopher_quality_flags and annotate.annotate — ``rename`` remaps
+    output aliases for callers whose projection already uses a name
+    (annotate's quality-family n_words/mean_word_len)."""
+    r = rename or {}
+    t = F.col("_t")
+    nw = F.size(F.col("_ws"))
+    nl = F.size(F.col("_lines"))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("...")))
+    ) / 3 + (F.length(t) - F.length(F.replace(t, F.lit("…"))))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#")))
+    mean_wl = F.when(
+        nw > 0,
+        F.aggregate(
+            F.col("_ws"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        )
+        / nw,
+    ).otherwise(F.lit(0.0))
+    frac_alpha = F.when(
+        nw > 0,
+        F.size(F.filter(F.col("_ws"), lambda w: w.rlike("[a-zA-Z]"))) / nw,
+    ).otherwise(F.lit(0.0))
+    bullet_frac = F.when(
+        nl > 0,
+        F.size(F.filter(F.col("_lines"), lambda lt: lt.rlike(r"^[-*•]"))) / nl,
+    ).otherwise(F.lit(0.0))
+    ellipsis_frac = F.when(
+        nl > 0,
+        F.size(
+            F.filter(F.col("_lines"), lambda lt: lt.rlike(r"(\.\.\.|…)$"))
+        )
+        / nl,
+    ).otherwise(F.lit(0.0))
+    symbol_ratio = F.when(nw > 0, (n_hash + n_ellipsis) / nw).otherwise(
+        F.lit(0.0)
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.col("_lw")),
+            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
+        )
+    )
+    return [
+        nw.alias(r.get("n_words", "n_words")),
+        F.round(mean_wl, 4).alias(r.get("mean_word_len", "mean_word_len")),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(frac_alpha, 4).alias("alpha_word_frac"),
+        n_stop.alias("n_required_stopwords"),
+    ]
 
 
 def gopher_quality_flags(
@@ -680,55 +746,10 @@ def gopher_quality_flags(
     caller filters (curate's heuristic quality_score is the shallow
     cousin; this is the paper's exact rule set).
     """
-    text = F.col(text_col)
     proj = docs.select(
-        F.col(id_col).alias("doc_id"), *gopher_bound_cols(text)
+        F.col(id_col).alias("doc_id"), *gopher_bound_cols(F.col(text_col))
     )
-    nw = F.size(F.col("_ws"))
-    nl = F.size(F.col("_lines"))
-    n_ellipsis = (
-        F.length(F.col("_t")) - F.length(F.replace(F.col("_t"), F.lit("...")))
-    ) / 3 + (F.length(F.col("_t")) - F.length(F.replace(F.col("_t"), F.lit("…"))))
-    n_hash = F.length(F.col("_t")) - F.length(F.replace(F.col("_t"), F.lit("#")))
-    mean_wl = F.when(
-        nw > 0,
-        F.aggregate(
-            F.col("_ws"), F.lit(0).cast("long"), lambda a, w: a + F.length(w)
-        )
-        / nw,
-    ).otherwise(F.lit(0.0))
-    frac_alpha = F.when(
-        nw > 0,
-        F.size(F.filter(F.col("_ws"), lambda w: w.rlike("[a-zA-Z]"))) / nw,
-    ).otherwise(F.lit(0.0))
-    bullet_frac = F.when(
-        nl > 0,
-        F.size(F.filter(F.col("_lines"), lambda lt: lt.rlike(r"^[-*•]"))) / nl,
-    ).otherwise(F.lit(0.0))
-    ellipsis_frac = F.when(
-        nl > 0,
-        F.size(
-            F.filter(F.col("_lines"), lambda lt: lt.rlike(r"(\.\.\.|…)$"))
-        )
-        / nl,
-    ).otherwise(F.lit(0.0))
-    symbol_ratio = F.when(nw > 0, (n_hash + n_ellipsis) / nw).otherwise(F.lit(0.0))
-    n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(F.col("_lw")),
-            F.array(*[F.lit(s) for s in GOPHER_REQUIRED_STOPWORDS]),
-        )
-    )
-    out = proj.select(
-        "doc_id",
-        nw.alias("n_words"),
-        F.round(mean_wl, 4).alias("mean_word_len"),
-        F.round(symbol_ratio, 4).alias("symbol_ratio"),
-        F.round(bullet_frac, 4).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
-        F.round(frac_alpha, 4).alias("alpha_word_frac"),
-        n_stop.alias("n_required_stopwords"),
-    )
+    out = proj.select("doc_id", *gopher_measure_cols())
     return out.withColumn(
         "gopher_keep", gopher_keep_col(min_words, max_words)
     )

@@ -429,8 +429,19 @@ def grouped_prefix_sum(
         .orderBy(*ocols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # eqNullSafe on the group: a NULL group (missing language/source)
+    # is a legitimate group of its own — a plain equi-join would
+    # silently DROP those rows (review r05), breaking the one-output-
+    # row-per-input-row contract
+    off = F.broadcast(offsets_df).withColumnsRenamed(
+        {"_pid": "_opid", group_col: "_og"}
+    )
     return (
-        slim.join(F.broadcast(offsets_df), ["_pid", group_col])
+        slim.join(
+            off,
+            (F.col("_pid") == F.col("_opid"))
+            & F.col(group_col).eqNullSafe(F.col("_og")),
+        )
         .withColumn(
             "tokens_before",
             F.coalesce(F.sum("n_tokens").over(w), F.lit(0))

@@ -397,19 +397,32 @@ def script_counts(
     single-pass counter would need a UDF and lose codegen — the
     regex passes are JVM-side and stream, the UDF would not.
     """
-    counts = [
-        (F.length(F.col(text_col)) - F.length(
-            F.regexp_replace(F.col(text_col), pat + "+", "")
-        )).alias(f"n_{name}")
+    out = docs.select(
+        F.col(id_col), F.col(text_col), *script_count_cols(F.col(text_col))
+    )
+    return out.select(
+        id_col,
+        *[f"n_{name}" for name, _ in SCRIPT_CLASSES],
+        dominant_script_col().alias("dominant_script"),
+    )
+
+
+def script_count_cols(text: Column) -> list[Column]:
+    """Per-script code-point count columns (``n_<script>``) — shared
+    by script_counts and annotate.annotate's one-scan pass."""
+    return [
+        (
+            F.length(text) - F.length(F.regexp_replace(text, pat + "+", ""))
+        ).alias(f"n_{name}")
         for name, pat in SCRIPT_CLASSES
     ]
-    out = docs.select(F.col(id_col), F.col(text_col), *counts)
+
+
+def dominant_script_col() -> Column:
+    """Argmax over the bound ``n_<script>`` columns (ties break by the
+    SCRIPT_CLASSES priority order; all-zero → 'none')."""
     m = F.greatest(*[F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES])
     dominant = F.when(m == 0, F.lit("none"))
     for name, _ in SCRIPT_CLASSES:
         dominant = dominant.when(F.col(f"n_{name}") == m, F.lit(name))
-    return out.select(
-        id_col,
-        *[f"n_{name}" for name, _ in SCRIPT_CLASSES],
-        dominant.alias("dominant_script"),
-    )
+    return dominant

@@ -12,12 +12,10 @@ pass, Spark-shaped.
 
 Plan (scale): one ``pandas_udf`` projection — Arrow-batched
 ``Series.str.normalize`` (CPython ``unicodedata.normalize``, a C
-loop), NO shuffle, NO Exchange anywhere in the plan; the transform is
-embarrassingly parallel and pipelines into whatever scan feeds it.
-Pure-ASCII batches short-circuit: every normalization form is the
-identity on ASCII, and real crawls are ASCII-heavy, so the fast path
-checks ``Series.map(str.isascii)`` (C-speed) and only routes the
-non-ASCII minority through ``unicodedata``.
+loop with its own quick-check fast path for already-normalized /
+ASCII input), NO shuffle, NO Exchange anywhere in the plan; the
+transform is embarrassingly parallel and pipelines into whatever
+scan feeds it.
 
 Correctness: the NFC form is oracle-checked byte-exactly against
 DuckDB's ``nfc_normalize`` (plans/trainingdata.q_nfc_normalize);
@@ -45,15 +43,11 @@ def normalize_col(col: Column | str, form: str = "NFC") -> Column:
 
     @pandas_udf("string")
     def _norm(s: pd.Series) -> pd.Series:
-        # ASCII fast path: normalization is identity on ASCII and the
-        # isascii scan is a C loop — only non-ASCII rows pay the
-        # unicodedata call.
-        mask = s.notna() & ~s.map(lambda x: isinstance(x, str) and x.isascii())
-        if not mask.any():
-            return s
-        out = s.copy()
-        out[mask] = s[mask].str.normalize(form)
-        return out
+        # Series.str.normalize propagates nulls and unicodedata's own
+        # C-level quick-check already short-circuits ASCII/NFC-clean
+        # strings — a pandas-side per-row isascii pre-mask is
+        # pure overhead (review r05), so the batch goes straight in.
+        return s.str.normalize(form)
 
     return _norm(F.col(col) if isinstance(col, str) else col)
 

@@ -664,3 +664,60 @@ def test_host_boilerplate_stage_wired(spark, pages):
     )
     base = curate.curate(pages, pack_budget=512)
     assert out.count() == base.count()
+
+
+def test_exact_dup_pages_survive_span_removal(spark):
+    """Review r05: ExactSubstr removal cuts EVERY occurrence, so two
+    byte-identical pages used to annihilate each other. The pre-
+    collapse keeps exactly one copy."""
+    rows = []
+    body = " ".join(f"w{i} common page body token" for i in range(30))
+    for u in ("https://x.com/a", "https://x.com/b"):  # identical twins
+        rows.append((u, 1700000000 + len(rows), b"", body, "en"))
+    rows.append(
+        ("https://y.com/c", 1700000099, b"",
+         " ".join(f"unique{i} solo doc token here" for i in range(30)), "en")
+    )
+    from pyspark.sql import functions as F
+    pages = spark.createDataFrame(
+        rows, "url string, ts long, html binary, text string, lang string"
+    ).select(
+        "url", F.col("ts").cast("timestamp").alias("warc_ts"), "html",
+        "text", "lang",
+    )
+    out = curate.curate(
+        pages, min_quality=0.0, char_dup_span_remove=True,
+        char_dup_span_L=40, pack_budget=512, pre_extracted=pages,
+    )
+    urls = {r["url"] for r in out.select("url").collect()}
+    # one twin survives (keep-min-url), not zero
+    assert "https://x.com/a" in urls and "https://x.com/b" not in urls
+    assert "https://y.com/c" in urls
+
+
+def test_host_boilerplate_composes_with_span_removal(spark):
+    """Review r05: the template stage must see line structure, i.e.
+    run BEFORE dup_span_remove flattens docs to a word stream."""
+    from pyspark.sql import functions as F
+
+    nav = "Home | About | Contact"
+    rows = [
+        (f"https://s.com/{i}", 1700000000 + i, b"",
+         f"{nav}\n" + " ".join(f"p{i}w{j} body words here" for j in range(30)),
+         "en")
+        for i in range(3)
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, ts long, html binary, text string, lang string"
+    ).select(
+        "url", F.col("ts").cast("timestamp").alias("warc_ts"), "html",
+        "text", "lang",
+    )
+    out = curate.curate(
+        pages, min_quality=0.0, host_boilerplate_min_pages=2,
+        dup_span_remove=True, dup_span_n=40, pack_budget=512,
+        pre_extracted=pages,
+    )
+    texts = [r["text"] for r in out.select("text").collect()]
+    assert texts and all(nav.lower().split()[0] not in t for t in texts)
+    assert all("body" in t for t in texts)  # content survived

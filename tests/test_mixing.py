@@ -347,3 +347,29 @@ def test_budget_select_grouped_uniform_budget_and_plan(spark):
 
     sel = collections.Counter(r["source"] for r in rows if r["selected"])
     assert sel == {str(g): 10 for g in range(5)}
+
+
+def test_budget_select_grouped_null_group_kept(spark):
+    """A NULL group (missing source) is a group of its own — the
+    offsets join must be null-safe, never dropping those rows
+    (review r05)."""
+    from nidaba_spark.operators.mixing import budget_select_grouped
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("en", 1, 10, 0.9), (None, 2, 10, 0.8), (None, 3, 10, 0.7),
+         ("de", 4, 10, 0.6)],
+        "source string, doc_id long, n long, q double",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in budget_select_grouped(
+            df, F.col("n"), {"en": 100, "de": 100}, score_col="q"
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}  # every input row reported
+    # null group has no budget entry -> present, never selected,
+    # with its OWN independent cumsum
+    assert not out[2]["selected"] and not out[3]["selected"]
+    assert out[2]["cum_before"] == 0 and out[3]["cum_before"] == 10
+    assert out[1]["selected"] and out[4]["selected"]
