@@ -36,6 +36,15 @@ def main() -> None:
         help="input is raw pages: run the fused extraction first "
         "(signals then key by url)",
     )
+    ap.add_argument(
+        "--stream", action="store_true",
+        help="watch --input as a drop folder (Structured Streaming, "
+        "availableNow drain): each new parquet file's signals append "
+        "exactly once; resume via --checkpoint",
+    )
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir for --stream (default: "
+                    "<output>_ckpt)")
     ap.add_argument("--gopher-min-words", type=int, default=50)
     ap.add_argument("--gopher-max-words", type=int, default=100_000)
     ap.add_argument("--cores", type=int, default=None)
@@ -59,6 +68,23 @@ def main() -> None:
 
         docs = pipeline.extract(docs)
         id_col, text_col = "url", "text"
+    if args.stream:
+        if args.extract:
+            ap.error("--stream annotates extracted docs; run the "
+                     "extraction stream first (jobs/run_pipeline.py "
+                     "--stream), then point --input at its output")
+        from nidaba_spark.streaming.annotate import annotate_docs_stream
+
+        annotate_docs_stream(
+            spark, args.input, args.output,
+            args.checkpoint or args.output + "_ckpt",
+            docs.schema, text_col=text_col, id_col=id_col,
+            gopher_min_words=args.gopher_min_words,
+            gopher_max_words=args.gopher_max_words,
+        )
+        n = spark.read.parquet(args.output).count()
+        print(f"stream drained; signal table now {n} rows -> {args.output}")
+        return
     out = annotate(
         docs,
         text_col=text_col,

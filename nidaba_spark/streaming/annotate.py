@@ -1,0 +1,77 @@
+"""Streaming signal annotation: the one-scan tagger pass
+(nidaba_spark/annotate.py) as a Structured Streaming job over a docs
+drop folder — the incremental shape of the Dolma signals table.
+
+A batch annotate run pays one full-text scan; when the corpus grows by
+crawl drops, re-annotating 100 TB to tag the newest 100 GB is the
+wrong plan. This job watches a directory of extracted-docs parquet
+drops and appends each new file's signal rows exactly once: the
+annotate projection is stateless and narrow (zero Exchanges), so the
+streaming plan is the IDENTICAL Catalyst plan per micro-batch and the
+engine's file-source offset log + parquet sink commit protocol give
+exactly-once without any custom bookkeeping. A killed job relaunched
+on the same checkpoint reprocesses nothing and misses nothing.
+
+Stream ≡ batch: the per-drop signal rows are byte-identical to
+running annotate() over the same files as one batch (pinned in
+tests/test_streaming_annotate.py, including a resume-after-second-drop
+replay)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..annotate import annotate
+
+
+def annotate_docs_stream(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gopher_min_words: int = 50,
+    gopher_max_words: int = 100_000,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Run (or resume) the streaming tagger. ``schema`` is the input
+    docs schema (file streams need it declared). Blocks until the
+    available drops are drained under ``available_now``; returns the
+    StreamingQuery either way."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    docs = reader.parquet(source_dir)
+    signals = annotate(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        gopher_min_words=gopher_min_words,
+        gopher_max_words=gopher_max_words,
+    )
+    writer = (
+        signals.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def read_signals(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The signal table the stream maintains (empty-dir safe)."""
+    import os
+
+    if not os.path.isdir(out_dir) or not any(
+        f.endswith(".parquet") for f in os.listdir(out_dir)
+    ):
+        return None
+    return spark.read.parquet(out_dir)
