@@ -54,8 +54,9 @@ from .operators.textstats import (
     SCRIPT_CLASSES,
     dominant_script_col,
     fingerprint,
-    quality_features,
-    quality_score,
+    quality_bound_cols,
+    quality_feature_cols,
+    quality_score_col,
     script_count_cols,
     token_count_bpe,
     token_count_ws,
@@ -104,6 +105,7 @@ def annotate(
         "c4_keep",
         *gopher_bound_cols(text),
         *script_count_cols(text),
+        *quality_bound_cols(text),
     )
 
     # 2 — the SHARED gopher measures (filters.gopher_measure_cols —
@@ -116,8 +118,8 @@ def annotate(
     t = F.col("_t")
     measured = bound.select(
         id_col,
-        *quality_features(t),
-        quality_score(t).alias("quality"),
+        *quality_feature_cols(),
+        quality_score_col().alias("quality"),
         token_count_ws(t).alias("n_tokens_ws"),
         token_count_bpe(t).alias("n_tokens_bpe"),
         fingerprint(t).alias("fingerprint"),

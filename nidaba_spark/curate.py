@@ -32,7 +32,7 @@ from . import pipeline
 from .functions.textnorm import normalize_words  # noqa: F401  (spec ref)
 from .operators import mixing, packing
 from .operators.filters import redact_pii, repetition_stats
-from .operators.textstats import quality_score, token_count_ws
+from .operators.textstats import token_count_ws, with_quality
 
 
 def curate(
@@ -447,7 +447,8 @@ def curate(
         )
     if pii_redact:
         docs = docs.withColumn("text", redact_pii(F.col("text")))
-    scored = docs.withColumn("quality", quality_score(F.col("text")))
+    # staged scoring: each base count regex runs once (NOTES r05 diag)
+    scored = with_quality(docs)
     good = scored.filter(F.col("quality") >= F.lit(min_quality))
     if min_model_score is not None:
         from .operators.quality_model import featurize, score

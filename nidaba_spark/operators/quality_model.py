@@ -50,7 +50,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import quality_features
+from .textstats import quality_bound_cols, quality_feature_cols
 
 #: Feature order is part of the model contract (coefficients zip it).
 FEATURE_COLS = ("log_chars", "log_words", "stop_ratio", "punct_ratio", "mean_word_len")
@@ -86,7 +86,9 @@ def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
     """
     base_names = {"n_chars", "n_words", "stop_ratio", "punct_ratio", "mean_word_len"}
     keep = [c for c in df.columns if c not in base_names]
-    feats = df.select(*keep, *quality_features(F.col(text_col)))
+    feats = df.select(
+        *keep, *quality_bound_cols(F.col(text_col))
+    ).select(*keep, *quality_feature_cols())
     return feats.select(
         "*",
         F.round(F.log1p(F.col("n_chars")), 6).alias("log_chars"),

@@ -40,16 +40,16 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def token_count_ws(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != F.lit("")))
+    """Whitespace token count (non-space runs; counted via the
+    replace-length trick — no split array, no per-match strings, no
+    interpreted HOF)."""
+    return _count_matches(text, r"\S+")
 
 
 def token_count_bpe(text: Column) -> Column:
     """BPE-ish subword count: word-pieces + digits + punctuation runs
     (GPT-2-style pre-tokenizer regex, simplified)."""
-    return F.size(
-        F.regexp_extract_all(text, F.lit(r"[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\s]"), 0)
-    )
+    return _count_matches(text, r"[a-zA-Z]{1,4}|[0-9]+|[^a-zA-Z0-9\s]")
 
 
 # Codegen note (SURVEY.md §4.3, NOTES.md): higher-order lambdas
@@ -67,12 +67,108 @@ _WORD_RE = r"[a-z0-9']+"
 _STOP_RE = r"(?<![a-z0-9'])(" + "|".join(STOPWORDS) + r")(?![a-z0-9'])"
 
 
+def _count_matches(s: Column, pat: str) -> Column:
+    """Count non-overlapping matches of ``pat`` WITHOUT materializing
+    them: replace every match with one char vs with nothing and take
+    the length difference. Spark's regexp_count is RuntimeReplaceable
+    to size(regexp_extract_all(...)) — it builds a per-match string
+    array just to count, measured ~25s per 100k 5 KB docs for the
+    word pattern, while a regexp_replace pass appends to one
+    StringBuilder and runs ~1s (NOTES r05 diag). Requires a pattern
+    that cannot match the empty string (all of ours)."""
+    return F.length(F.regexp_replace(s, pat, "x")) - F.length(
+        F.regexp_replace(s, pat, "")
+    )
+
+
 def _n_words(lowered: Column) -> Column:
-    return F.size(F.regexp_extract_all(lowered, F.lit(_WORD_RE), 0))
+    return _count_matches(lowered, _WORD_RE)
 
 
 def _n_stop(lowered: Column) -> Column:
-    return F.size(F.regexp_extract_all(lowered, F.lit(_STOP_RE), 0))
+    # one alternation pattern (measured 2.6x faster than 25 separate
+    # per-stopword passes — the lookbehind defeats literal prefix
+    # optimization, so splitting multiplies full-text scans)
+    return _count_matches(lowered, _STOP_RE)
+
+
+def quality_bound_cols(text: Column) -> list[Column]:
+    """The five base counts every quality feature derives from, each
+    computed EXACTLY ONCE as a bound column (``_qc/_qw/_qs/_qp/_qwl``).
+    Embedding the counts inline instead (the pre-r05 shape) repeats
+    every regex pass per referencing expression — the quality family
+    measured 150-220s per 100k 5 KB docs inline vs the staged form's
+    single pass set (NOTES r05 diag); Catalyst does not re-merge the
+    duplicates once the projection falls out of whole-stage codegen."""
+    lowered = F.lower(text)
+    return [
+        F.length(text).alias("_qc"),
+        _n_words(lowered).alias("_qw"),
+        _n_stop(lowered).alias("_qs"),
+        F.length(
+            F.regexp_replace(text, r"[^\.,;:!\?'\"\-]", "")
+        ).alias("_qp"),
+        # sum of word lengths == total chars minus the NON-word
+        # remainder after stripping word RUNS. Direction matters
+        # enormously: stripping the bulk keeps ~900 separator chars
+        # (2-4s/100k docs) while the keep-the-bulk form
+        # regexp_replace(low, "[^a-z0-9']", "") appends ~4 KB per doc
+        # through Matcher.appendReplacement and measured 68-82s
+        # (NOTES r05 diag) — same value, 20-35x apart
+        (
+            F.length(lowered)
+            - F.length(F.regexp_replace(lowered, r"[a-z0-9']+", ""))
+        ).alias("_qwl"),
+    ]
+
+
+def quality_feature_cols() -> list[Column]:
+    """Feature columns over the bound ``_q*`` counts."""
+    n_chars, n_words = F.col("_qc"), F.col("_qw")
+    n_stop, n_punct, sum_wl = F.col("_qs"), F.col("_qp"), F.col("_qwl")
+    mean_word_len = F.when(
+        n_words > 0, F.round(sum_wl / n_words, 4)
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, F.round(n_stop / n_words, 4)).otherwise(
+        F.lit(0.0)
+    )
+    punct_ratio = F.when(
+        n_chars > 0, F.round(n_punct / n_chars, 4)
+    ).otherwise(F.lit(0.0))
+    return [
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        stop_ratio.alias("stop_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        mean_word_len.alias("mean_word_len"),
+    ]
+
+
+def quality_score_col() -> Column:
+    """[0,1] heuristic quality score over the bound ``_q*`` counts."""
+    n_chars, n_words, n_stop, n_punct = (
+        F.col("_qc"), F.col("_qw"), F.col("_qs"), F.col("_qp"),
+    )
+    len_term = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+    stop_term = F.least(
+        (F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))) * 5.0,
+        F.lit(1.0),
+    )
+    punct_term = F.lit(1.0) - F.least(
+        F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)) * 5.0,
+        F.lit(1.0),
+    )
+    return F.round((len_term + stop_term + punct_term) / 3.0, 4)
+
+
+def with_quality(
+    docs: DataFrame, text_col: str = "text", out_col: str = "quality"
+) -> DataFrame:
+    """docs + a quality column, staged so every base count runs once
+    (the fast path curate's scoring uses)."""
+    return docs.select(
+        "*", *quality_bound_cols(F.col(text_col))
+    ).select(*docs.columns, quality_score_col().alias(out_col))
 
 
 def quality_features(text: Column) -> list[Column]:
@@ -82,7 +178,9 @@ def quality_features(text: Column) -> list[Column]:
     n_words = _n_words(lowered)
     n_stop = _n_stop(lowered)
     n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?'\"\-]", ""))
-    sum_word_len = F.length(F.regexp_replace(lowered, r"[^a-z0-9']", ""))
+    sum_word_len = F.length(lowered) - F.length(
+        F.regexp_replace(lowered, r"[a-z0-9']+", "")
+    )
     mean_word_len = F.when(n_words > 0, F.round(sum_word_len / n_words, 4)).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, F.round(n_stop / n_words, 4)).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 4)).otherwise(F.lit(0.0))

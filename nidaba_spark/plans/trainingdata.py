@@ -250,9 +250,11 @@ def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     text = F.col("text")
     return docs.select(
+        "doc_id", *textstats.quality_bound_cols(text)
+    ).select(
         "doc_id",
-        *textstats.quality_features(text),
-        textstats.quality_score(text).alias("quality"),
+        *textstats.quality_feature_cols(),
+        textstats.quality_score_col().alias("quality"),
     )
 
 
@@ -1906,9 +1908,8 @@ def q_host_quality(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id"),
     )
     scored = docs.select(
-        url.alias("url"),
-        textstats.quality_score(F.col("text")).alias("quality"),
-    )
+        url.alias("url"), *textstats.quality_bound_cols(F.col("text"))
+    ).select("url", textstats.quality_score_col().alias("quality"))
     stats = host_quality_stats(scored, low_threshold=0.5)
     return stats.select(
         "host",
