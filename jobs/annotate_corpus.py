@@ -45,6 +45,12 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None,
                     help="checkpoint dir for --stream (default: "
                     "<output>_ckpt)")
+    ap.add_argument(
+        "--schema", default=None,
+        help="input schema as DDL ('doc_id LONG, text STRING') — lets "
+        "--stream start watching an EMPTY drop folder; otherwise the "
+        "schema is inferred from the files already present",
+    )
     ap.add_argument("--gopher-min-words", type=int, default=50)
     ap.add_argument("--gopher-max-words", type=int, default=100_000)
     ap.add_argument("--cores", type=int, default=None)
@@ -61,30 +67,46 @@ def main() -> None:
         if active
         else get_spark(app="nidaba-annotate", cores=args.cores)
     )
-    docs = spark.read.parquet(args.input)
     id_col, text_col = args.id_col, args.text_col
-    if args.extract:
-        from nidaba_spark import pipeline
-
-        docs = pipeline.extract(docs)
-        id_col, text_col = "url", "text"
     if args.stream:
+        # NO eager batch read first: a watcher started on an empty
+        # drop folder must wait for drops, not crash on schema
+        # inference (review r05)
         if args.extract:
             ap.error("--stream annotates extracted docs; run the "
                      "extraction stream first (jobs/run_pipeline.py "
                      "--stream), then point --input at its output")
+        from pyspark.sql.types import StructType
+
         from nidaba_spark.streaming.annotate import annotate_docs_stream
 
+        if args.schema:
+            schema = StructType.fromDDL(args.schema)
+        else:
+            try:
+                schema = spark.read.parquet(args.input).schema
+            except Exception:
+                ap.error(
+                    f"no readable parquet in {args.input} yet — pass "
+                    "--schema 'doc_id LONG, text STRING' to start the "
+                    "watcher before the first drop"
+                )
         annotate_docs_stream(
             spark, args.input, args.output,
             args.checkpoint or args.output + "_ckpt",
-            docs.schema, text_col=text_col, id_col=id_col,
+            schema, text_col=text_col, id_col=id_col,
             gopher_min_words=args.gopher_min_words,
             gopher_max_words=args.gopher_max_words,
         )
         n = spark.read.parquet(args.output).count()
         print(f"stream drained; signal table now {n} rows -> {args.output}")
         return
+    docs = spark.read.parquet(args.input)
+    if args.extract:
+        from nidaba_spark import pipeline
+
+        docs = pipeline.extract(docs)
+        id_col, text_col = "url", "text"
     out = annotate(
         docs,
         text_col=text_col,

@@ -392,15 +392,24 @@ def curate(
             .filter(F.col("text") != "")
             .select("url", "text", "source")
         )
-    if dup_span_remove or char_dup_span_remove:
-        # collapse exact duplicates (keep-min-url, the same rule as
-        # the main dedup below) BEFORE ExactSubstr removal: the
-        # removal operators cut EVERY occurrence of a corpus-
-        # duplicated span, so two byte-identical pages would
-        # otherwise annihilate each other (all spans duplicated ->
-        # both rebuilt empty -> both dropped) instead of one copy
-        # surviving (review r05; Lee et al. run exact dedup first).
-        keep_first = docs.groupBy("text").agg(
+    if (
+        dup_span_remove
+        or char_dup_span_remove
+        or dup_span_max_frac is not None
+    ):
+        # collapse exact duplicates (keep-min-url, literally the main
+        # dedup's xxhash64-keyed rule) BEFORE the ExactSubstr family:
+        # every span of a byte-identical twin is duplicated corpus-
+        # wide, so the REMOVAL stages would rebuild both copies empty
+        # and the dup_span_max_frac STATS cut would flag both at
+        # frac 1.0 — either way both copies died where one should
+        # survive (review r05 ×2; Lee et al. run exact dedup first).
+        # Pin first: the agg and the semi-join both read `docs`
+        # (the same double-execution hazard the stage pins below
+        # guard), and the hash key keeps document bytes out of the
+        # shuffle key.
+        docs = docs.localCheckpoint(eager=False)
+        keep_first = docs.groupBy(F.xxhash64("text").alias("_h")).agg(
             F.min("url").alias("url")
         ).select("url")
         docs = docs.join(keep_first, "url", "left_semi")

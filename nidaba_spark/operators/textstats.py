@@ -92,40 +92,34 @@ def _n_stop(lowered: Column) -> Column:
     return _count_matches(lowered, _STOP_RE)
 
 
-def quality_bound_cols(text: Column) -> list[Column]:
-    """The five base counts every quality feature derives from, each
-    computed EXACTLY ONCE as a bound column (``_qc/_qw/_qs/_qp/_qwl``).
-    Embedding the counts inline instead (the pre-r05 shape) repeats
-    every regex pass per referencing expression — the quality family
-    measured 150-220s per 100k 5 KB docs inline vs the staged form's
-    single pass set (NOTES r05 diag); Catalyst does not re-merge the
-    duplicates once the projection falls out of whole-stage codegen."""
+def _quality_base(text: Column) -> dict[str, Column]:
+    """The five base counts (chars, words, stopwords, punctuation
+    chars, word-char mass) — THE single source of the formulas; every
+    public quality API derives from this dict. Perf notes baked in
+    (NOTES r05 forensics, all value-identical):
+      * match COUNTS via the replace-length trick, never
+        size(regexp_extract_all) (which Spark's regexp_count rewrites
+        to) — no per-match string array;
+      * sum_word_len strips word RUNS and subtracts (regexp_replace
+        cost tracks the RETAINED bytes: keep-the-bulk measured
+        20-35x slower than strip-the-bulk for the same value).
+    """
     lowered = F.lower(text)
-    return [
-        F.length(text).alias("_qc"),
-        _n_words(lowered).alias("_qw"),
-        _n_stop(lowered).alias("_qs"),
-        F.length(
+    return {
+        "_qc": F.length(text),
+        "_qw": _n_words(lowered),
+        "_qs": _n_stop(lowered),
+        "_qp": F.length(
             F.regexp_replace(text, r"[^\.,;:!\?'\"\-]", "")
-        ).alias("_qp"),
-        # sum of word lengths == total chars minus the NON-word
-        # remainder after stripping word RUNS. Direction matters
-        # enormously: stripping the bulk keeps ~900 separator chars
-        # (2-4s/100k docs) while the keep-the-bulk form
-        # regexp_replace(low, "[^a-z0-9']", "") appends ~4 KB per doc
-        # through Matcher.appendReplacement and measured 68-82s
-        # (NOTES r05 diag) — same value, 20-35x apart
-        (
-            F.length(lowered)
-            - F.length(F.regexp_replace(lowered, r"[a-z0-9']+", ""))
-        ).alias("_qwl"),
-    ]
+        ),
+        "_qwl": F.length(lowered)
+        - F.length(F.regexp_replace(lowered, r"[a-z0-9']+", "")),
+    }
 
 
-def quality_feature_cols() -> list[Column]:
-    """Feature columns over the bound ``_q*`` counts."""
-    n_chars, n_words = F.col("_qc"), F.col("_qw")
-    n_stop, n_punct, sum_wl = F.col("_qs"), F.col("_qp"), F.col("_qwl")
+def _quality_feature_exprs(c: dict[str, Column]) -> list[Column]:
+    n_chars, n_words = c["_qc"], c["_qw"]
+    n_stop, n_punct, sum_wl = c["_qs"], c["_qp"], c["_qwl"]
     mean_word_len = F.when(
         n_words > 0, F.round(sum_wl / n_words, 4)
     ).otherwise(F.lit(0.0))
@@ -144,10 +138,9 @@ def quality_feature_cols() -> list[Column]:
     ]
 
 
-def quality_score_col() -> Column:
-    """[0,1] heuristic quality score over the bound ``_q*`` counts."""
+def _quality_score_expr(c: dict[str, Column]) -> Column:
     n_chars, n_words, n_stop, n_punct = (
-        F.col("_qc"), F.col("_qw"), F.col("_qs"), F.col("_qp"),
+        c["_qc"], c["_qw"], c["_qs"], c["_qp"],
     )
     len_term = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
     stop_term = F.least(
@@ -161,6 +154,32 @@ def quality_score_col() -> Column:
     return F.round((len_term + stop_term + punct_term) / 3.0, 4)
 
 
+def _bound_refs() -> dict[str, Column]:
+    # built lazily: F.col needs an active SparkContext, so this must
+    # not run at import time
+    return {k: F.col(k) for k in ("_qc", "_qw", "_qs", "_qp", "_qwl")}
+
+
+def quality_bound_cols(text: Column) -> list[Column]:
+    """The base counts as bound columns (``_qc/_qw/_qs/_qp/_qwl``),
+    each computed EXACTLY ONCE — project these first, then read them
+    with quality_feature_cols()/quality_score_col(). Embedding the
+    counts inline repeats every regex pass per referencing expression
+    (the quality family measured 150-220s per 100k 5 KB docs inline
+    vs ~15s staged; Catalyst does not re-merge the duplicates)."""
+    return [c.alias(n) for n, c in _quality_base(text).items()]
+
+
+def quality_feature_cols() -> list[Column]:
+    """Feature columns over the bound ``_q*`` counts."""
+    return _quality_feature_exprs(_bound_refs())
+
+
+def quality_score_col() -> Column:
+    """[0,1] heuristic quality score over the bound ``_q*`` counts."""
+    return _quality_score_expr(_bound_refs())
+
+
 def with_quality(
     docs: DataFrame, text_col: str = "text", out_col: str = "quality"
 ) -> DataFrame:
@@ -172,43 +191,18 @@ def with_quality(
 
 
 def quality_features(text: Column) -> list[Column]:
-    """Length / punctuation / stopword-ratio quality features."""
-    lowered = F.lower(text)
-    n_chars = F.length(text)
-    n_words = _n_words(lowered)
-    n_stop = _n_stop(lowered)
-    n_punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?'\"\-]", ""))
-    sum_word_len = F.length(lowered) - F.length(
-        F.regexp_replace(lowered, r"[a-z0-9']+", "")
-    )
-    mean_word_len = F.when(n_words > 0, F.round(sum_word_len / n_words, 4)).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_words > 0, F.round(n_stop / n_words, 4)).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, F.round(n_punct / n_chars, 4)).otherwise(F.lit(0.0))
-    return [
-        n_chars.alias("n_chars"),
-        n_words.alias("n_words"),
-        stop_ratio.alias("stop_ratio"),
-        punct_ratio.alias("punct_ratio"),
-        mean_word_len.alias("mean_word_len"),
-    ]
+    """Length / punctuation / stopword-ratio quality features —
+    INLINE compat form (same formulas by construction: derives from
+    _quality_base like the staged API). Each referenced count
+    re-evaluates per expression here; prefer the staged form in hot
+    paths."""
+    return _quality_feature_exprs(_quality_base(text))
 
 
 def quality_score(text: Column) -> Column:
-    """[0,1] heuristic quality score: long enough, low punctuation
-    noise, some stopword mass (Gopher-rules-style shallow features)."""
-    lowered = F.lower(text)
-    n_chars = F.length(text)
-    n_words = _n_words(lowered)
-    n_stop = _n_stop(lowered)
-    len_term = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
-    stop_term = F.least(
-        (F.when(n_words > 0, n_stop / n_words).otherwise(F.lit(0.0))) * 5.0, F.lit(1.0)
-    )
-    punct = F.length(F.regexp_replace(text, r"[^\.,;:!\?'\"\-]", ""))
-    punct_term = F.lit(1.0) - F.least(
-        F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)) * 5.0, F.lit(1.0)
-    )
-    return F.round((len_term + stop_term + punct_term) / 3.0, 4)
+    """[0,1] heuristic quality score — inline compat form (see
+    quality_features)."""
+    return _quality_score_expr(_quality_base(text))
 
 
 def fingerprint(text: Column) -> Column:

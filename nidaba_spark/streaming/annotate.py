@@ -41,6 +41,23 @@ def annotate_docs_stream(
     docs schema (file streams need it declared). Blocks until the
     available drops are drained under ``available_now``; returns the
     StreamingQuery either way."""
+    import os as _os
+
+    # guard: appending a FileStreamSink into a directory that already
+    # holds BATCH-written parquet silently hides those files from all
+    # readers (the sink's _spark_metadata log becomes the listing
+    # authority) — fail loudly instead (review r05). Local-fs check
+    # only; remote stores skip it.
+    if _os.path.isdir(out_dir) and not _os.path.isdir(
+        _os.path.join(out_dir, "_spark_metadata")
+    ) and any(f.endswith(".parquet") for f in _os.listdir(out_dir)):
+        raise ValueError(
+            f"{out_dir} already contains batch-written parquet; a "
+            "streaming sink's _spark_metadata log would hide those "
+            "rows from every reader. Use a fresh out_dir (and replay "
+            "the bootstrap corpus through the stream), or keep batch "
+            "and stream outputs in separate tables."
+        )
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -66,12 +83,13 @@ def annotate_docs_stream(
     return q
 
 
-def read_signals(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The signal table the stream maintains (empty-dir safe)."""
-    import os
+def read_signals(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """The signal table the stream maintains, or None before the
+    first commit (works on any filesystem: probes by reading, not by
+    driver-local os.path)."""
+    from pyspark.errors import AnalysisException
 
-    if not os.path.isdir(out_dir) or not any(
-        f.endswith(".parquet") for f in os.listdir(out_dir)
-    ):
+    try:
+        return spark.read.parquet(out_dir)
+    except AnalysisException:
         return None
-    return spark.read.parquet(out_dir)

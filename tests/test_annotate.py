@@ -86,21 +86,23 @@ def test_signals_then_filter_equals_curate_style_filter(spark):
     picks exactly the docs a direct filter would."""
     df = _df(spark)
     sig = annotate(df)
+    from nidaba_spark.operators.textstats import with_quality
+
     via_signals = {
         r["doc_id"]
         for r in sig.filter(F.col("c4_keep") & (F.col("quality") > 0.3))
         .select("doc_id").collect()
     }
+    # the direct side computes quality INDEPENDENTLY of annotate()
+    # (with_quality over the raw docs), so a scoring bug in the
+    # signal pass cannot cancel out of both sides (review r05)
     direct = {
         r["doc_id"]
         for r in c4_clean(df).filter("c4_keep").select("doc_id").collect()
     } & {
         r["doc_id"]
-        for r in df.select(
-            "doc_id",
-        ).join(
-            annotate(df).select("doc_id", "quality"), "doc_id"
-        ).filter(F.col("quality") > 0.3).select("doc_id").collect()
+        for r in with_quality(df)
+        .filter(F.col("quality") > 0.3).select("doc_id").collect()
     }
     assert via_signals == direct
 
