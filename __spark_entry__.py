@@ -128,6 +128,7 @@ _RETIRED_FROM_DRIVER = [
     "host_boilerplate",
     "budget_select_grouped",
     "annotate",
+    "decontaminate_fuzzy",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -103,6 +103,13 @@ def main() -> None:
         "false-positive rate (zero train-side shuffles; ~fpp one-sided "
         "over-removal) instead of the exact broadcast join",
     )
+    ap.add_argument(
+        "--decontam-fuzzy-threshold", type=float, default=None,
+        help="use the FUZZY per-eval-sample decontamination rule "
+        "(GPT-3/Llama-2 family) instead: drop a doc only when its "
+        "shared word-5-grams cover >= this fraction of some single "
+        "eval item's grams (takes precedence over --decontam-bloom-fpp)",
+    )
     ap.add_argument("--near-dup-threshold", type=float, default=None)
     ap.add_argument(
         "--near-dup-keep", choices=["rep", "best_quality"], default="rep",
@@ -178,6 +185,8 @@ def main() -> None:
         ap.error("--lm-ref and --lm-min-logscore must be given together")
     if args.decontam_bloom_fpp is not None and not args.decontam_eval:
         ap.error("--decontam-bloom-fpp requires --decontam-eval")
+    if args.decontam_fuzzy_threshold is not None and not args.decontam_eval:
+        ap.error("--decontam-fuzzy-threshold requires --decontam-eval")
 
     from pyspark.sql import SparkSession
 
@@ -217,6 +226,7 @@ def main() -> None:
         c4_clean=args.c4_clean,
         decontam_eval=eval_df,
         decontam_bloom_fpp=args.decontam_bloom_fpp,
+        decontam_fuzzy_threshold=args.decontam_fuzzy_threshold,
         near_dup_threshold=args.near_dup_threshold,
         near_dup_keep=args.near_dup_keep,
         max_docs_per_host=args.max_docs_per_host,

@@ -55,6 +55,7 @@ def curate(
     c4_clean: bool = False,
     decontam_eval: DataFrame | None = None,
     decontam_bloom_fpp: float | None = None,
+    decontam_fuzzy_threshold: float | None = None,
     near_dup_threshold: float | None = None,
     near_dup_keep: str = "rep",
     max_docs_per_host: int | None = None,
@@ -179,6 +180,17 @@ def curate(
                               array) at the cost of ~fpp one-sided
                               over-removal — the right trade at
                               10^12 rows;
+      decontam_fuzzy_threshold — when set alongside decontam_eval,
+                              use the FUZZY per-eval-sample rule
+                              (GPT-3/Llama-2 family; filters
+                              .decontaminate_fuzzy) instead: a doc
+                              drops only when its shared grams cover
+                              >= this fraction of SOME single eval
+                              item's grams — boilerplate-tolerant
+                              where the any-shared-gram rule is not
+                              (takes precedence over the bloom path,
+                              which cannot express per-item
+                              fractions);
       max_docs_per_host     — deterministic hash-ordered cap per
                               canonical host (operators/hoststats.py;
                               applied before scoring so mega-hosts
@@ -538,9 +550,25 @@ def curate(
         )
         good = good.join(spanny, "url", "left_anti")
     if decontam_eval is not None:
-        from .operators.filters import decontaminate, decontaminate_bloom
+        from .operators.filters import (
+            decontaminate,
+            decontaminate_bloom,
+            decontaminate_fuzzy,
+        )
 
-        if decontam_bloom_fpp is not None:
+        if decontam_fuzzy_threshold is not None:
+            dirty = (
+                decontaminate_fuzzy(
+                    good,
+                    decontam_eval,
+                    n=5,
+                    threshold=decontam_fuzzy_threshold,
+                    id_col="url",
+                )
+                .select(F.col("doc_id").alias("url"))
+                .distinct()
+            )
+        elif decontam_bloom_fpp is not None:
             dirty = decontaminate_bloom(
                 good, decontam_eval, n=5, id_col="url", fpp=decontam_bloom_fpp
             ).select(F.col("doc_id").alias("url"))

@@ -611,6 +611,71 @@ def decontaminate_report(
     )
 
 
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str | None = None,
+) -> DataFrame:
+    """FUZZY per-eval-sample decontamination (the GPT-3 appendix-C /
+    Llama-2 §A.6 family of rules): a training doc is contaminated with
+    respect to ONE eval sample when at least ``threshold`` of that
+    sample's distinct word-``n``-grams appear among the training doc's
+    distinct n-grams. Unlike the any-shared-gram rule
+    (``decontaminate``), a single boilerplate phrase cannot condemn a
+    page — the overlap must cover a real fraction of the eval item —
+    and unlike a corpus-level gram-set rule, the fraction is judged
+    per eval SAMPLE, which is what leakage of a benchmark question
+    actually looks like.
+
+    Returns one row per flagged (doc_id, eval_id) pair:
+    (doc_id, eval_id, n_shared, eval_grams, overlap_frac) with
+    overlap_frac = n_shared / eval_grams rounded to 4dp, filtered to
+    overlap_frac >= threshold. Eval items with fewer than ``n`` words
+    contribute no grams and therefore never flag (same convention as
+    the exact rule).
+
+    Plan shape at 10^12 train rows: the train side pays ONE doc-keyed
+    distinct (the same cost decontaminate already pays); the eval gram
+    table and the per-eval-item gram totals are both broadcast (eval
+    benchmarks are KB-MB scale), so the hit-count aggregation is the
+    only additional shuffle and its key (doc_id, eval_id) is bounded
+    by the pair fan-out, not the corpus. The threshold filter sits on
+    the aggregate, so only flagged pairs ever leave the reduce side.
+    """
+    eval_id = eval_id_col or eval_df.columns[0]
+    eval_g = (
+        _exploded_grams(eval_df, eval_id, text_col, n, "gram")
+        .select(F.col("doc_id").alias("eval_id"), "gram")
+        .distinct()
+    )
+    eval_tot = eval_g.groupBy("eval_id").agg(
+        F.count(F.lit(1)).alias("eval_grams")
+    )
+    train_g = _exploded_grams(train, id_col, text_col, n, "gram").distinct()
+    hits = (
+        train_g.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(F.broadcast(eval_tot), "eval_id")
+        .select(
+            "doc_id",
+            "eval_id",
+            "n_shared",
+            "eval_grams",
+            F.round(F.col("n_shared") / F.col("eval_grams"), 4).alias(
+                "overlap_frac"
+            ),
+        )
+        .filter(F.col("n_shared") >= F.col("eval_grams") * F.lit(threshold))
+    )
+
+
 # ------------------------------------------------ Gopher quality rules
 # Rae et al. 2021 (Gopher, §A1.1 "Quality filtering") — the doc-level
 # rule set (the repetition rules live in repetition_stats above).

@@ -984,6 +984,53 @@ def q_decontaminate_bloom(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["decontaminate_bloom"] = ORACLE["decontaminate"]
 
 
+def q_decontaminate_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy per-eval-sample decontamination (GPT-3 appendix-C /
+    Llama-2 family): docs with doc_id % 7 == 0 form the eval set (a
+    split that catches one member of several of the corpus's planted
+    near-dup pairs, so the rule fires at every SF — the %97 split of
+    q_decontaminate misses them all at sf0.01), and a (train doc,
+    eval item) pair is flagged only when the shared distinct
+    word-5-grams cover >= 20% of THAT eval item's grams — leakage of
+    a benchmark sample, not a stray boilerplate phrase. Eval gram
+    table + per-item totals broadcast; train side pays the one
+    distinct it already pays for exact decontamination."""
+    from ..operators.filters import decontaminate_fuzzy
+
+    docs = load(spark, sf, "documents")
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontaminate_fuzzy(train, eval_df, n=5, threshold=0.2)
+
+
+ORACLE["decontaminate_fuzzy"] = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(words[i:i+4], ' ') AS gram
+  FROM w, UNNEST(generate_series(1, len(words)-4)) AS t(i)
+), eval_g AS (
+  SELECT DISTINCT doc_id AS eval_id, gram FROM g WHERE doc_id % 7 = 0
+), eval_tot AS (
+  SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_grams
+  FROM eval_g GROUP BY eval_id
+), train_g AS (
+  SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 7 <> 0
+), hits AS (
+  SELECT t.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM train_g t JOIN eval_g e USING (gram)
+  GROUP BY t.doc_id, e.eval_id
+)
+SELECT h.doc_id, h.eval_id, h.n_shared, et.eval_grams,
+       round(h.n_shared::DOUBLE / et.eval_grams, 4) AS overlap_frac
+FROM hits h JOIN eval_tot et USING (eval_id)
+WHERE h.n_shared >= et.eval_grams * 0.2
+"""
+
+
 def q_source_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Domain-authority ranking over a deterministic planted link
     graph: every doc links to its 7-block head doc (doc_id - doc_id%7)
@@ -3361,6 +3408,7 @@ QUERIES = {
     "annotate": q_annotate,
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,
     "bpe_token_counts": q_bpe_token_counts,
     "source_pagerank": q_source_pagerank,

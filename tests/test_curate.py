@@ -153,6 +153,36 @@ def test_decontam_bloom_path_matches_exact(spark, pages, curated):
     assert victim not in {t[0] for t in bloom}
 
 
+def test_decontam_fuzzy_stage_boilerplate_tolerant(spark, pages, curated):
+    """The fuzzy per-eval-sample path drops a wholesale leak (the eval
+    item IS a surviving doc's text -> coverage 1.0) but KEEPS a doc
+    that shares only one stray gram with a long eval item — the exact
+    any-shared-gram rule drops both."""
+    base_rows = {r["url"]: r for r in curated.collect()}
+    ordered = sorted(base_rows)
+    victim, brushed = ordered[0], ordered[1]
+    # eval item 1: a full copy of victim's text. eval item 2: five of
+    # brushed's words (one shared gram) diluted in 20 unique words.
+    brush_words = base_rows[brushed]["text"].lower().split()[:5]
+    diluted = " ".join(brush_words + [f"zq{i}x" for i in range(20)])
+    eval_df = spark.createDataFrame(
+        [(base_rows[victim]["text"],), (diluted,)], "text string"
+    )
+    kwargs = dict(
+        min_quality=0.4, pack_budget=512, npartitions=8, decontam_eval=eval_df
+    )
+    exact_urls = {r["url"] for r in curate.curate(pages, **kwargs).collect()}
+    fuzzy_urls = {
+        r["url"]
+        for r in curate.curate(
+            pages, decontam_fuzzy_threshold=0.8, **kwargs
+        ).collect()
+    }
+    assert victim not in exact_urls and victim not in fuzzy_urls
+    assert brushed not in exact_urls  # one stray gram condemns it
+    assert brushed in fuzzy_urls  # fuzzy coverage ~1/21 < 0.8 keeps it
+
+
 def test_compression_band_stage_wired(spark, pages, curated):
     base_urls = {r["url"] for r in curated.select("url").collect()}
     out = curate.curate(

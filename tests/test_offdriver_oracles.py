@@ -157,6 +157,35 @@ def test_decontaminate_hand_case(spark):
     assert got == {1: 1}
 
 
+def test_decontaminate_fuzzy_hand_case(spark):
+    """The fuzzy rule flags on per-eval-ITEM gram coverage: 3/5 of the
+    eval item's grams (0.6) flags at threshold 0.5, 1/5 (0.2) does
+    not — where the exact any-shared-gram rule would flag both."""
+    from nidaba_spark.operators.filters import decontaminate_fuzzy
+
+    eval_df = spark.createDataFrame(
+        [(100, "a b c d e f g h i"), (101, "too few")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g zz"),  # shares 3 of eval 100's 5 grams
+            (2, "x y a b c d e"),  # shares 1 of 5 -> below 0.5
+            (3, "completely different words here entirely now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = decontaminate_fuzzy(train, eval_df, n=5, threshold=0.5).collect()
+    assert [(r["doc_id"], r["eval_id"]) for r in rows] == [(1, 100)]
+    assert rows[0]["n_shared"] == 3
+    assert rows[0]["eval_grams"] == 5
+    assert rows[0]["overlap_frac"] == 0.6
+    # at a looser threshold the 1/5 pair appears too
+    loose = decontaminate_fuzzy(train, eval_df, n=5, threshold=0.2)
+    got = {(r["doc_id"], r["eval_id"]): r["overlap_frac"] for r in loose.collect()}
+    assert got == {(1, 100): 0.6, (2, 100): 0.2}
+
+
 PARA_DOCS = [
     (1, "alpha one\n\nshared para\n\nbeta two"),  # all first: unchanged
     (2, "shared para\n\ngamma three"),  # loses the shared paragraph
