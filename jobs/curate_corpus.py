@@ -42,6 +42,16 @@ def main() -> None:
     ap = argparse.ArgumentParser(description="nidaba-spark corpus curation")
     ap.add_argument("--input", required=True, help="pages parquet path or catalog table")
     ap.add_argument("--output", required=True, help="curated parquet output path")
+    ap.add_argument(
+        "--wet-out", default=None,
+        help="also export the curated corpus as Common-Crawl-shaped WET "
+        "segment files to this directory (sources/rawfiles.write_wet; "
+        "deterministic bytes, per-record gzip)",
+    )
+    ap.add_argument(
+        "--wet-segments", type=int, default=16,
+        help="number of WET segment files (pick total_bytes/1e9 at scale)",
+    )
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument(
         "--rate", action="append", default=[], metavar="LANG=FRAC",
@@ -293,6 +303,23 @@ def main() -> None:
     n = written.count()
     npacks = written.select("pack_id").distinct().count()
     print(f"curated {n} documents into {npacks} packs -> {args.output}")
+    if args.wet_out:
+        from pyspark.sql import functions as F
+
+        from nidaba_spark.sources.rawfiles import write_wet
+
+        # curate() output carries no timestamp; WARC-Date is mandatory,
+        # so stamp the epoch (deterministic — never wall-clock)
+        wet_src = (
+            written
+            if "warc_ts" in written.columns
+            else written.withColumn(
+                "warc_ts", F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+            )
+        )
+        manifest = write_wet(wet_src, args.wet_out, args.wet_segments)
+        segs = manifest.count()
+        print(f"wrote {segs} WET segments -> {args.wet_out}")
 
 
 if __name__ == "__main__":

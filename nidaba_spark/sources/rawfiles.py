@@ -118,6 +118,168 @@ def _http_body(payload: bytes) -> bytes:
     return payload[sep + 4:] if sep >= 0 else payload
 
 
+# ----------------------------------------------------------- WET egress
+# The writer half of the WARC/WET story: emit an extracted corpus AS
+# Common-Crawl-shaped WET segment files (`conversion` records), so the
+# engine's output can feed any tool that already consumes CC WET drops
+# — including this repo's own read_warc_pages, which pins the
+# round-trip byte-identically in tests/test_sources.py.
+
+
+def wet_record_bytes(url: str, ts_iso: str, text: str) -> bytes:
+    """One ISO 28500 `conversion` record, deterministically.
+
+    WARC-Record-ID is a urn:uuid derived from md5(url, ts) — stable
+    across runs (no wall-clock, no random), so re-writing the same
+    corpus yields byte-identical segments. Content-Length counts the
+    UTF-8 payload bytes, exactly what parse_warc_records re-frames on.
+    """
+    import hashlib
+    import uuid
+
+    payload = text.encode("utf-8")
+    rid = uuid.UUID(bytes=hashlib.md5((url + "\x00" + ts_iso).encode("utf-8")).digest())
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts_iso}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + payload + b"\r\n\r\n"
+
+
+def _wet_warcinfo_bytes(filename: str) -> bytes:
+    """The segment-leading `warcinfo` record CC WET files carry (the
+    reader skips non-conversion types, so it costs the round-trip
+    nothing, and keeps the files shaped like real CC drops)."""
+    import hashlib
+    import uuid
+
+    body = (
+        "software: nidaba-spark\r\n"
+        "format: WARC File Format 1.0\r\n"
+        f"isPartOf: {filename}\r\n"
+    ).encode("utf-8")
+    rid = uuid.UUID(bytes=hashlib.md5(filename.encode("utf-8")).digest())
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: warcinfo\r\n"
+        f"WARC-Filename: {filename}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        "Content-Type: application/warc-fields\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + body + b"\r\n\r\n"
+
+
+def write_wet(
+    docs: DataFrame,
+    out_dir: str,
+    num_segments: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """Write docs as ``num_segments`` WET segment files + a manifest.
+
+    Layout follows how Common Crawl itself ships text: the corpus is
+    cut into segment files (CC uses ~1 GB each — pick num_segments =
+    total_bytes/1e9 at scale), each a concatenation of `conversion`
+    records, per-record-gzip'd by default (CC's framing: one gzip
+    member per record, so segments are byte-splittable and the
+    tolerant reader recovers a truncated tail).
+
+    Determinism end-to-end: rows are assigned to segments by the same
+    md5-uniform permutation shard_assign uses (pure function of url —
+    reproducible regardless of upstream partitioning), ordered within
+    a segment by that hash, and every record's bytes are a pure
+    function of (url, warc_ts, text) — so two runs over the same
+    corpus produce byte-identical files, pinned by the manifest's
+    sha256.
+
+    Executes ONE job: applyInPandas over segment groups — each task
+    streams its group to ``<out_dir>/wet-{seg:05d}.warc.wet[.gz]``
+    (tmp file + atomic rename, so a retried/speculated task cannot
+    leave a torn segment) and returns the manifest row. Returns the
+    manifest DataFrame (segment, path, n_records, n_bytes, sha256),
+    already materialized. Segment sizes are balanced to ±O(sqrt) by
+    the uniform hash — no skew key exists. Local/NFS filesystem
+    writes; an object-store/HDFS variant is a deploy seam (same
+    record bytes through the Hadoop FS API), like sources/iceberg.
+
+    Timestamps are formatted as UTC-naive ISO8601 'Z' (the corpus's
+    TIMESTAMP_NTZ face value — see NOTES.md on NTZ); null text writes
+    an empty payload, null url an empty URI.
+    """
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from ..operators.packing import shard_assign
+
+    os.makedirs(out_dir, exist_ok=True)
+    gz = bool(gzip_members)
+    suffix = ".warc.wet.gz" if gz else ".warc.wet"
+
+    slim = docs.select(
+        F.col(url_col).alias("url"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+        F.col(text_col).alias("text"),
+    )
+    assigned = shard_assign(slim, num_segments, id_col="url", salt="wet")
+
+    def _write_segment(key, pdf):
+        import gzip as gzmod
+
+        seg = int(key[0])
+        name = f"wet-{seg:05d}{suffix}"
+        final = os.path.join(out_dir, name)
+        tmp = final + ".inprogress"
+        pdf = pdf.sort_values("shard_pos")
+        h = hashlib.sha256()
+        n_bytes = 0
+        with open(tmp, "wb") as f:
+            chunks = [_wet_warcinfo_bytes(name)]
+            for url, ts_iso, text in zip(pdf["url"], pdf["ts_iso"], pdf["text"]):
+                chunks.append(
+                    wet_record_bytes(url or "", ts_iso or "", text or "")
+                )
+            for c in chunks:
+                # mtime=0: gzip's default header stamps wall-clock
+                # time, which would break byte-determinism
+                data = gzmod.compress(c, 6, mtime=0) if gz else c
+                f.write(data)
+                h.update(data)
+                n_bytes += len(data)
+        os.replace(tmp, final)
+        return pd.DataFrame(
+            {
+                "segment": [seg],
+                "path": [final],
+                "n_records": [len(pdf)],
+                "n_bytes": [n_bytes],
+                "sha256": [h.hexdigest()],
+            }
+        )
+
+    manifest = assigned.groupBy("shard_id").applyInPandas(
+        _write_segment,
+        "segment int, path string, n_records long, n_bytes long, sha256 string",
+    )
+    # materialize: the writes ARE the job; hand back the small result
+    # as a fresh local DataFrame (reusing the lazy plan would re-run
+    # the write job on every downstream action)
+    rows = manifest.collect()
+    return docs.sparkSession.createDataFrame(rows, manifest.schema)
+
+
 def read_warc_pages(
     spark: SparkSession,
     path: str,

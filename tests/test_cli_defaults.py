@@ -61,6 +61,7 @@ def test_curate_cli_defaults_match_library():
         ("line_dedup", "line_dedup"),
         ("min_model_score", "min_model_score"),
         ("decontam_bloom_fpp", "decontam_bloom_fpp"),
+        ("decontam_fuzzy_threshold", "decontam_fuzzy_threshold"),
     ]:
         assert (
             _cli_default(cli_flag, "curate_corpus") == sig[lib_param].default

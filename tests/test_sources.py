@@ -264,3 +264,74 @@ def test_warc_mixed_and_malformed_dates(spark, tmp_path):
     assert len(got) == 3
     assert got["https://z.example/1"]["warc_ts"] == got["https://off.example/2"]["warc_ts"]
     assert got["https://bad.example/3"]["warc_ts"] is None  # coerced, not crashed
+
+
+def test_wet_writer_roundtrip(spark, tmp_path):
+    """write_wet → read_warc_pages round-trips (url, text) byte-
+    identically and second-precision warc_ts; files are CC-shaped
+    (warcinfo lead record, per-record gzip members)."""
+    from nidaba_spark.sources.rawfiles import read_warc_pages, write_wet
+
+    docs = spark.createDataFrame(
+        [
+            (f"https://ex{i}.org/p", f"2024-01-0{1 + i % 9} 0{i % 10}:30:0{i % 6}",
+             f"text for page {i}\nwith a second line é{i}")
+            for i in range(37)
+        ]
+        + [("https://exnull.org/p", "2024-01-01 00:00:00", None)],
+        "url string, ts string, text string",
+    ).select(
+        "url", F.col("ts").cast("timestamp").alias("warc_ts"), "text"
+    )
+    out = str(tmp_path / "wet")
+    manifest = write_wet(docs, out, num_segments=4)
+    mrows = {r["segment"]: r for r in manifest.collect()}
+    assert sum(r["n_records"] for r in mrows.values()) == 38
+    for r in mrows.values():
+        assert os.path.getsize(r["path"]) == r["n_bytes"]
+        assert r["path"].endswith(".warc.wet.gz")
+
+    back = read_warc_pages(spark, out, glob="*.warc.wet.gz")
+    got = {r["url"]: r for r in back.collect()}
+    exp = {r["url"]: r for r in docs.collect()}
+    assert set(got) == set(exp)
+    for url, e in exp.items():
+        assert got[url]["text"] == (e["text"] or "")  # byte-identical payload
+        assert got[url]["warc_ts"] == e["warc_ts"]  # second precision here
+        assert got[url]["html"] == bytearray(b"")  # conversion records
+
+
+def test_wet_writer_deterministic_bytes(spark, tmp_path):
+    """Two runs over the same corpus (different upstream partitioning)
+    produce byte-identical segment files — manifest sha256s equal."""
+    from nidaba_spark.sources.rawfiles import write_wet
+
+    rows = [
+        (f"https://d{i}.org", "2024-02-02 12:00:00", f"doc {i} body")
+        for i in range(25)
+    ]
+    docs = spark.createDataFrame(
+        rows, "url string, ts string, text string"
+    ).select("url", F.col("ts").cast("timestamp").alias("warc_ts"), "text")
+    m1 = write_wet(docs.repartition(8), str(tmp_path / "a"), num_segments=3)
+    m2 = write_wet(docs.repartition(2), str(tmp_path / "b"), num_segments=3)
+    s1 = {r["segment"]: r["sha256"] for r in m1.collect()}
+    s2 = {r["segment"]: r["sha256"] for r in m2.collect()}
+    assert s1 == s2 and len(s1) >= 2
+
+
+def test_wet_record_bytes_pure():
+    """Record framing is parseable by the pure parser and the
+    Content-Length counts UTF-8 payload bytes exactly."""
+    from nidaba_spark.sources.rawfiles import parse_warc_records, wet_record_bytes
+
+    rec = wet_record_bytes("https://x.org", "2024-01-01T00:00:00Z", "café")
+    recs = list(parse_warc_records(rec))
+    assert len(recs) == 1
+    h, payload = recs[0]
+    assert h["warc-type"] == "conversion"
+    assert h["warc-target-uri"] == "https://x.org"
+    assert int(h["content-length"]) == len("café".encode()) == 5
+    assert payload.decode("utf-8") == "café"
+    # deterministic: same inputs -> same bytes (record id included)
+    assert rec == wet_record_bytes("https://x.org", "2024-01-01T00:00:00Z", "café")
