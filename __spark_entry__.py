@@ -129,6 +129,7 @@ _RETIRED_FROM_DRIVER = [
     "budget_select_grouped",
     "annotate",
     "decontaminate_fuzzy",
+    "robots_filter",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -43,6 +43,15 @@ def main() -> None:
     ap.add_argument("--input", required=True, help="pages parquet path or catalog table")
     ap.add_argument("--output", required=True, help="curated parquet output path")
     ap.add_argument(
+        "--robots", default=None,
+        help="parquet path of per-host robots.txt files (columns: host, "
+        "robots_txt); disallowed pages drop before parsing",
+    )
+    ap.add_argument(
+        "--robots-agent", default="*",
+        help="product token the robots.txt rules are evaluated for",
+    )
+    ap.add_argument(
         "--wet-out", default=None,
         help="also export the curated corpus as Common-Crawl-shaped WET "
         "segment files to this directory (sources/rawfiles.write_wet; "
@@ -237,6 +246,10 @@ def main() -> None:
         decontam_eval=eval_df,
         decontam_bloom_fpp=args.decontam_bloom_fpp,
         decontam_fuzzy_threshold=args.decontam_fuzzy_threshold,
+        robots_df=(
+            spark.read.parquet(args.robots) if args.robots else None
+        ),
+        robots_agent=args.robots_agent,
         near_dup_threshold=args.near_dup_threshold,
         near_dup_keep=args.near_dup_keep,
         max_docs_per_host=args.max_docs_per_host,

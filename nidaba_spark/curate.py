@@ -71,6 +71,8 @@ def curate(
     min_host_authority: float = 0.0,
     blocked_hosts: DataFrame | list[str] | None = None,
     blocked_url_patterns: list[str] | None = None,
+    robots_df: DataFrame | None = None,
+    robots_agent: str = "*",
     unicode_nfc: bool = False,
     char_dup_span_remove: bool = False,
     char_dup_span_L: int = 200,
@@ -262,6 +264,15 @@ def curate(
                               hoststats.filter_blocked); applies to
                               the crawl or, with pre_extracted, to
                               the extracted table's urls;
+      robots_df +
+      robots_agent          — robots.txt politeness gate right after
+                              the blocklist (operators/robots.py):
+                              robots_df is (host, robots_txt); pages
+                              the effective rule set disallows for
+                              robots_agent are dropped before parsing
+                              (or, with pre_extracted, before any
+                              hygiene stage). Host-keyed rules join +
+                              zero-shuffle longest-match expression;
       near_dup_threshold    — MinHash-LSH near-dup pairs at this
                               Jaccard threshold resolved into clusters
                               by connected components; only each
@@ -297,6 +308,21 @@ def curate(
             pre_extracted = filter_blocked(
                 pre_extracted, blocked_hosts, blocked_url_patterns
             )
+    if robots_df is not None:
+        from .operators.robots import robots_filter
+
+        # politeness gate right after the blocklist: a disallowed page
+        # never pays for parsing (pages path) or any hygiene stage
+        # (pre_extracted path). Host-keyed rules join + zero-shuffle
+        # longest-match expression; see operators/robots.py.
+        if pre_extracted is None:
+            pages = robots_filter(pages, robots_df, agent=robots_agent).filter(
+                F.col("robots_allowed")
+            ).drop("robots_allowed")
+        else:
+            pre_extracted = robots_filter(
+                pre_extracted, robots_df, agent=robots_agent
+            ).filter(F.col("robots_allowed")).drop("robots_allowed")
     if canonical_url_dedup and pre_extracted is None:
         from .operators.links import page_meta
 

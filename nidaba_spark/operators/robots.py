@@ -1,0 +1,172 @@
+"""robots.txt parsing + honor filtering — the crawl-politeness gate a
+Common-Crawl-style curation pipeline applies before keeping a page
+(CC itself ships per-crawl robotstxt WARC segments for exactly this).
+
+Semantics: the practical subset of RFC 9309 every major parser agrees
+on, as pure DataFrame expressions —
+
+  * lines are ``field: value`` with case-insensitive field names,
+    ``#``-to-EOL comments stripped, CRLF tolerated;
+  * consecutive ``User-agent`` lines form ONE group header; the
+    Allow/Disallow lines that follow belong to that group until the
+    next header starts;
+  * group selection: all groups naming our product token exactly
+    (case-insensitive) if any exist, else all ``*`` groups, else no
+    rules (everything allowed) — specific-beats-wildcard, and groups
+    at the chosen specificity MERGE per RFC 9309 §2.2.1;
+  * matching: longest-path-prefix rule wins; Allow beats Disallow on
+    a length tie; no matching rule means allowed; an empty
+    ``Disallow:`` value is a no-op line.
+
+Documented deviations (kept deliberately narrow): ``*``/``$``
+wildcard rules are DROPPED rather than matched (a conservative
+choice would instead treat a dropped Disallow as allow — callers who
+need wildcard fidelity own that policy), and paths are compared as
+raw strings (no %-decoding normalization).
+
+Scale shape at 10^9 hosts: parsing windows/aggregations are keyed by
+host and bounded by RFC 9309's 500 KiB file cap; the effective rules
+collapse to ONE array row per host (KB-scale), so the page-side honor
+check is a host-keyed join (AQE handles mega-host skew) plus a
+zero-shuffle higher-order expression over the bound rules array —
+page bytes never enter any exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .links import host_of
+
+# field name, tolerant of surrounding blanks; value = rest of line
+_FIELD_RE = r"^\s*([A-Za-z-]+)\s*:"
+_VALUE_RE = r"^\s*[A-Za-z-]+\s*:\s*(.*?)\s*$"
+
+
+def robots_rules(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, rules: array<struct<path,allow>>) — the effective rule
+    set for ``agent`` per host, ready to broadcast-or-join against a
+    page table. Hosts whose file yields no applicable rules emit no
+    row (absent == everything allowed, the RFC default)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.regexp_replace(F.col(txt_col), "\r", ""), "\n")
+        ).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+    )
+    parsed = lines.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract("line", _FIELD_RE, 1)).alias("field"),
+        F.regexp_extract("line", _VALUE_RE, 1).alias("value"),
+    ).filter(F.col("field").isin("user-agent", "allow", "disallow"))
+
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = parsed.withColumn(
+        "_starts",
+        (
+            (F.col("field") == "user-agent")
+            & (F.coalesce(F.lag("field").over(w), F.lit("")) != "user-agent")
+        ).cast("int"),
+    ).withColumn(
+        "group_id",
+        F.sum("_starts").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+    agents = (
+        grouped.filter(F.col("field") == "user-agent")
+        .groupBy("host", "group_id")
+        .agg(F.collect_set(F.lower(F.col("value"))).alias("agents"))
+        .withColumn(
+            "rank",
+            F.when(F.array_contains("agents", agent.lower()), F.lit(0))
+            .when(F.array_contains("agents", "*"), F.lit(1))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("rank").isNotNull())
+    )
+    chosen = agents.groupBy("host").agg(F.min("rank").alias("rank"))
+    eff_groups = agents.join(chosen, ["host", "rank"]).select("host", "group_id")
+
+    rules = grouped.filter(
+        F.col("field").isin("allow", "disallow")
+        & (F.col("value") != "")  # 'Disallow:' (empty) is a no-op line
+        & ~F.col("value").rlike(r"[*$]")  # wildcard rules dropped (doc'd)
+    ).select(
+        "host",
+        "group_id",
+        F.col("value").alias("path"),
+        (F.col("field") == "allow").alias("allow"),
+    )
+    return (
+        rules.join(eff_groups, ["host", "group_id"])
+        .groupBy("host")
+        .agg(F.collect_list(F.struct("path", "allow")).alias("rules"))
+    )
+
+
+def url_path(url: Column) -> Column:
+    """Path+query of an absolute URL ('/' when the URL has none)."""
+    p = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_filter(
+    pages: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    url_col: str = "url",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """pages + ``robots_allowed`` boolean (longest-match honor check).
+
+    The decision is one higher-order expression over the host's bound
+    rules array: filter to prefix-matching rules, take the max of
+    struct(path_length, allow) — struct ordering gives longest-match
+    with Allow winning length ties — null/empty means allowed.
+    """
+    eff = robots_rules(robots, agent, host_col=host_col, txt_col=txt_col).select(
+        # avoid colliding with any 'host'/'rules' column the page
+        # table already carries
+        F.col("host").alias("_rrhost"),
+        F.col("rules").alias("_rrules"),
+    )
+    # project path/host FIRST: HOF lambdas are interpreted, so they
+    # must slice bound attributes, never re-evaluate an extract per
+    # element (the _ngrams O(n²) trap)
+    keyed = pages.withColumn("_rhost", host_of(F.col(url_col))).withColumn(
+        "_rpath", url_path(F.col(url_col))
+    )
+    joined = keyed.join(eff, keyed["_rhost"] == eff["_rrhost"], "left")
+    best = F.array_max(
+        F.transform(
+            F.filter(
+                F.col("_rrules"),
+                lambda r: F.col("_rpath").startswith(r["path"]),
+            ),
+            lambda r: F.struct(
+                F.length(r["path"]).alias("l"),
+                r["allow"].cast("int").alias("a"),
+            ),
+        )
+    )
+    return (
+        joined.withColumn(
+            "robots_allowed",
+            F.when(F.col("_rrules").isNull(), F.lit(True)).otherwise(
+                F.coalesce(best["a"] == 1, F.lit(True))
+            ),
+        )
+        .drop("_rrhost", "_rrules", "_rhost", "_rpath")
+    )

@@ -1295,6 +1295,80 @@ def _synth_pages(docs: DataFrame) -> DataFrame:
     )
 
 
+def q_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt honor check (operators/robots.py) over synthesized
+    per-host robots files: pages live on 20 hosts (doc_id % 20); each
+    host's file exercises one parser regime by host % 4 —
+      0: wildcard-agent prefix disallow (/d/1...);
+      1: specific-agent group whose Allow out-lengths a Disallow-all,
+         with a *-group decoy that must NOT apply (specific wins);
+      2: comments + empty Disallow (no-op) — everything allowed;
+      3: other-agent group decoy, * group disallows /d/7... .
+    The oracle derives the allowed flag INDEPENDENTLY from the doc_id
+    arithmetic (like page_links), so it checks parsing + group
+    selection + longest-match end to end rather than mirroring it."""
+    from ..operators.robots import robots_filter
+
+    docs = load(spark, sf, "documents")
+    k = (F.col("doc_id") % 20).cast("long")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"),
+            k.cast("string"),
+            F.lit(".example.com/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("/page.html"),
+        ).alias("url"),
+    )
+    hosts = docs.select(k.alias("k")).distinct()
+    txt = (
+        F.when(
+            F.col("k") % 4 == 0, F.lit("User-agent: *\nDisallow: /d/1\n")
+        )
+        .when(
+            F.col("k") % 4 == 1,
+            F.lit(
+                "User-agent: nidababot\nDisallow: /\nAllow: /d/\n\n"
+                "User-agent: *\nDisallow: /\n"
+            ),
+        )
+        .when(
+            F.col("k") % 4 == 2,
+            F.lit("# free for all\nUser-agent: *\nDisallow:\n"),
+        )
+        .otherwise(
+            F.lit(
+                "User-agent: otherbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /d/7\n"
+            )
+        )
+    )
+    robots = hosts.select(
+        F.concat(F.lit("h"), F.col("k").cast("string"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        txt.alias("robots_txt"),
+    )
+    return robots_filter(pages, robots, agent="nidababot").select(
+        "doc_id", "url", "robots_allowed"
+    )
+
+
+ORACLE["robots_filter"] = """
+SELECT doc_id,
+       'https://h' || (doc_id % 20) || '.example.com/d/' || doc_id ||
+         '/page.html' AS url,
+       CASE (doc_id % 20) % 4
+         WHEN 0 THEN NOT (CAST(doc_id AS VARCHAR) LIKE '1%')
+         WHEN 1 THEN TRUE
+         WHEN 2 THEN TRUE
+         ELSE NOT (CAST(doc_id AS VARCHAR) LIKE '7%')
+       END AS robots_allowed
+FROM documents
+"""
+
+
 def q_page_links(spark: SparkSession, sf: str) -> DataFrame:
     """Outlink extraction (operators/links.py — pure codegen
     regexp_extract_all scan, no Python) over the synthesized pages.
@@ -3409,6 +3483,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "decontaminate_bloom": q_decontaminate_bloom,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    "robots_filter": q_robots_filter,
     "hll_tokens_per_lang": q_hll_tokens_per_lang,
     "bpe_token_counts": q_bpe_token_counts,
     "source_pagerank": q_source_pagerank,

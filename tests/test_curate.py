@@ -183,6 +183,34 @@ def test_decontam_fuzzy_stage_boilerplate_tolerant(spark, pages, curated):
     assert brushed in fuzzy_urls  # fuzzy coverage ~1/21 < 0.8 keeps it
 
 
+def test_robots_stage_drops_disallowed(spark, pages, curated):
+    """curate(robots_df=) honors per-host robots.txt before parsing:
+    a host that disallows everything for our agent vanishes from the
+    output; hosts without robots rows are untouched."""
+    base_urls = {r["url"] for r in curated.select("url").collect()}
+    victim_host = sorted(base_urls)[0].split("/")[2]
+    robots_df = spark.createDataFrame(
+        [
+            (victim_host, "User-agent: curatebot\nDisallow: /\n"),
+            # decoy: disallows only a path no synthetic url has
+            ("site1.example", "User-agent: *\nDisallow: /nope\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    out = curate.curate(
+        pages,
+        min_quality=0.4,
+        source_rates={"en": 0.6},
+        default_rate=1.0,
+        pack_budget=512,
+        npartitions=8,
+        robots_df=robots_df,
+        robots_agent="curatebot",
+    )
+    urls = {r["url"] for r in out.select("url").collect()}
+    assert urls == {u for u in base_urls if u.split("/")[2] != victim_host}
+
+
 def test_compression_band_stage_wired(spark, pages, curated):
     base_urls = {r["url"] for r in curated.select("url").collect()}
     out = curate.curate(

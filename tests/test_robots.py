@@ -1,0 +1,89 @@
+"""robots.txt parsing + honor filter (operators/robots.py) — group
+selection, longest-match, tie, comment/CRLF tolerance, wildcard-drop
+semantics pinned on hand fixtures; the corpus-level query has an
+independently-derived DuckDB oracle (q_robots_filter)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nidaba_spark.operators.robots import robots_filter, robots_rules  # noqa: E402
+
+FIXTURE = [
+    # comments stripped, CRLF tolerated, allow out-lengths disallow
+    ("a.com", "User-agent: *\r\nDisallow: /private # comment\nAllow: /private/ok\n"),
+    # two consecutive user-agent lines = ONE group; specific group
+    # wins over the *-group decoy; field case-insensitivity
+    (
+        "b.com",
+        "user-AGENT: mybot\nuser-agent: otherbot\nDisallow: /\nAllow: /data\n"
+        "\nUser-agent: *\nDisallow: /data\n",
+    ),
+    # empty Disallow is a no-op line
+    ("c.com", "User-agent: *\nDisallow:\n# nothing disallowed\n"),
+    # group for a different agent only -> no effective rules for us
+    ("d.com", "User-agent: zbot\nDisallow: /\n"),
+    # exact length tie -> Allow wins
+    ("e.com", "User-agent: *\nDisallow: /x\nAllow: /x\n"),
+    # wildcard rules dropped (documented deviation), literal kept
+    ("f.com", "User-agent: *\nDisallow: /w*ld\nDisallow: /real\n"),
+]
+
+
+def _robots(spark):
+    return spark.createDataFrame(FIXTURE, "host string, robots_txt string")
+
+
+def test_robots_rules_parsing(spark):
+    got = {
+        r["host"]: sorted((x["path"], x["allow"]) for x in r["rules"])
+        for r in robots_rules(_robots(spark), agent="mybot").collect()
+    }
+    assert got == {
+        "a.com": [("/private", False), ("/private/ok", True)],
+        "b.com": [("/", False), ("/data", True)],  # specific group only
+        "e.com": [("/x", False), ("/x", True)],
+        "f.com": [("/real", False)],  # wildcard rule dropped
+        # c.com (no-op) and d.com (no applicable group) emit no row
+    }
+
+
+def test_robots_filter_decisions(spark):
+    pages = spark.createDataFrame(
+        [
+            ("https://a.com/private/secret", False),  # /private disallow
+            ("https://a.com/private/ok/x", True),  # longer allow wins
+            ("https://a.com/other", True),  # no matching rule
+            ("https://b.com/data/set", True),  # allow /data beats /
+            ("https://b.com/else", False),  # disallow / catches
+            ("https://c.com/anything", True),  # empty Disallow no-op
+            ("https://d.com/x", True),  # zbot group not ours
+            ("https://e.com/x/t", True),  # tie -> allow
+            ("https://f.com/wXld", True),  # wildcard rule dropped
+            ("https://f.com/realpath", False),  # literal prefix hits
+            ("https://nohost.org/q", True),  # host without robots row
+        ],
+        "url string, expected boolean",
+    )
+    out = robots_filter(pages, _robots(spark), agent="mybot")
+    for r in out.collect():
+        assert r["robots_allowed"] == r["expected"], r["url"]
+    # schema hygiene: helper columns dropped, input columns preserved
+    assert out.columns == ["url", "expected", "robots_allowed"]
+
+
+def test_robots_wildcard_agent_caller(spark):
+    """agent='*' selects only literal *-groups (rank-0 match IS the
+    star token) — b.com's star group applies, its mybot group not."""
+    out = robots_filter(
+        spark.createDataFrame(
+            [("https://b.com/data/set",)], "url string"
+        ),
+        _robots(spark),
+        agent="*",
+    )
+    # star group disallows /data
+    assert [r["robots_allowed"] for r in out.collect()] == [False]
