@@ -75,6 +75,17 @@ def main() -> None:
         "xxhash64(url) %% RESIDUE == 0 (deterministic, no external data)",
     )
     ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument(
+        "--robots", default=None,
+        help="parquet of per-host robots.txt (host, robots_txt); "
+        "disallowed pages drop before any hygiene stage",
+    )
+    ap.add_argument("--robots-agent", default="*")
+    ap.add_argument(
+        "--wet-out", default=None,
+        help="also export the curated corpus as CC-shaped WET segments",
+    )
+    ap.add_argument("--wet-segments", type=int, default=64)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -159,6 +170,10 @@ def main() -> None:
             min_model_score=args.min_model_score,
             splits={"train": 0.98, "val": 0.01, "test": 0.01},
             pre_extracted=extracted,
+            robots_df=(
+                spark.read.parquet(args.robots) if args.robots else None
+            ),
+            robots_agent=args.robots_agent,
         )
         curated_path = os.path.join(args.workdir, "curated")
         curated.write.mode("overwrite").parquet(curated_path)
@@ -199,6 +214,24 @@ def main() -> None:
         token_hll_sketches(
             curated.withColumn("lang", F.lit("all"))
         ).write.mode("overwrite").parquet(os.path.join(idx, "hll", "batch=0"))
+
+    # ---- phase 5 (optional): WET egress — the curated corpus back out
+    # as CC-shaped conversion-record segments any WET consumer (or this
+    # repo's own reader) ingests; deterministic bytes, sha256 manifest.
+    if args.wet_out:
+        with phase("wet_export"):
+            from nidaba_spark.sources.rawfiles import write_wet
+
+            wet_src = curated.withColumn(
+                "warc_ts", F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+            )
+            manifest = write_wet(wet_src, args.wet_out, args.wet_segments)
+            agg = manifest.agg(
+                F.count(F.lit(1)), F.sum("n_records"), F.sum("n_bytes")
+            ).collect()[0]
+            metrics["wet_segments"] = agg[0]
+            metrics["wet_records"] = agg[1]
+            metrics["wet_bytes"] = agg[2]
 
     metrics["lineage_rows"] = pipe.lineage().count()
     metrics["total_wall_sec"] = round(time.perf_counter() - t_job, 2)

@@ -51,6 +51,13 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
         (seg_dir / f"seg{si}.warc.gz").write_bytes(data)
 
     workdir = str(tmp_path / "run")
+    # robots politeness gate: one host disallows everything
+    robots_path = str(tmp_path / "robots.parquet")
+    spark.createDataFrame(
+        [("site3.example", "User-agent: *\nDisallow: /\n")],
+        "host string, robots_txt string",
+    ).write.parquet(robots_path)
+    wet_out = str(tmp_path / "wet")
     _sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "jobs"))
     job = importlib.import_module("full_corpus_job")
@@ -58,12 +65,15 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
         "full_corpus_job.py", "--input", str(seg_dir), "--workdir", workdir,
         "--npartitions", "8", "--buckets", "8", "--eval-residue", "13",
         "--max-docs-per-host", "50", "--min-quality", "0.2",
-        "--min-model-score", "0.05",
+        "--min-model-score", "0.05", "--robots", robots_path,
+        "--wet-out", wet_out, "--wet-segments", "2",
     ])
     job.main()
 
     metrics = json.load(open(os.path.join(workdir, "rehearsal_metrics.json")))
-    assert set(metrics["phases"]) == {"extract", "curate", "linkgraph", "index"}
+    assert set(metrics["phases"]) == {
+        "extract", "curate", "linkgraph", "index", "wet_export",
+    }
     assert metrics["extracted_rows"] == N
     assert 0 < metrics["curated_rows"] <= N
     assert metrics["lineage_rows"] > 0
@@ -98,6 +108,18 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
         F.pmod(F.xxhash64("url"), F.lit(13)) == 0
     ).count()
     assert surviving_eval == 0
+
+    # robots gate honored through the composition: the disallowed
+    # host never reaches the curated table
+    assert not any("site3.example" in r["url"] for r in got)
+
+    # WET export round-trips the curated texts byte-identically
+    from nidaba_spark.sources.rawfiles import read_warc_pages
+
+    wet_back = read_warc_pages(spark, wet_out, glob="*.warc.wet.gz")
+    assert metrics["wet_records"] == metrics["curated_rows"]
+    got_wet = {r["url"]: r["text"] for r in wet_back.collect()}
+    assert got_wet == {r["url"]: r["text"] for r in got}
 
     # serving indexes are queryable
     from nidaba_spark.operators.search import bm25_topk_postings
