@@ -598,6 +598,11 @@ def decontaminate_report(
     "why, and against what").
     """
     eval_id = eval_id_col or eval_df.columns[0]
+    if eval_id_col is None and eval_id == text_col:
+        # same compact-id rule as decontaminate_fuzzy: never use the
+        # document text itself as the broadcast/shuffle key
+        eval_df = eval_df.withColumn("_eid", F.xxhash64(F.col(text_col)))
+        eval_id = "_eid"
     train_g = _exploded_grams(train, id_col, text_col, n, "gram").distinct()
     eval_g = (
         _exploded_grams(eval_df, eval_id, text_col, n, "gram")
@@ -645,8 +650,16 @@ def decontaminate_fuzzy(
     only additional shuffle and its key (doc_id, eval_id) is bounded
     by the pair fan-out, not the corpus. The threshold filter sits on
     the aggregate, so only flagged pairs ever leave the reduce side.
+    When the eval frame has no id column (its first column IS the
+    text, the curate(decontam_eval=) shape), eval_id is synthesized
+    as xxhash64(text) — carrying the full document text as the id
+    would repeat it on every broadcast gram row and in the hits
+    shuffle key (review r05).
     """
     eval_id = eval_id_col or eval_df.columns[0]
+    if eval_id_col is None and eval_id == text_col:
+        eval_df = eval_df.withColumn("_eid", F.xxhash64(F.col(text_col)))
+        eval_id = "_eid"
     eval_g = (
         _exploded_grams(eval_df, eval_id, text_col, n, "gram")
         .select(F.col("doc_id").alias("eval_id"), "gram")

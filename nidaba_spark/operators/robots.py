@@ -53,11 +53,39 @@ def robots_rules(
     """(host, rules: array<struct<path,allow>>) — the effective rule
     set for ``agent`` per host, ready to broadcast-or-join against a
     page table. Hosts whose file yields no applicable rules emit no
-    row (absent == everything allowed, the RFC default)."""
-    lines = robots.select(
-        F.col(host_col).alias("host"),
+    row (absent == everything allowed, the RFC default).
+
+    Input contract: at most one robots_txt per host is meaningful; if
+    several rows share a host (e.g. two crawl snapshots), a
+    DETERMINISTIC representative (min xxhash64 of the text) is used —
+    interleaving two files' lines through one window would fuse their
+    groups into garbage. Pre-dedup upstream (latest-wins) if you need
+    snapshot semantics. Hosts are compared lowercased (matching
+    links.host_of's page side) and a leading UTF-8 BOM — common in
+    real crawls — is stripped before line parsing."""
+    one_per_host = (
+        robots.select(
+            F.lower(F.trim(F.col(host_col))).alias("host"),
+            F.col(txt_col).alias("_txt"),
+        )
+        .withColumn("_hk", F.xxhash64("_txt"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("host").orderBy("_hk", "_txt")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    lines = one_per_host.select(
+        "host",
         F.posexplode(
-            F.split(F.regexp_replace(F.col(txt_col), "\r", ""), "\n")
+            F.split(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("_txt"), "^\ufeff", ""), "\r", ""
+                ),
+                "\n",
+            )
         ).alias("pos", "raw"),
     ).select(
         "host",
@@ -116,8 +144,11 @@ def robots_rules(
 
 
 def url_path(url: Column) -> Column:
-    """Path+query of an absolute URL ('/' when the URL has none)."""
-    p = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1)
+    """Path+query of an absolute URL ('/' when the URL has none).
+    Scheme match is case-insensitive, like links.host_of — otherwise
+    an uppercase-scheme URL would bind its host's rules but evaluate
+    with path '/'."""
+    p = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)?$", 1)
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 

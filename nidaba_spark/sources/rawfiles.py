@@ -204,7 +204,11 @@ def write_wet(
     sha256.
 
     Executes ONE job: applyInPandas over segment groups — each task
-    streams its group to ``<out_dir>/wet-{seg:05d}.warc.wet[.gz]``
+    writes its group to ``<out_dir>/wet-{seg:05d}.warc.wet[.gz]``
+    (note applyInPandas materializes the whole group in the task, so
+    a segment must fit in executor memory — CC's ~1 GB segment
+    convention is comfortably inside any sane executor; don't set
+    num_segments so low that segments grow past that)
     (tmp file + atomic rename, so a retried/speculated task cannot
     leave a torn segment) and returns the manifest row. Returns the
     manifest DataFrame (segment, path, n_records, n_bytes, sha256),
@@ -238,11 +242,28 @@ def write_wet(
     def _write_segment(key, pdf):
         import gzip as gzmod
 
+        from pyspark import TaskContext
+
         seg = int(key[0])
         name = f"wet-{seg:05d}{suffix}"
         final = os.path.join(out_dir, name)
-        tmp = final + ".inprogress"
-        pdf = pdf.sort_values("shard_pos")
+        # tmp name carries the task ATTEMPT id: with speculation (or a
+        # zombie straggler) two attempts for the same segment would
+        # otherwise interleave writes into one inode and publish a
+        # torn file; distinct tmp paths make the os.replace the only
+        # contended step, and it is atomic (review r05)
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        tmp = f"{final}.inprogress.{attempt}"
+        # Duplicate url values share a uniform-hash key, so their
+        # individual shard_pos assignments are arbitrary per run; the
+        # BLOCK of positions they occupy is deterministic (contiguous
+        # in the u-order). Order by the block start, then the payload
+        # columns, so byte-determinism holds even for un-deduped
+        # inputs (review r05).
+        pdf = pdf.assign(
+            _upos=pdf.groupby("url")["shard_pos"].transform("min")
+        ).sort_values(["_upos", "url", "ts_iso", "text"])
         h = hashlib.sha256()
         n_bytes = 0
         with open(tmp, "wb") as f:

@@ -75,6 +75,52 @@ def test_robots_filter_decisions(spark):
     assert out.columns == ["url", "expected", "robots_allowed"]
 
 
+def test_robots_hardening_cases(spark):
+    """Review-pass regressions: leading BOM must not disable the file;
+    host comparison is case-normalized on BOTH sides; uppercase-scheme
+    URLs evaluate their real path; duplicate host rows pick ONE
+    deterministic file instead of interleaving lines."""
+    robots = spark.createDataFrame(
+        [
+            ("g.com", "\ufeff" "User-agent: *\nDisallow: /blocked"),
+            ("WWW.H.com", "User-agent: *\nDisallow: /x"),
+        ],
+        "host string, robots_txt string",
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://g.com/blocked/page", False),  # BOM-prefixed file applies
+            ("HTTPS://g.com/blocked/page", False),  # uppercase scheme, real path
+            ("https://www.h.com/x/1", False),  # robots host was mixed-case
+            ("https://www.h.com/y", True),
+        ],
+        "url string, expected boolean",
+    )
+    out = robots_filter(pages, robots, agent="anybot")
+    for r in out.collect():
+        assert r["robots_allowed"] == r["expected"], r["url"]
+
+    # duplicate host rows: both runs pick the SAME representative file
+    dup = spark.createDataFrame(
+        [
+            ("d.com", "User-agent: *\nDisallow: /a"),
+            ("d.com", "User-agent: *\nDisallow: /b"),
+        ],
+        "host string, robots_txt string",
+    )
+    r1 = {
+        tuple(sorted((x["path"], x["allow"]) for x in r["rules"]))
+        for r in robots_rules(dup, agent="*").collect()
+    }
+    r2 = {
+        tuple(sorted((x["path"], x["allow"]) for x in r["rules"]))
+        for r in robots_rules(dup.repartition(4), agent="*").collect()
+    }
+    assert r1 == r2 and len(r1) == 1
+    (only,) = r1
+    assert only in ((("/a", False),), (("/b", False),))  # one file, not both
+
+
 def test_robots_wildcard_agent_caller(spark):
     """agent='*' selects only literal *-groups (rank-0 match IS the
     star token) — b.com's star group applies, its mybot group not."""

@@ -320,6 +320,26 @@ def test_wet_writer_deterministic_bytes(spark, tmp_path):
     assert s1 == s2 and len(s1) >= 2
 
 
+def test_wet_writer_duplicate_url_determinism(spark, tmp_path):
+    """Duplicate url values share a shard_pos (the permutation hashes
+    url); ordering must fall back to the payload columns so bytes stay
+    deterministic for un-deduped inputs (review r05)."""
+    from nidaba_spark.sources.rawfiles import write_wet
+
+    rows = [
+        ("https://dup.org/p", "2024-02-02 12:00:00", f"version {v}")
+        for v in range(6)
+    ] + [("https://solo.org/q", "2024-02-02 12:00:00", "solo")]
+    docs = spark.createDataFrame(
+        rows, "url string, ts string, text string"
+    ).select("url", F.col("ts").cast("timestamp").alias("warc_ts"), "text")
+    m1 = write_wet(docs.repartition(7), str(tmp_path / "a"), num_segments=2)
+    m2 = write_wet(docs.repartition(1), str(tmp_path / "b"), num_segments=2)
+    assert {r["segment"]: r["sha256"] for r in m1.collect()} == {
+        r["segment"]: r["sha256"] for r in m2.collect()
+    }
+
+
 def test_wet_record_bytes_pure():
     """Record framing is parseable by the pure parser and the
     Content-Length counts UTF-8 payload bytes exactly."""
