@@ -91,14 +91,23 @@ def main() -> None:
         n = docs.count()
         print(f"indexed {n} docs (batch {args.batch_id}) -> {args.output}")
     if args.vectors:
-        from nidaba_spark.operators.pq import build_ivfpq_index
+        from nidaba_spark.operators.pq import append_ivfpq, build_ivfpq_index
 
         vecs = spark.read.parquet(args.vectors)
-        build_ivfpq_index(
-            vecs, os.path.join(args.output, "ivfpq"),
-            nlist=args.nlist, m=args.pq_m, ksub=args.pq_ksub, dim=args.dim,
-        )
-        print(f"built ivfpq index (nlist={args.nlist}) -> {args.output}/ivfpq")
+        vpath = os.path.join(args.output, "ivfpq")
+        if args.batch_id > 0:
+            # incremental: encode this batch with the PERSISTED model
+            # into its own coded/batch=N subdirectory (no retraining)
+            append_ivfpq(vecs, vpath, batch_id=args.batch_id, dim=args.dim)
+            print(
+                f"appended ivfpq batch {args.batch_id} -> {vpath}"
+            )
+        else:
+            build_ivfpq_index(
+                vecs, vpath,
+                nlist=args.nlist, m=args.pq_m, ksub=args.pq_ksub, dim=args.dim,
+            )
+            print(f"built ivfpq index (nlist={args.nlist}) -> {vpath}")
     if args.compact:
         info = compact_postings(spark, os.path.join(args.output, "bm25"))
         print(
@@ -106,6 +115,16 @@ def main() -> None:
             f"{info['postings_files_before']} -> {info['postings_files_after']} "
             "postings files"
         )
+        vpath = os.path.join(args.output, "ivfpq", "coded")
+        if os.path.isdir(vpath):
+            from nidaba_spark.operators.pq import compact_coded
+
+            vinfo = compact_coded(spark, os.path.join(args.output, "ivfpq"))
+            print(
+                f"compacted ivfpq coded table: {vinfo['batches_before']} "
+                f"batches -> 1, {vinfo['coded_files_before']} -> "
+                f"{vinfo['coded_files_after']} files"
+            )
 
 
 if __name__ == "__main__":

@@ -468,8 +468,8 @@ def build_ivfpq_index(
 ) -> None:
     """Train the coarse quantizer + PQ codebooks and persist:
 
-      {path}/coded/cell=<c>/...   (id, codes array<int>, vnorm) —
-                                  8-byte codes + one double per
+      {path}/coded/batch=0/cell=<c>/...  (id, codes array<int>, vnorm)
+                                  — 8-byte codes + one double per
                                   vector, 32x smaller than the floats;
       {path}/model/centroids      (row, vec array<double>);
       {path}/model/codebooks      (subspace, code, vec array<double>).
@@ -477,8 +477,13 @@ def build_ivfpq_index(
     The model tables are KBs regardless of corpus size (nlist x dim +
     m x ksub x dsub doubles); the coded table is the only
     corpus-sized artifact and its cell partitioning is what lets a
-    query prune (nlist - nprobe)/nlist of it at the SCAN. Overwrite
-    semantics: rebuilds are idempotent."""
+    query prune (nlist - nprobe)/nlist of it at the SCAN. The batch=
+    level makes the index APPENDABLE (append_ivfpq encodes new rows
+    with THIS persisted model into their own batch subdirectory —
+    queries read cells across all batches) and each batch write an
+    idempotent overwrite of its own subdirectory. A rebuild overwrites
+    batch 0 only; wipe ``{path}/coded`` first for a from-scratch
+    build over a previously-appended index."""
     from .ivf import train_centroids
 
     spark = vectors.sparkSession
@@ -491,7 +496,9 @@ def build_ivfpq_index(
         id_col=id_col, vec_col=vec_col,
     )
     coded = encode_pq(vectors, codebooks, dim, id_col, vec_col, centroids=centroids)
-    coded.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/coded")
+    coded.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/coded/batch=0"
+    )
     spark.createDataFrame(
         [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
         "row int, vec array<double>",
@@ -505,6 +512,93 @@ def build_ivfpq_index(
         ],
         "subspace int, code int, vec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/model/codebooks")
+
+
+def append_ivfpq(
+    vectors: DataFrame,
+    path: str,
+    batch_id: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add one ingest batch to a build_ivfpq_index directory: encode
+    the new rows with the PERSISTED model (no retraining — the cell
+    geometry and codebooks must stay fixed or historical codes become
+    incomparable) and overwrite ``coded/batch=<id>`` idempotently (a
+    crash-replayed batch converges; same pattern as search
+    .append_postings). Ids must be unique across batches — upstream
+    recrawl-dedup owns that. Per-batch cost is one scan of the BATCH;
+    historical vectors are never touched. Quantization-drift policy
+    is the caller's: when the data distribution moves, rebuild the
+    model and re-encode (compact_coded collapses the batch layout
+    first so the rebuild starts from one directory listing)."""
+    spark = vectors.sparkSession
+    centroids, codebooks = load_ivfpq_model(spark, path)
+    coded = encode_pq(
+        vectors, codebooks, dim, id_col, vec_col, centroids=centroids
+    )
+    coded.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/coded/batch={batch_id}"
+    )
+
+
+def compact_coded(spark, path: str) -> dict:
+    """Collapse every ``coded/batch=N`` of an appended IVF-PQ index
+    into a single ``batch=0`` with ~one file per cell — the same
+    small-files repair as search.compact_postings, and the same swap
+    protocol (fully write under ``.compacting/``, rename the live dir
+    aside, rename the new one in; nothing deleted until the swap
+    lands). Codes are per-id rows, so compaction is a pure
+    repartition-by-cell rewrite — scores are byte-identical."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+
+    def jp(p):
+        return jvm.org.apache.hadoop.fs.Path(p)
+
+    fs = jp(path).getFileSystem(conf)
+
+    def count_files(sub):
+        it, n = fs.listFiles(jp(f"{path}/{sub}"), True), 0
+        while it.hasNext():
+            n += it.next().getPath().getName().endswith(".parquet")
+        return n
+
+    batches = [
+        s.getPath().getName()
+        for s in fs.listStatus(jp(f"{path}/coded"))
+        if s.getPath().getName().startswith("batch=")
+    ]
+    files_before = count_files("coded")
+    coded = spark.read.parquet(f"{path}/coded")
+    ncells = coded.select("cell").distinct().count()
+    tmp = f"{path}/.compacting"
+    fs.delete(jp(tmp), True)
+    (
+        coded.drop("batch")
+        .repartition(max(int(ncells), 1), "cell")
+        .write.partitionBy("cell")
+        .parquet(f"{tmp}/coded/batch=0")
+    )
+    old = f"{path}/.compact_old"
+    fs.delete(jp(old), True)
+    fs.mkdirs(jp(old))
+    if not fs.rename(jp(f"{path}/coded"), jp(f"{old}/coded")):
+        raise OSError("compaction swap failed moving coded aside")
+    fs.mkdirs(jp(f"{path}/coded"))
+    if not fs.rename(jp(f"{tmp}/coded/batch=0"), jp(f"{path}/coded/batch=0")):
+        raise OSError(
+            f"compaction swap failed installing coded; originals "
+            f"preserved under {old}"
+        )
+    fs.delete(jp(old), True)
+    fs.delete(jp(tmp), True)
+    return {
+        "batches_before": len(batches),
+        "coded_files_before": files_before,
+        "coded_files_after": count_files("coded"),
+    }
 
 
 def load_ivfpq_model(spark, path: str) -> tuple[np.ndarray, np.ndarray]:

@@ -268,3 +268,53 @@ def test_index_model_roundtrip_exact(spark, emb, tmp_path_factory):
     np.testing.assert_array_equal(
         books_, pq.train_pq_codebooks(emb, m=8, ksub=16, dim=64, iters=2)
     )
+
+
+def test_index_append_and_compact(spark, emb, tmp_path_factory):
+    """Incremental vector index: build on batch A, append_ivfpq batch
+    B with the PERSISTED model -> serving equals a single-batch index
+    encoding A∪B with that same model; a replayed append converges;
+    compact_coded collapses batches with byte-identical results and
+    keeps the scan partition-pruned."""
+    rows = emb.count()
+    a = emb.filter(F.col("vec_id") % 2 == 0)
+    b = emb.filter(F.col("vec_id") % 2 == 1)
+    q = _queries(emb)
+
+    inc = str(tmp_path_factory.mktemp("ivfpq") / "inc")
+    pq.build_ivfpq_index(a, inc, nlist=8, m=8, ksub=16, dim=64, iters=2)
+    pq.append_ivfpq(b, inc, batch_id=1, dim=64)
+
+    # reference: ONE batch holding A∪B encoded with the same model
+    ref = str(tmp_path_factory.mktemp("ivfpq") / "ref")
+    pq.build_ivfpq_index(a, ref, nlist=8, m=8, ksub=16, dim=64, iters=2)
+    cents, books_ = pq.load_ivfpq_model(spark, ref)
+    pq.encode_pq(emb, books_, 64, "vec_id", "embedding", centroids=cents)\
+        .write.mode("overwrite").partitionBy("cell")\
+        .parquet(f"{ref}/coded/batch=0")
+
+    def serve(path):
+        return {
+            tuple(r)
+            for r in pq.ivfpq_topk_index(
+                spark, path, q, emb, k=K, nprobe=4, dim=64
+            ).collect()
+        }
+
+    got = serve(inc)
+    assert got == serve(ref) and got
+    assert spark.read.parquet(f"{inc}/coded").count() == rows
+
+    # replayed batch (crash recovery) converges
+    pq.append_ivfpq(b, inc, batch_id=1, dim=64)
+    assert serve(inc) == got
+    assert spark.read.parquet(f"{inc}/coded").count() == rows
+
+    # compaction: byte-identical serving, fewer files, pruning intact
+    stats = pq.compact_coded(spark, inc)
+    assert stats["batches_before"] == 2
+    assert stats["coded_files_after"] <= stats["coded_files_before"]
+    assert serve(inc) == got
+    coded = spark.read.parquet(f"{inc}/coded").filter(F.col("cell").isin([1, 3]))
+    plan = coded._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
