@@ -465,6 +465,7 @@ def build_ivfpq_index(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    batch_id: int = 0,
 ) -> None:
     """Train the coarse quantizer + PQ codebooks and persist:
 
@@ -496,8 +497,11 @@ def build_ivfpq_index(
         id_col=id_col, vec_col=vec_col,
     )
     coded = encode_pq(vectors, codebooks, dim, id_col, vec_col, centroids=centroids)
+    # batch_id parameterized so a streaming bootstrap whose first drop
+    # arrives as micro-batch N != 0 stays batch-keyed (replay converges
+    # to the same subdirectory, never a second copy under batch=0)
     coded.write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/coded/batch=0"
+        f"{path}/coded/batch={batch_id}"
     )
     spark.createDataFrame(
         [(i, [float(x) for x in centroids[i]]) for i in range(len(centroids))],
