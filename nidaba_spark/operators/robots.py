@@ -27,7 +27,8 @@ raw strings (no %-decoding normalization).
 Scale shape at 10^9 hosts: parsing windows/aggregations are keyed by
 host and bounded by RFC 9309's 500 KiB file cap; the effective rules
 collapse to ONE array row per host (KB-scale), so the page-side honor
-check is a host-keyed join (AQE handles mega-host skew) plus a
+check is a BROADCAST join by default (zero page-side shuffle; see
+robots_filter.broadcast_rules for the planetary-host fallback) plus a
 zero-shuffle higher-order expression over the bound rules array —
 page bytes never enter any exchange.
 """
@@ -159,6 +160,7 @@ def robots_filter(
     url_col: str = "url",
     host_col: str = "host",
     txt_col: str = "robots_txt",
+    broadcast_rules: bool = True,
 ) -> DataFrame:
     """pages + ``robots_allowed`` boolean (longest-match honor check).
 
@@ -166,6 +168,14 @@ def robots_filter(
     rules array: filter to prefix-matching rules, take the max of
     struct(path_length, allow) — struct ordering gives longest-match
     with Allow winning length ties — null/empty means allowed.
+
+    ``broadcast_rules`` (default True) broadcasts the effective-rules
+    table so the PAGE side pays ZERO shuffle — right whenever the
+    rule-bearing host universe fits an executor (one array row per
+    host; tens of millions of hosts is tens–hundreds of MB). Set
+    False for a planetary host table and the join falls back to a
+    host-keyed shuffle (AQE handles mega-host skew) — the pages still
+    never carry their payload columns into any extra exchange.
     """
     eff = robots_rules(robots, agent, host_col=host_col, txt_col=txt_col).select(
         # avoid colliding with any 'host'/'rules' column the page
@@ -173,6 +183,8 @@ def robots_filter(
         F.col("host").alias("_rrhost"),
         F.col("rules").alias("_rrules"),
     )
+    if broadcast_rules:
+        eff = F.broadcast(eff)
     # project path/host FIRST: HOF lambdas are interpreted, so they
     # must slice bound attributes, never re-evaluate an extract per
     # element (the _ngrams O(n²) trap)

@@ -133,3 +133,30 @@ def test_robots_wildcard_agent_caller(spark):
     )
     # star group disallows /data
     assert [r["robots_allowed"] for r in out.collect()] == [False]
+
+
+def test_robots_filter_page_side_plan(spark):
+    """Scale shape: with broadcast_rules (the default) the PAGE side
+    pays ZERO shuffle — BroadcastHashJoin, no Exchange on the page
+    branch; the only Exchanges in the whole plan belong to the
+    host-keyed rules build over the (file-sized) robots rows. With
+    broadcast_rules=False the join degrades to one host-keyed
+    shuffle — the documented planetary-host fallback."""
+    import re
+
+    pages = spark.createDataFrame(
+        [(f"https://a.com/p/{i}",) for i in range(50)], "url string"
+    )
+    out = robots_filter(pages, _robots(spark), agent="mybot")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the page branch = everything above/feeding the broadcast join
+    # probe side; its scan must feed the join through projections only
+    page_branch = plan.split("BroadcastHashJoin")[0]
+    assert not re.findall(r"\(\d+\) Exchange\b", page_branch), page_branch
+
+    nb = robots_filter(
+        pages, _robots(spark), agent="mybot", broadcast_rules=False
+    )
+    nplan = nb._jdf.queryExecution().executedPlan().toString()
+    assert re.findall(r"(?:SortMerge|ShuffledHash)Join", nplan), nplan[:1500]
