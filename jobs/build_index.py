@@ -115,8 +115,13 @@ def main() -> None:
             f"{info['postings_files_before']} -> {info['postings_files_after']} "
             "postings files"
         )
+        # probe through the Hadoop FS layer, not os.path — --output may
+        # be an hdfs:// / s3a:// URI where a driver-local isdir is
+        # always False and would silently skip the coded compaction
         vpath = os.path.join(args.output, "ivfpq", "coded")
-        if os.path.isdir(vpath):
+        jpath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path(vpath)
+        vfs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if vfs.exists(jpath):
             from nidaba_spark.operators.pq import compact_coded
 
             vinfo = compact_coded(spark, os.path.join(args.output, "ivfpq"))

@@ -522,7 +522,7 @@ def append_ivfpq(
     vectors: DataFrame,
     path: str,
     batch_id: int,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -539,8 +539,15 @@ def append_ivfpq(
     first so the rebuild starts from one directory listing)."""
     spark = vectors.sparkSession
     centroids, codebooks = load_ivfpq_model(spark, path)
+    # the persisted model is the single source of truth for geometry:
+    # a dim that disagrees with it would corrupt every code written
+    model_dim = int(centroids.shape[1])
+    if dim is not None and dim != model_dim:
+        raise ValueError(
+            f"append dim={dim} != persisted model dim={model_dim} at {path}"
+        )
     coded = encode_pq(
-        vectors, codebooks, dim, id_col, vec_col, centroids=centroids
+        vectors, codebooks, model_dim, id_col, vec_col, centroids=centroids
     )
     coded.write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/coded/batch={batch_id}"

@@ -30,9 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _model_exists(spark: SparkSession, index_path: str) -> bool:
+    # Probe the LAST artifact build_ivfpq_index writes (codebooks), not
+    # the first: a crash between the centroids and codebooks writes
+    # must replay as a REBUILD, not as an append against a half-written
+    # model (which would fail reading codebooks on every retry).
     sc = spark.sparkContext
     Path = sc._jvm.org.apache.hadoop.fs.Path
-    p = Path(os.path.join(index_path, "model", "centroids"))
+    p = Path(os.path.join(index_path, "model", "codebooks"))
     return p.getFileSystem(sc._jsc.hadoopConfiguration()).exists(p)
 
 

@@ -102,3 +102,30 @@ def test_stream_bootstrap_append_resume(spark, tmp_path, emb_rows):
     stats = pq.compact_coded(spark, idx)
     assert stats["batches_before"] == 2
     assert _serve(spark, idx, queries, all_vecs) == got
+
+
+def test_bootstrap_replay_after_partial_model_write(spark, tmp_path, emb_rows):
+    """Crash between the centroids and codebooks model writes: the
+    replayed batch must re-BOOTSTRAP (build writes codebooks LAST, so
+    its absence means the model never committed), not take the append
+    path against the half-written model and fail on every retry."""
+    src = str(tmp_path / "drops")
+    idx = str(tmp_path / "idx")
+    os.makedirs(src)
+    d1 = emb_rows[: len(emb_rows) // 2]
+    _write_drop(spark, src, "d1", d1)
+    vector_index_stream(spark, src, idx, SCHEMA, dim=DIM, nlist=8, iters=2)
+
+    # simulate the crash: codebooks (the commit marker) missing, the
+    # engine checkpoint never committed -> batch 0 replays
+    shutil.rmtree(f"{idx}/model/codebooks")
+    shutil.rmtree(f"{idx}/ckpt")
+    vector_index_stream(spark, src, idx, SCHEMA, dim=DIM, nlist=8, iters=2)
+
+    assert os.path.isdir(f"{idx}/model/codebooks")
+    assert spark.read.parquet(f"{idx}/coded").count() == len(d1)
+    all_vecs = spark.createDataFrame(emb_rows, SCHEMA)
+    queries = all_vecs.filter(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert _serve(spark, idx, queries, all_vecs)
