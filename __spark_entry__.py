@@ -130,6 +130,7 @@ _RETIRED_FROM_DRIVER = [
     "annotate",
     "decontaminate_fuzzy",
     "robots_filter",
+    "cdx_index",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -65,6 +65,7 @@ AUX_QUERIES = [
     "hashed_embedding",
     "budget_select",
     "pack_bins",
+    "cdx_index",
 ]
 
 

@@ -3419,6 +3419,105 @@ JOIN c4 USING (doc_id)
 """.replace("__STOPLIST__", _STOPLIST_SQL)
 
 
+def q_cdx_index(spark: SparkSession, sf: str) -> DataFrame:
+    """CDX capture index (operators/cdx.build_cdx) over synthesized
+    crawl URLs that exercise every SURT rule: uppercase scheme/host,
+    www-strip, non-default port, fragment strip, empty path → '/',
+    query-param sort with empty-param drop. ts is a pre-formatted
+    14-digit string (timestamp formatting is session-tz-dependent;
+    the string path keeps the oracle engine-neutral). The global
+    (surt, ts) range sort is exercised but not compared — the driver
+    rowset compare is order-free; sortedness/pruning have dedicated
+    plan gates in tests/test_cdx.py."""
+    from ..operators.cdx import build_cdx
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    h = (d % 37).cast("string")
+    url = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Site"), h, F.lit(".Example.COM/Articles/"),
+                d.cast("string"), F.lit("?b=2&a=1&"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("http://site"), h, F.lit(".example.com:8080/"),
+                d.cast("string"), F.lit("#frag"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("https://www.site"), h, F.lit(".example.com")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://site"), h, F.lit(".example.com/x/Y/"),
+                d.cast("string"), F.lit("?z="),
+            )
+        )
+    )
+    ts = F.concat(F.lit("202401"), F.lpad((d % 28 + 1).cast("string"), 2, "0"),
+                  F.lit("120000"))
+    pages = docs.select(
+        url.alias("url"), ts.alias("warc_ts"), F.col("text")
+    )
+    return build_cdx(pages, payload_col="text").select(
+        "surt", "ts", "url", "digest", "mime", "length"
+    )
+
+
+ORACLE["cdx_index"] = r"""
+WITH pages AS (
+  SELECT CASE
+           WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.Site' || (doc_id % 37)
+                || '.Example.COM/Articles/' || doc_id || '?b=2&a=1&'
+           WHEN doc_id % 4 = 1 THEN 'http://site' || (doc_id % 37)
+                || '.example.com:8080/' || doc_id || '#frag'
+           WHEN doc_id % 4 = 2 THEN 'https://www.site' || (doc_id % 37)
+                || '.example.com'
+           ELSE 'http://site' || (doc_id % 37) || '.example.com/x/Y/'
+                || doc_id || '?z='
+         END AS url,
+         '202401' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                  || '120000' AS ts,
+         text
+  FROM documents
+), parts AS (
+  SELECT url, ts, text,
+         regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)', 1)
+           AS hostport,
+         lower(split_part(regexp_replace(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''), '#', 1)) AS rest
+  FROM pages
+), surt AS (
+  SELECT url, ts, text, rest,
+         array_to_string(list_reverse(string_split(
+           regexp_replace(lower(split_part(hostport, ':', 1)),
+                          '^www\.', ''), '.')), ',')
+         || CASE WHEN contains(hostport, ':')
+                 THEN ':' || split_part(hostport, ':', 2) ELSE '' END
+         || ')'
+         || CASE WHEN split_part(rest, '?', 1) = '' THEN '/'
+                 ELSE split_part(rest, '?', 1) END
+         || CASE WHEN regexp_extract(rest, '\?(.*)$', 1) = '' THEN ''
+                 ELSE '?' || array_to_string(list_sort(list_filter(
+                        string_split(regexp_extract(rest, '\?(.*)$', 1),
+                                     '&'), x -> x <> '')), '&')
+            END AS surt
+  FROM parts
+)
+SELECT surt, ts, url, sha256(text) AS digest,
+       'text/html' AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS length
+FROM surt
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -3501,4 +3600,5 @@ QUERIES = {
     "normalize_urls": q_normalize_urls,
     "anchor_stats": q_anchor_stats,
     "semdedup": q_semdedup,
+    "cdx_index": q_cdx_index,
 }
