@@ -131,6 +131,7 @@ _RETIRED_FROM_DRIVER = [
     "decontaminate_fuzzy",
     "robots_filter",
     "cdx_index",
+    "crawl_frontier",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

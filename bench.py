@@ -66,6 +66,7 @@ AUX_QUERIES = [
     "budget_select",
     "pack_bins",
     "cdx_index",
+    "crawl_frontier",
 ]
 
 

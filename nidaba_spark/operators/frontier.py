@@ -1,0 +1,75 @@
+"""Crawl-frontier generation — the crawler's scheduling artifact
+(Nutch generate / Heritrix frontier): which URLs to fetch next, who
+vouches for them, and in what per-host order.
+
+frontier = (distinct outlink targets of the fetched pages)
+           MINUS (everything already crawled),
+           ranked per host for politeness.
+
+Spark-first shape, three justified shuffles and nothing else:
+
+1. discovery — ``page_links`` is the pure-codegen href scan (no
+   Python); ``groupBy(dst)`` dedups candidates and counts referrers
+   with a map-side partial agg, so a URL linked from 10^9 pages
+   collapses inside each scan partition before the exchange ever
+   sees it. The shuffle carries (url, count) — never page bytes.
+2. seen-filter — LEFT ANTI join against the crawled-URL set, keyed
+   on url. At 10^12 crawled rows both sides are huge: a shuffled
+   hash anti-join on the url key is the right plan, and AQE turns it
+   into a broadcast automatically when the crawled side is small
+   (recrawl of one segment). Persist the crawled set bucketed by url
+   (sources/bucketed.py) and this exchange disappears entirely.
+3. politeness — a per-host window ranks candidates (referrer count
+   desc, then url for a total order). With ``per_host_cap`` the
+   rank<=k filter compiles to a map-side WindowGroupLimit
+   (plan-asserted in tests/test_frontier.py), so a mega-host that
+   accumulated 10^8 discovered URLs is bounded to k rows per
+   partition BEFORE its host key is shuffled — the same skew pattern
+   as hoststats.cap_per_host.
+
+Robots/scheme/blocklist hygiene composes upstream or downstream
+(operators/robots.robots_filter, the url_filter rules): this module
+owns discovery, dedup-vs-seen, and ordering only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .links import host_of, page_links
+
+
+def crawl_frontier(
+    pages: DataFrame,
+    crawled: DataFrame | None = None,
+    per_host_cap: int | None = None,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, host, n_referrers, fetch_order) for every discovered,
+    not-yet-crawled URL. ``crawled`` is a one-column (url) frame of
+    everything already fetched; it defaults to the input pages' own
+    URLs (always excluded, even when an external set is supplied).
+    ``fetch_order`` is the 1-based per-host politeness rank —
+    most-referenced first, URL as the deterministic tiebreak."""
+    own = pages.select(F.col(url_col).alias("url"))
+    seen = own if crawled is None else own.unionByName(
+        crawled.select(F.col(crawled.columns[0]).alias("url"))
+    )
+    cand = (
+        page_links(pages, url_col=url_col, html_col=html_col)
+        .groupBy(F.col("dst").alias("url"))
+        .agg(F.count(F.lit(1)).alias("n_referrers"))
+    )
+    fresh = cand.join(seen, "url", "left_anti")
+    w = Window.partitionBy("host").orderBy(
+        F.desc("n_referrers"), F.col("url")
+    )
+    out = (
+        fresh.withColumn("host", host_of(F.col("url")))
+        .withColumn("fetch_order", F.row_number().over(w).cast("long"))
+    )
+    if per_host_cap is not None:
+        out = out.filter(F.col("fetch_order") <= per_host_cap)
+    return out.select("url", "host", "n_referrers", "fetch_order")

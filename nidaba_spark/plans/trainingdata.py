@@ -3518,6 +3518,69 @@ FROM surt
 """
 
 
+def q_crawl_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-frontier generation (operators/frontier.crawl_frontier)
+    over the same synthesized pages as page_links: discovered
+    outlinks minus the crawled set, per-host politeness rank, host
+    cap 100. The crawled set = the pages' own URLs (default) plus an
+    external set planting real hits — /home and every doc_id%3==0
+    dot-relative target — so the anti-join provably removes rows.
+    The oracle reconstructs the surviving frontier INDEPENDENTLY from
+    the planted-link arithmetic (like page_links/anchor_stats), not
+    by mirroring the extraction."""
+    from ..operators.frontier import crawl_frontier
+
+    docs = load(spark, sf, "documents")
+    pages = _synth_pages(docs)
+    d = F.col("doc_id")
+    crawled = (
+        docs.filter(d % 3 == 0)
+        .select(
+            F.concat(
+                F.lit("https://docs.example.com/d/"),
+                d.cast("string"),
+                F.lit("/../up"),
+            ).alias("url")
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("https://docs.example.com/home",)], "url string"
+            )
+        )
+    )
+    return crawl_frontier(pages, crawled=crawled, per_host_cap=100)
+
+
+ORACLE["crawl_frontier"] = """
+WITH f AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         regexp_extract(lower(text), '[a-z0-9]+', 0) AS w
+  FROM documents),
+n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM f),
+cand AS (
+  SELECT 'https://docs.example.com/about' AS url,
+         'docs.example.com' AS host, c AS n_referrers FROM n
+  UNION ALL
+  SELECT 'https://ref.example.org/cite', 'ref.example.org', c FROM n
+  UNION ALL
+  SELECT 'https://cdn.example.net/lib.js', 'cdn.example.net', c FROM n
+  UNION ALL
+  SELECT 'https://docs.example.com/d/' || doc_id || '/../up',
+         'docs.example.com', CAST(1 AS BIGINT)
+  FROM f WHERE doc_id % 3 <> 0
+  UNION ALL
+  SELECT 'https://docs.example.com/d/' || doc_id || '/rel/' || w,
+         'docs.example.com', CAST(1 AS BIGINT) FROM f
+)
+SELECT url, host, n_referrers,
+       CAST(row_number() OVER (
+         PARTITION BY host ORDER BY n_referrers DESC, url
+       ) AS BIGINT) AS fetch_order
+FROM cand
+QUALIFY fetch_order <= 100
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -3601,4 +3664,5 @@ QUERIES = {
     "anchor_stats": q_anchor_stats,
     "semdedup": q_semdedup,
     "cdx_index": q_cdx_index,
+    "crawl_frontier": q_crawl_frontier,
 }

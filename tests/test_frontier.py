@@ -1,0 +1,73 @@
+"""Crawl-frontier semantics on hand-built pages (discovery, dedup vs
+the crawled set, per-host politeness order) + the skew-critical plan
+shape: the host cap must compile to a map-side WindowGroupLimit so a
+mega-host is bounded before its key is shuffled."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nidaba_spark.operators.frontier import crawl_frontier  # noqa: E402
+
+
+def _page(url: str, *hrefs: str) -> tuple[str, bytearray]:
+    body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+    return url, bytearray(f"<html><body>{body}</body></html>".encode())
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        _page("https://a.com/1", "/2", "https://b.com/x", "https://c.com/y"),
+        _page("https://a.com/2", "/1", "https://b.com/x"),
+        _page("https://b.com/x", "https://a.com/1", "/z"),
+    ]
+    return spark.createDataFrame(rows, "url string, html binary")
+
+
+def test_frontier_excludes_own_urls_and_ranks(pages):
+    got = {
+        r["url"]: (r["n_referrers"], r["host"], r["fetch_order"])
+        for r in crawl_frontier(pages).collect()
+    }
+    # /1, /2, b.com/x are crawled (own urls); c.com/y and b.com/z are new
+    assert got == {
+        "https://c.com/y": (1, "c.com", 1),
+        "https://b.com/z": (1, "b.com", 1),
+    }
+
+
+def test_frontier_referrer_counts_and_order(spark):
+    # two seed pages both link b.com/x; one also links b.com/z:
+    # counts drive the per-host politeness order
+    rows_in = [
+        _page("https://seed.com/1", "https://b.com/x", "https://b.com/z"),
+        _page("https://seed.com/2", "https://b.com/x"),
+    ]
+    seeds = spark.createDataFrame(rows_in, "url string, html binary")
+    rows = crawl_frontier(seeds).collect()
+    by_url = {r["url"]: r for r in rows}
+    assert by_url["https://b.com/x"]["n_referrers"] == 2
+    border = {r["url"]: r["fetch_order"] for r in rows if r["host"] == "b.com"}
+    assert border == {"https://b.com/x": 1, "https://b.com/z": 2}
+
+
+def test_frontier_cap_plan_is_window_group_limit(pages):
+    capped = crawl_frontier(pages, per_host_cap=5)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    # and the cap applies
+    big = crawl_frontier(pages, per_host_cap=1).collect()
+    assert all(r["fetch_order"] <= 1 for r in big)
+
+
+def test_frontier_external_crawled_composes_with_own(spark, pages):
+    crawled = spark.createDataFrame([("https://c.com/y",)], "url string")
+    urls = {r["url"] for r in crawl_frontier(pages, crawled=crawled).collect()}
+    assert urls == {"https://b.com/z"}  # own urls STILL excluded
