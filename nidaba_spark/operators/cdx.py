@@ -89,9 +89,14 @@ def build_cdx(
     payload_col: str = "html",
     mime: str = "text/html",
     npartitions: int | None = None,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """pages → globally (surt, ts)-sorted CDX records
-    ``(surt, ts, url, digest, mime, length)``.
+    ``(surt, ts, url, digest, mime, length, *carry)``. Pass
+    ``carry=('warc_file', 'offset', 'length')`` over a
+    sources/rawfiles.read_warc_captures frame (aliasing its ``length``
+    first) to make the index serveable via fetch_capture — the full
+    Common Crawl CDX record.
 
     digest = sha256 hex of the payload bytes (Common Crawl uses
     sha1/base32; sha256 is the strongest digest BOTH engines ship as
@@ -119,6 +124,7 @@ def build_cdx(
         F.sha2(payload, 256).alias("digest"),
         F.lit(mime).alias("mime"),
         F.octet_length(payload).alias("length"),
+        *[F.col(c) for c in carry],
     ).filter(F.col("surt").isNotNull())
     return slim.repartitionByRange(n, "surt", "ts").sortWithinPartitions(
         "surt", "ts"

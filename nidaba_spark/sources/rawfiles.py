@@ -78,14 +78,10 @@ def _gunzip_members(data: bytes) -> bytes:
     return b"".join(out)
 
 
-def parse_warc_records(data: bytes):
-    """Yield (headers: dict, payload: bytes) per WARC record.
-
-    Pure function of the bytes (unit-tested without Spark). Tolerates
-    trailing garbage after the last record; raises on a record with a
-    missing/invalid Content-Length (framing is not recoverable)."""
-    if data[:2] == b"\x1f\x8b":
-        data = _gunzip_members(data)
+def _parse_plain_located(data: bytes):
+    """Yield (headers, payload, offset, length) per UNCOMPRESSED WARC
+    record, where offset/length span the record's bytes including its
+    trailing CRLFCRLF — the range that re-parses standalone."""
     pos = 0
     n = len(data)
     while pos < n:
@@ -106,8 +102,61 @@ def parse_warc_records(data: bytes):
         body_start = head_end + 4
         if body_start + length > n:
             break  # truncated mid-payload — drop the partial record
-        yield headers, data[body_start:body_start + length]
+        rec_end = min(body_start + length + 4, n)
+        yield headers, data[body_start:body_start + length], pos, rec_end - pos
         pos = body_start + length + 4  # skip the record's CRLFCRLF
+
+
+def parse_warc_records(data: bytes):
+    """Yield (headers: dict, payload: bytes) per WARC record.
+
+    Pure function of the bytes (unit-tested without Spark). Tolerates
+    trailing garbage after the last record; raises on a record with a
+    missing/invalid Content-Length (framing is not recoverable).
+    Gzip'd input is decompressed as a WHOLE (cross-member records
+    tolerated); use parse_warc_records_located when the per-member
+    byte ranges matter."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    for headers, payload, _off, _ln in _parse_plain_located(data):
+        yield headers, payload
+
+
+def _iter_gzip_members(data: bytes):
+    """(offset, length, decompressed bytes) per gzip member — the
+    compressed byte ranges CC's CDX stores, each independently
+    range-fetchable. Truncated/corrupt tail members stop the loop
+    (same tolerance as _gunzip_members)."""
+    import zlib
+
+    pos, n = 0, len(data)
+    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(data[pos:])
+            out += d.flush()
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated final member
+        end = n - len(d.unused_data)
+        yield pos, end - pos, out
+        pos = end
+
+
+def parse_warc_records_located(data: bytes):
+    """parse_warc_records plus the (offset, length) byte range of the
+    ORIGINAL file that independently contains each record: the gzip
+    member for member-gzip'd archives (range-request it, gunzip, get
+    the record — exactly what Common Crawl's CDX offsets mean), the
+    record span for plain WARCs. A nonstandard multi-record member
+    yields that member's whole range for each of its records."""
+    if data[:2] == b"\x1f\x8b":
+        for moff, mlen, raw in _iter_gzip_members(data):
+            for headers, payload, _o, _l in _parse_plain_located(raw):
+                yield headers, payload, moff, mlen
+    else:
+        yield from _parse_plain_located(data)
 
 
 def _http_body(payload: bytes) -> bytes:
@@ -354,4 +403,101 @@ def read_warc_pages(
     return raw.mapInPandas(
         _records,
         "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+# ------------------------------------------- random-access capture serving
+# The CDX story's other half (operators/cdx.py builds the index): a
+# capture's (warc_file, offset, length) lets a lookup service read ONE
+# gzip member / record span out of a petabyte archive with a ranged
+# read — no segment scan. read_warc_captures surfaces those ranges at
+# ingest; fetch_capture is the point read.
+
+
+def read_warc_captures(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+    default_lang: str = "und",
+) -> DataFrame:
+    """read_warc_pages plus the addressing columns CC's CDX records:
+    (url, warc_ts, html, text, lang, warc_file, offset, length) where
+    offset/length span the gzip member (member-gzip'd segments) or
+    record bytes (plain WARCs) inside ``warc_file``. Same one-task-
+    per-file Arrow-batched scan; feed the result to
+    operators/cdx.build_cdx with carry=('warc_file','offset','length')
+    for a fully serveable index."""
+    import pandas as pd
+
+    def _records(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "url": [], "warc_ts": [], "html": [], "text": [],
+                "lang": [], "warc_file": [], "offset": [], "length": [],
+            }
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                for h, payload, off, ln in parse_warc_records_located(
+                    bytes(content)
+                ):
+                    rtype = h.get("warc-type", "")
+                    if rtype not in ("response", "conversion"):
+                        continue
+                    rows["url"].append(h.get("warc-target-uri", ""))
+                    ts = pd.to_datetime(
+                        h.get("warc-date"), utc=True, errors="coerce"
+                    )
+                    rows["warc_ts"].append(
+                        ts.tz_localize(None) if ts is not pd.NaT else pd.NaT
+                    )
+                    if rtype == "response":
+                        rows["html"].append(_http_body(payload))
+                        rows["text"].append(None)
+                    else:
+                        rows["html"].append(b"")
+                        rows["text"].append(payload.decode("utf-8", "replace"))
+                    rows["lang"].append(default_lang)
+                    rows["warc_file"].append(fname)
+                    rows["offset"].append(off)
+                    rows["length"].append(ln)
+            yield pd.DataFrame(rows)
+
+    raw = (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    ).select("path", "content")
+    return raw.mapInPandas(
+        _records,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, warc_file string, offset long, length long",
+    )
+
+
+def fetch_capture(
+    spark: SparkSession, warc_file: str, offset: int, length: int
+) -> tuple[dict, bytes]:
+    """Point lookup on the serving path (CDX hit → one capture):
+    opens the archive through the Hadoop FS layer (file://, hdfs://,
+    s3a:// alike), seeks to the stored range, reads ``length`` bytes,
+    and parses the single record they contain. Driver-side by design
+    — this is the millisecond random read a lookup service does per
+    request, not a Spark job. Returns (headers, payload) of the
+    record (the HTTP body for `response` captures)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(warc_file)
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        stream.seek(offset)
+        data = bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream, length)
+        )
+    finally:
+        stream.close()
+    for headers, payload in parse_warc_records(data):
+        if headers.get("warc-type") == "response":
+            return headers, _http_body(payload)
+        return headers, payload
+    raise ValueError(
+        f"no WARC record at {warc_file}:{offset}+{length} "
+        "(stale index or wrong archive?)"
     )
