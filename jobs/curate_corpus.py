@@ -61,6 +61,12 @@ def main() -> None:
         "--wet-segments", type=int, default=16,
         help="number of WET segment files (pick total_bytes/1e9 at scale)",
     )
+    ap.add_argument(
+        "--cdx-out", default=None,
+        help="with --wet-out: also build the serveable CDX index over "
+        "the written segments (operators/cdx.build_cdx with "
+        "warc_file/offset/length carried, sorted parquet) at this path",
+    )
     ap.add_argument("--min-quality", type=float, default=0.5)
     ap.add_argument(
         "--rate", action="append", default=[], metavar="LANG=FRAC",
@@ -333,6 +339,25 @@ def main() -> None:
         manifest = write_wet(wet_src, args.wet_out, args.wet_segments)
         segs = manifest.count()
         print(f"wrote {segs} WET segments -> {args.wet_out}")
+        if args.cdx_out:
+            from nidaba_spark.operators.cdx import build_cdx, write_cdx
+            from nidaba_spark.sources.rawfiles import read_warc_captures
+
+            caps = read_warc_captures(
+                spark, args.wet_out, glob="*.warc.wet*"
+            ).select(
+                "url", "warc_ts", "text", "warc_file", "offset",
+                F.col("length").alias("warc_len"),
+            )
+            cdx_df = build_cdx(
+                caps,
+                payload_col="text",
+                mime="text/plain",
+                carry=("warc_file", "offset", "warc_len"),
+            )
+            write_cdx(cdx_df, args.cdx_out)
+            n_caps = spark.read.parquet(args.cdx_out).count()
+            print(f"wrote CDX index ({n_caps} captures) -> {args.cdx_out}")
 
 
 if __name__ == "__main__":

@@ -233,6 +233,29 @@ def main() -> None:
             metrics["wet_records"] = agg[1]
             metrics["wet_bytes"] = agg[2]
 
+        # the archive's lookup artifact rides with its segments: a
+        # serveable CDX (surt-sorted, carrying each record's gzip
+        # member range for fetch_capture point reads)
+        with phase("cdx_index"):
+            from nidaba_spark.operators.cdx import build_cdx, write_cdx
+            from nidaba_spark.sources.rawfiles import read_warc_captures
+
+            caps = read_warc_captures(
+                spark, args.wet_out, glob="*.warc.wet*"
+            ).select(
+                "url", "warc_ts", "text", "warc_file", "offset",
+                F.col("length").alias("warc_len"),
+            )
+            cdx_path = os.path.join(args.workdir, "indexes", "cdx")
+            write_cdx(
+                build_cdx(
+                    caps, payload_col="text", mime="text/plain",
+                    carry=("warc_file", "offset", "warc_len"),
+                ),
+                cdx_path,
+            )
+            metrics["cdx_captures"] = spark.read.parquet(cdx_path).count()
+
     metrics["lineage_rows"] = pipe.lineage().count()
     metrics["total_wall_sec"] = round(time.perf_counter() - t_job, 2)
     with open(os.path.join(args.workdir, "rehearsal_metrics.json"), "w") as f:

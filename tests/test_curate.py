@@ -421,6 +421,8 @@ def test_curate_cli_end_to_end(spark, pages_path, tmp_path, monkeypatch):
     import curate_corpus
 
     out = str(tmp_path / "curated.parquet")
+    wet_out = str(tmp_path / "wet")
+    cdx_out = str(tmp_path / "cdx")
     monkeypatch.setattr(
         sys,
         "argv",
@@ -432,6 +434,8 @@ def test_curate_cli_end_to_end(spark, pages_path, tmp_path, monkeypatch):
             "--rate", "en=0.6",
             "--pack-budget", "512",
             "--npartitions", "8",
+            "--wet-out", wet_out, "--wet-segments", "2",
+            "--cdx-out", cdx_out,
         ],
     )
     curate_corpus.main()
@@ -446,6 +450,19 @@ def test_curate_cli_end_to_end(spark, pages_path, tmp_path, monkeypatch):
     for r in rows:
         assert r["tokens_before"] == acc
         acc += r["n_tokens"]
+    # --cdx-out builds the serveable index over the WET export: one
+    # capture per curated row, offsets resolvable
+    cdx_rows = spark.read.parquet(cdx_out)
+    assert cdx_rows.count() == len(rows)
+    assert {"surt", "warc_file", "offset", "warc_len"} <= set(cdx_rows.columns)
+    from nidaba_spark.sources.rawfiles import fetch_capture
+
+    one = cdx_rows.orderBy("surt").first()
+    _, payload = fetch_capture(
+        spark, one["warc_file"], one["offset"], one["warc_len"]
+    )
+    texts = {r["url"]: r["text"] for r in rows}
+    assert payload.decode("utf-8") == texts[one["url"]]
 
 
 def test_dup_span_remove_stage_wired(spark, pages):

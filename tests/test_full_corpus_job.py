@@ -73,6 +73,7 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
     metrics = json.load(open(os.path.join(workdir, "rehearsal_metrics.json")))
     assert set(metrics["phases"]) == {
         "extract", "curate", "linkgraph", "index", "wet_export",
+        "cdx_index",
     }
     assert metrics["extracted_rows"] == N
     assert 0 < metrics["curated_rows"] <= N
@@ -120,6 +121,25 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
     assert metrics["wet_records"] == metrics["curated_rows"]
     got_wet = {r["url"]: r["text"] for r in wet_back.collect()}
     assert got_wet == {r["url"]: r["text"] for r in got}
+
+    # CDX phase: the exported segments ship with a serveable index —
+    # look one url up by SURT prefix and range-fetch its capture
+    from nidaba_spark.operators.cdx import cdx_lookup, surt_key
+    from nidaba_spark.sources.rawfiles import fetch_capture
+
+    assert metrics["cdx_captures"] == metrics["curated_rows"]
+    probe_url = got[0]["url"]
+    probe_key = spark.range(1).select(
+        surt_key(F.lit(probe_url)).alias("k")
+    ).first()["k"]
+    cap = cdx_lookup(
+        spark, os.path.join(workdir, "indexes", "cdx"), probe_key
+    ).collect()
+    assert [c["url"] for c in cap] == [probe_url]
+    _, payload = fetch_capture(
+        spark, cap[0]["warc_file"], cap[0]["offset"], cap[0]["warc_len"]
+    )
+    assert payload.decode("utf-8") == got[0]["text"]
 
     # serving indexes are queryable
     from nidaba_spark.operators.search import bm25_topk_postings
