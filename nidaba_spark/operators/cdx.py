@@ -133,21 +133,47 @@ def build_cdx(
 
 def write_cdx(
     cdx: DataFrame, path: str
-) -> None:
+) -> list[tuple[str, int]]:
     """Persist a ``build_cdx`` result preserving the shard layout
     (one file per range partition, internally sorted, disjoint key
-    ranges — the cdx-NNNNN.gz shape). Plain parquet write: Spark
-    emits one file per partition and parquet stores per-row-group
-    min/max for ``surt``, which is what makes ``cdx_lookup`` prune."""
+    ranges — the cdx-NNNNN.gz shape) and return the shard manifest.
+    Plain parquet write: Spark emits one file per partition and
+    parquet stores per-row-group min/max for ``surt``, which is what
+    makes ``cdx_lookup`` prune. The returned manifest comes from
+    ``cdx_manifest`` — i.e. from the files actually written — never
+    from a second execution of the lazy plan."""
     cdx.write.mode("overwrite").parquet(path)
+    return cdx_manifest(cdx.sparkSession, path)
+
+
+def cdx_manifest(spark, path: str) -> list[tuple[str, int]]:
+    """(first surt, capture count) per WRITTEN shard file — the
+    ``cluster.idx`` analog, derived by reading the persisted index
+    back. Authoritative by construction: a manifest computed from the
+    in-memory frame re-executes the range exchange, and a
+    nondeterministic upstream (sample/limit/unstable file listing)
+    could hand it different shard boundaries than the files on disk —
+    the same double-execution hazard packing.pack_assignments pins
+    with localCheckpoint (ADVICE r04). P rows cross the driver for P
+    shards (never captures); file names sort in partition order, and
+    empty range partitions write no file, so the manifest lists
+    exactly the servable shards."""
+    rows = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("shard"), "surt")
+        .groupBy("shard")
+        .agg(F.min("surt").alias("first_key"), F.count("*").alias("n"))
+        .orderBy("shard")
+        .collect()
+    )
+    return [(r["first_key"], r["n"]) for r in rows]
 
 
 def cdx_cluster_index(cdx: DataFrame) -> list[tuple[str, int]]:
-    """(first surt, capture count) per physical shard — the
-    ``cluster.idx`` analog. P rows cross the driver for P shards
-    (never captures). Shard boundaries come from the range
-    partitioner's sample, so the manifest is regenerated with the
-    index, not diffed across builds."""
+    """(first surt, capture count) per physical shard of the
+    IN-MEMORY frame. For a persisted index prefer ``cdx_manifest`` /
+    the ``write_cdx`` return value, which describe the written files
+    and cannot drift from them via plan re-execution."""
     rows = (
         cdx.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid")
@@ -161,11 +187,29 @@ def cdx_cluster_index(cdx: DataFrame) -> list[tuple[str, int]]:
 def cdx_lookup(
     spark, path: str, surt_prefix: str
 ) -> DataFrame:
-    """All captures whose SURT starts with ``surt_prefix`` (a domain
-    is ``com,example)`` — reversed-host keys make "whole domain plus
-    subdomains" a single prefix). StartsWith pushes to the parquet
-    scan; because the index is globally sorted, row-group pruning
-    touches only the shards/row-groups covering the prefix range."""
+    """All captures whose SURT starts with ``surt_prefix`` — e.g.
+    ``com,example)/docs`` for a path subtree of one host. StartsWith
+    pushes to the parquet scan; because the index is globally sorted,
+    row-group pruning touches only the shards/row-groups covering the
+    prefix range. NOTE: ``com,example)`` matches the exact host only —
+    a subdomain's key is ``com,example,sub)…``, which that prefix does
+    NOT cover; use ``cdx_domain_lookup`` for host-plus-subdomains."""
     return spark.read.parquet(path).filter(
         F.col("surt").startswith(surt_prefix)
+    )
+
+
+def cdx_domain_lookup(spark, path: str, host: str) -> DataFrame:
+    """All captures of ``host`` AND its subdomains: the reversed-host
+    key space puts them under two prefixes — ``com,example)`` (the
+    host itself) and ``com,example,`` (every subdomain) — which are
+    adjacent in the sort order (no other byte can follow the last
+    label: ``)`` is 0x29, ``,`` is 0x2C, and label text never contains
+    either), so the OR of two pushed StartsWith filters still reads
+    one contiguous shard range."""
+    h = host.lower().lstrip(".")
+    h = h[4:] if h.startswith("www.") else h  # match surt_key's strip
+    rh = ",".join(reversed(h.split(".")))
+    return spark.read.parquet(path).filter(
+        F.col("surt").startswith(rh + ")") | F.col("surt").startswith(rh + ",")
     )

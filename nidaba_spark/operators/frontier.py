@@ -46,19 +46,33 @@ def crawl_frontier(
     per_host_cap: int | None = None,
     url_col: str = "url",
     html_col: str = "html",
+    distinct_referrers: bool = False,
 ) -> DataFrame:
     """(url, host, n_referrers, fetch_order) for every discovered,
     not-yet-crawled URL. ``crawled`` is a one-column (url) frame of
     everything already fetched; it defaults to the input pages' own
     URLs (always excluded, even when an external set is supplied).
     ``fetch_order`` is the 1-based per-host politeness rank —
-    most-referenced first, URL as the deterministic tiebreak."""
+    most-referenced first, URL as the deterministic tiebreak.
+
+    ``n_referrers`` counts link OCCURRENCES by default (page_links
+    keeps duplicate links, so one page linking a target 50 times
+    votes 50 times — the one-shuffle plan). ``distinct_referrers=True``
+    counts distinct REFERRING PAGES instead — the spam-resistant rank
+    signal real generators use (a link farm's repeated hrefs collapse
+    to one vote) — at the cost of a second exchange: a partial-agg'd
+    (src, dst) dedup shuffle ahead of the dst count. On the synthetic
+    test corpus every link occurs once per page, so both modes agree
+    with the oracle."""
     own = pages.select(F.col(url_col).alias("url"))
     seen = own if crawled is None else own.unionByName(
         crawled.select(F.col(crawled.columns[0]).alias("url"))
     )
+    links = page_links(pages, url_col=url_col, html_col=html_col)
+    if distinct_referrers:
+        links = links.select("src", "dst").distinct()
     cand = (
-        page_links(pages, url_col=url_col, html_col=html_col)
+        links
         .groupBy(F.col("dst").alias("url"))
         .agg(F.count(F.lit(1)).alias("n_referrers"))
     )

@@ -58,23 +58,58 @@ def read_raw_pages(
 # variant is a documented seam, not needed for CC-shaped input.
 
 
+_GZ_CHUNK0 = 1 << 16  # first feed per gzip member: 64 KiB
+_GZ_CHUNK_MAX = 1 << 22  # per-feed cap once a member proves large
+
+
+def _decompress_member(d, mv, pos, n):
+    """Feed one gzip member from ``mv[pos:]`` into decompressobj ``d``
+    in exponentially-growing chunks (64 KiB → 4 MiB). Returns
+    (parts, fed): decoded byte chunks and the absolute offset fed so
+    far. The overshoot past the member's end — which zlib hands back
+    as a COPIED ``unused_data`` — is bounded by the last chunk, so a
+    CC-typical ~20 KiB member costs one 64 KiB copy instead of a copy
+    of the entire remaining segment."""
+    parts = []
+    fed, step = pos, _GZ_CHUNK0
+    while not d.eof and fed < n:
+        take = min(step, n - fed)
+        parts.append(d.decompress(mv[fed:fed + take]))
+        fed += take
+        step = min(step * 2, _GZ_CHUNK_MAX)
+    parts.append(d.flush())
+    return parts, fed
+
+
 def _gunzip_members(data: bytes) -> bytes:
     """Decompress concatenated gzip members (CC per-record gzip).
 
     Tolerant at the tail like the record parser: a truncated or
     corrupt trailing member (partial download) yields everything
-    decoded so far; trailing non-gzip garbage stops the loop."""
+    decoded so far; trailing non-gzip garbage stops the loop.
+
+    Fed in bounded chunks off a zero-copy memoryview: the naive
+    ``d.decompress(data); data = d.unused_data`` loop copies the
+    ENTIRE remaining buffer per member (slice in, ``unused_data``
+    out) — O(bytes × members) memcpy, which on a CC-shaped segment
+    (~1 GB, ~50k members) is terabytes of copying per task. Chunked
+    feeding caps the per-member overshoot at one chunk, so the whole
+    scan is O(bytes)."""
     import zlib
 
+    mv = memoryview(data)
     out = []
-    while data[:2] == b"\x1f\x8b":
+    pos, n = 0, len(mv)
+    while pos < n and bytes(mv[pos:pos + 2]) == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
         try:
-            out.append(d.decompress(data))
-            out.append(d.flush())
+            parts, fed = _decompress_member(d, mv, pos, n)
         except zlib.error:
             break
-        data = d.unused_data
+        out.extend(parts)
+        if not d.eof:
+            break  # truncated final member (partial output kept)
+        pos = fed - len(d.unused_data)
     return b"".join(out)
 
 
@@ -126,21 +161,23 @@ def _iter_gzip_members(data: bytes):
     """(offset, length, decompressed bytes) per gzip member — the
     compressed byte ranges CC's CDX stores, each independently
     range-fetchable. Truncated/corrupt tail members stop the loop
-    (same tolerance as _gunzip_members)."""
+    (same tolerance as _gunzip_members). Chunk-fed off a memoryview
+    for the same O(bytes × members) → O(bytes) reason as
+    _gunzip_members."""
     import zlib
 
-    pos, n = 0, len(data)
-    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+    mv = memoryview(data)
+    pos, n = 0, len(mv)
+    while pos < n and bytes(mv[pos:pos + 2]) == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
         try:
-            out = d.decompress(data[pos:])
-            out += d.flush()
+            parts, fed = _decompress_member(d, mv, pos, n)
         except zlib.error:
             break
         if not d.eof:
             break  # truncated final member
-        end = n - len(d.unused_data)
-        yield pos, end - pos, out
+        end = fed - len(d.unused_data)
+        yield pos, end - pos, b"".join(parts)
         pos = end
 
 

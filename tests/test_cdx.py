@@ -117,6 +117,60 @@ def test_cdx_cluster_index(crawl):
     assert min(k for k, n in idx if n > 0) == built.agg(F.min("surt")).first()[0]
 
 
+def test_cdx_manifest_matches_written_shards(spark, crawl, tmp_path):
+    """write_cdx returns the cluster.idx manifest derived from the
+    files it wrote (not a re-execution of the lazy plan): totals,
+    global sortedness, and per-shard first keys must agree with a
+    direct read-back of the index."""
+    path = str(tmp_path / "cdx")
+    manifest = cdx.write_cdx(cdx.build_cdx(crawl, npartitions=4), path)
+    assert sum(n for _, n in manifest) == 200
+    keys = [k for k, _ in manifest]
+    assert keys == sorted(keys)
+    readback = cdx.cdx_manifest(spark, path)
+    assert readback == manifest
+    assert keys[0] == (
+        spark.read.parquet(path).agg(F.min("surt")).first()[0]
+    )
+
+
+def test_cdx_domain_lookup_covers_subdomains(spark, tmp_path):
+    pages = spark.createDataFrame(
+        [
+            ("https://example.com/a", "20240101000000", bytearray(b"1")),
+            ("https://www.example.com/b", "20240101000000", bytearray(b"2")),
+            ("https://sub.example.com/c", "20240101000000", bytearray(b"3")),
+            ("https://a.b.example.com/d", "20240101000000", bytearray(b"4")),
+            ("https://exampleother.com/e", "20240101000000", bytearray(b"5")),
+            ("https://example.com.evil.net/f", "20240101000000", bytearray(b"6")),
+        ],
+        "url string, warc_ts string, html binary",
+    )
+    path = str(tmp_path / "cdx")
+    cdx.write_cdx(cdx.build_cdx(pages, npartitions=2), path)
+    got = sorted(
+        r["url"] for r in cdx.cdx_domain_lookup(spark, path, "example.com").collect()
+    )
+    assert got == [
+        "https://a.b.example.com/d",
+        "https://example.com/a",
+        "https://sub.example.com/c",
+        "https://www.example.com/b",  # www-stripped key = exact host
+    ]
+    # plain cdx_lookup on the host prefix misses subdomains by design
+    exact = sorted(
+        r["url"]
+        for r in cdx.cdx_lookup(spark, path, "com,example)").collect()
+    )
+    assert exact == ["https://example.com/a", "https://www.example.com/b"]
+    # www-form queries normalize to the same key space
+    got_www = sorted(
+        r["url"]
+        for r in cdx.cdx_domain_lookup(spark, path, "www.example.com").collect()
+    )
+    assert got_www == got
+
+
 def test_build_cdx_drops_unkeyable_urls(spark):
     pages = spark.createDataFrame(
         [("not-a-url", "20240101000000", bytearray(b"x")),

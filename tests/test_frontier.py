@@ -58,6 +58,25 @@ def test_frontier_referrer_counts_and_order(spark):
     assert border == {"https://b.com/x": 1, "https://b.com/z": 2}
 
 
+def test_frontier_distinct_referrers_collapses_repeated_links(spark):
+    # one spam page links b.com/x 5 times; an honest page links it
+    # once and b.com/z once. Occurrence mode ranks x by 6 votes;
+    # distinct mode gives x 2 votes (pages, not hrefs) — and the
+    # modes must DISAGREE here by construction.
+    rows_in = [
+        _page("https://spam.com/1", *(["https://b.com/x"] * 5)),
+        _page("https://seed.com/2", "https://b.com/x", "https://b.com/z"),
+    ]
+    seeds = spark.createDataFrame(rows_in, "url string, html binary")
+    occ = {r["url"]: r["n_referrers"] for r in crawl_frontier(seeds).collect()}
+    dis = {
+        r["url"]: r["n_referrers"]
+        for r in crawl_frontier(seeds, distinct_referrers=True).collect()
+    }
+    assert occ == {"https://b.com/x": 6, "https://b.com/z": 1}
+    assert dis == {"https://b.com/x": 2, "https://b.com/z": 1}
+
+
 def test_frontier_cap_plan_is_window_group_limit(pages):
     capped = crawl_frontier(pages, per_host_cap=5)
     plan = capped._jdf.queryExecution().executedPlan().toString()

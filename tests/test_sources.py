@@ -248,6 +248,52 @@ def test_warc_gzip_truncated_trailing_member():
     assert len(recs) == 1
 
 
+def test_warc_gzip_many_members_chunked_ramp():
+    """The member loop feeds decompressors in growing chunks off a
+    memoryview (O(bytes), not O(bytes × members) — NOTES r05): exact
+    offsets/lengths/payloads must survive for many tiny members, a
+    member larger than the chunk ramp's cap, truncated tails, and
+    corrupt tails."""
+    import gzip
+
+    from nidaba_spark.sources.rawfiles import (
+        _gunzip_members,
+        _iter_gzip_members,
+        parse_warc_records_located,
+    )
+
+    recs = [
+        _warc_record(
+            "response", f"https://m.example/{i}",
+            "2026-01-01T00:00:00Z", _http(b"b" * (i % 97)),
+        )
+        for i in range(300)
+    ]
+    big = _warc_record(
+        "response", "https://m.example/big",
+        "2026-01-01T00:00:00Z", _http(b"z" * (9 << 20)),
+    )
+    recs.insert(150, big)
+    members = [gzip.compress(r, mtime=0) for r in recs]
+    blob = b"".join(members)
+
+    assert _gunzip_members(blob) == b"".join(recs)
+    locs = list(_iter_gzip_members(blob))
+    assert len(locs) == 301
+    off = 0
+    for (o, ln, raw), m, r in zip(locs, members, recs):
+        assert (o, ln, raw) == (off, len(m), r)
+        off += ln
+    urls = [
+        h["warc-target-uri"] for h, _, _, _ in parse_warc_records_located(blob)
+    ]
+    assert len(urls) == 301 and urls[150] == "https://m.example/big"
+    # truncated tail: last member dropped, everything before intact
+    assert len(list(_iter_gzip_members(blob[:-20]))) == 300
+    # corrupt gzip tail: full members before it all parse
+    assert len(list(_iter_gzip_members(blob + b"\x1f\x8b" + b"\x00" * 8))) == 301
+
+
 def test_warc_mixed_and_malformed_dates(spark, tmp_path):
     from nidaba_spark.sources.rawfiles import read_warc_pages
 
