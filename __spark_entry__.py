@@ -132,6 +132,7 @@ _RETIRED_FROM_DRIVER = [
     "robots_filter",
     "cdx_index",
     "crawl_frontier",
+    "sitemap_entries",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

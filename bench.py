@@ -67,6 +67,7 @@ AUX_QUERIES = [
     "pack_bins",
     "cdx_index",
     "crawl_frontier",
+    "sitemap_entries",
 ]
 
 

@@ -45,25 +45,15 @@ _FIELD_RE = r"^\s*([A-Za-z-]+)\s*:"
 _VALUE_RE = r"^\s*[A-Za-z-]+\s*:\s*(.*?)\s*$"
 
 
-def robots_rules(
-    robots: DataFrame,
-    agent: str = "*",
-    host_col: str = "host",
-    txt_col: str = "robots_txt",
+def _robots_fields(
+    robots: DataFrame, host_col: str, txt_col: str
 ) -> DataFrame:
-    """(host, rules: array<struct<path,allow>>) — the effective rule
-    set for ``agent`` per host, ready to broadcast-or-join against a
-    page table. Hosts whose file yields no applicable rules emit no
-    row (absent == everything allowed, the RFC default).
-
-    Input contract: at most one robots_txt per host is meaningful; if
-    several rows share a host (e.g. two crawl snapshots), a
-    DETERMINISTIC representative (min xxhash64 of the text) is used —
-    interleaving two files' lines through one window would fuse their
-    groups into garbage. Pre-dedup upstream (latest-wins) if you need
-    snapshot semantics. Hosts are compared lowercased (matching
-    links.host_of's page side) and a leading UTF-8 BOM — common in
-    real crawls — is stripped before line parsing."""
+    """(host, pos, field, value) per parsed robots.txt line — the
+    shared front half of robots_rules and robots_sitemaps: the
+    deterministic one-file-per-host representative (min xxhash64 —
+    interleaving two snapshots' lines through one window would fuse
+    their groups into garbage), BOM strip, CRLF/comment tolerance,
+    line split, case-folded field names."""
     one_per_host = (
         robots.select(
             F.lower(F.trim(F.col(host_col))).alias("host"),
@@ -83,7 +73,7 @@ def robots_rules(
         F.posexplode(
             F.split(
                 F.regexp_replace(
-                    F.regexp_replace(F.col("_txt"), "^\ufeff", ""), "\r", ""
+                    F.regexp_replace(F.col("_txt"), "^﻿", ""), "\r", ""
                 ),
                 "\n",
             )
@@ -93,12 +83,60 @@ def robots_rules(
         "pos",
         F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
     )
-    parsed = lines.select(
+    return lines.select(
         "host",
         "pos",
         F.lower(F.regexp_extract("line", _FIELD_RE, 1)).alias("field"),
         F.regexp_extract("line", _VALUE_RE, 1).alias("value"),
-    ).filter(F.col("field").isin("user-agent", "allow", "disallow"))
+    )
+
+
+def robots_sitemaps(
+    robots: DataFrame,
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, sitemap_url): every ``Sitemap:`` directive per host —
+    the discovery channel for operators/sitemap.sitemap_entries. The
+    directive is GROUP-INDEPENDENT per the sitemaps.org protocol (it
+    applies whatever User-agent group it sits inside), so no group
+    bookkeeping applies; values keep their case (URLs), relative
+    values are dropped (the protocol requires a full URL), and
+    duplicates within one file collapse. Same host-keyed, 500 KiB-
+    bounded parse shape as robots_rules."""
+    return (
+        _robots_fields(robots, host_col, txt_col)
+        .filter(
+            (F.col("field") == "sitemap")
+            & F.col("value").rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+        )
+        .select("host", F.col("value").alias("sitemap_url"))
+        .distinct()
+    )
+
+
+def robots_rules(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    txt_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, rules: array<struct<path,allow>>) — the effective rule
+    set for ``agent`` per host, ready to broadcast-or-join against a
+    page table. Hosts whose file yields no applicable rules emit no
+    row (absent == everything allowed, the RFC default).
+
+    Input contract: at most one robots_txt per host is meaningful; if
+    several rows share a host (e.g. two crawl snapshots), a
+    DETERMINISTIC representative (min xxhash64 of the text) is used —
+    interleaving two files' lines through one window would fuse their
+    groups into garbage. Pre-dedup upstream (latest-wins) if you need
+    snapshot semantics. Hosts are compared lowercased (matching
+    links.host_of's page side) and a leading UTF-8 BOM — common in
+    real crawls — is stripped before line parsing."""
+    parsed = _robots_fields(robots, host_col, txt_col).filter(
+        F.col("field").isin("user-agent", "allow", "disallow")
+    )
 
     w = Window.partitionBy("host").orderBy("pos")
     grouped = parsed.withColumn(

@@ -3581,6 +3581,100 @@ QUALIFY fetch_order <= 100
 """
 
 
+def q_sitemap_entries(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap ingestion (operators/sitemap.sitemap_entries) over
+    synthesized sitemap XML: every doc gets a urlset file with two
+    <url> blocks — the first exercises CDATA loc wrapping (doc_id%7),
+    XML entity unescaping (&amp; in the query string), whitespace
+    trimming, lastmod, conditional changefreq (doc_id%2) and priority
+    (doc_id%3); the second is loc-only (nulls) — and every tenth doc
+    adds a sitemapindex file whose <sitemap> block points at the
+    urlset. The oracle reconstructs all three entry families
+    INDEPENDENTLY from the doc_id arithmetic (the robots/frontier
+    pattern), so it checks block splitting, tag extraction, CDATA,
+    unescaping, and the null/double contracts end to end."""
+    from ..operators.sitemap import sitemap_entries
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    site = F.concat(
+        F.lit("https://s"), (d % 5).cast("string"), F.lit(".example.com")
+    )
+    loc1 = F.concat(site, F.lit("/p/"), d.cast("string"), F.lit("?a=1&amp;b=2"))
+    loc1_tag = F.when(
+        d % 7 == 0,
+        F.concat(F.lit("<loc><![CDATA["), loc1, F.lit("]]></loc>")),
+    ).otherwise(F.concat(F.lit("<loc> "), loc1, F.lit(" </loc>")))
+    xml = F.concat(
+        F.lit(
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<url>'
+        ),
+        loc1_tag,
+        F.lit("<lastmod>2026-01-0"),
+        ((d % 9) + 1).cast("string"),
+        F.lit("</lastmod>"),
+        F.when(d % 2 == 0, F.lit("<changefreq>weekly</changefreq>")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<priority>0."), (d % 10).cast("string"), F.lit("</priority>")
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>\n<url><loc>"),
+        site,
+        F.lit("/p/"),
+        d.cast("string"),
+        F.lit("/alt</loc></url>\n</urlset>"),
+    )
+    urlsets = docs.select(
+        F.concat(site, F.lit("/sitemap-"), d.cast("string"), F.lit(".xml")).alias(
+            "url"
+        ),
+        F.encode(xml, "UTF-8").alias("html"),
+    )
+    idx_xml = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>"),
+        site,
+        F.lit("/sitemap-"),
+        d.cast("string"),
+        F.lit(".xml</loc><lastmod>2026-02-01</lastmod></sitemap></sitemapindex>"),
+    )
+    indexes = docs.filter(d % 10 == 0).select(
+        F.concat(site, F.lit("/si-"), d.cast("string"), F.lit(".xml")).alias("url"),
+        F.encode(idx_xml, "UTF-8").alias("html"),
+    )
+    return sitemap_entries(urlsets.unionByName(indexes))
+
+
+ORACLE["sitemap_entries"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://s' || (doc_id % 5) || '.example.com' AS site
+  FROM documents)
+SELECT * FROM (
+  SELECT site || '/sitemap-' || i || '.xml' AS sitemap_url,
+         'url' AS kind,
+         site || '/p/' || i || '?a=1&b=2' AS loc,
+         '2026-01-0' || ((i % 9) + 1) AS lastmod,
+         CASE WHEN i % 2 = 0 THEN 'weekly' END AS changefreq,
+         CASE WHEN i % 3 = 0 THEN CAST('0.' || (i % 10) AS DOUBLE) END AS priority
+  FROM d
+  UNION ALL
+  SELECT site || '/sitemap-' || i || '.xml', 'url',
+         site || '/p/' || i || '/alt', NULL, NULL, CAST(NULL AS DOUBLE)
+  FROM d
+  UNION ALL
+  SELECT site || '/si-' || i || '.xml', 'sitemap',
+         site || '/sitemap-' || i || '.xml', '2026-02-01', NULL,
+         CAST(NULL AS DOUBLE)
+  FROM d WHERE i % 10 = 0
+)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -3665,4 +3759,5 @@ QUERIES = {
     "semdedup": q_semdedup,
     "cdx_index": q_cdx_index,
     "crawl_frontier": q_crawl_frontier,
+    "sitemap_entries": q_sitemap_entries,
 }
