@@ -79,7 +79,13 @@ def read_edges(spark: SparkSession, work_dir: str) -> DataFrame | None:
 def compact_edges(spark: SparkSession, work_dir: str) -> dict:
     """Fold accumulated batch partials into a single ``batch=0``
     partition (small-files repair; merged counts byte-identical).
-    Same Hadoop-FS rename-swap pattern as search.compact_postings."""
+    Same rename-swap protocol as search.compact_postings: the merged
+    table is fully written under a tmp dir, the live ``edges`` dir is
+    renamed ASIDE (never deleted first — the original implementation
+    deleted the partials before installing the replacement, so a
+    crash in that window lost the live graph), the new one renamed
+    in, and only then is the old copy dropped. A crash mid-swap
+    leaves ``_edges_compact_old`` intact for manual restore."""
     edges_dir = os.path.join(work_dir, "edges")
     merged = read_edges(spark, work_dir)
     if merged is None:
@@ -93,8 +99,17 @@ def compact_edges(spark: SparkSession, work_dir: str) -> dict:
         if f.getPath().getName().startswith("batch=")
     ]
     tmp = os.path.join(work_dir, "_edges_compact_tmp")
+    fs.delete(Path(tmp), True)  # clear any crashed previous attempt
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-    for name in before:
-        fs.delete(Path(os.path.join(edges_dir, name)), True)
-    fs.rename(Path(tmp), Path(os.path.join(edges_dir, "batch=0")))
+    old = os.path.join(work_dir, "_edges_compact_old")
+    fs.delete(Path(old), True)
+    if not fs.rename(Path(edges_dir), Path(old)):
+        raise OSError(f"edge compaction swap failed moving {edges_dir} aside")
+    fs.mkdirs(Path(edges_dir))
+    if not fs.rename(Path(tmp), Path(os.path.join(edges_dir, "batch=0"))):
+        raise OSError(
+            f"edge compaction swap failed installing batch=0; "
+            f"originals preserved under {old}"
+        )
+    fs.delete(Path(old), True)
     return {"batches_before": len(before), "batches_after": 1}
