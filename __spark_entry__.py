@@ -133,6 +133,7 @@ _RETIRED_FROM_DRIVER = [
     "cdx_index",
     "crawl_frontier",
     "sitemap_entries",
+    "recrawl_priority",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -68,6 +68,7 @@ AUX_QUERIES = [
     "cdx_index",
     "crawl_frontier",
     "sitemap_entries",
+    "recrawl_priority",
 ]
 
 

@@ -21,7 +21,7 @@ one).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 STATUSES = ("added", "removed", "changed", "unchanged")
@@ -85,3 +85,68 @@ def changed_keys(
     never re-enter the pipeline."""
     d = corpus_diff(old, new, key_col=key_col, text_col=text_col)
     return d.filter(F.col("status").isin("added", "changed")).select(key_col)
+
+
+def recrawl_priority(
+    history: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-url change statistics over a MULTI-snapshot crawl history —
+    the recrawl-scheduling signal (Cho & Garcia-Molina 2003: pages
+    should be revisited in proportion to their estimated change rate;
+    corpus_diff answers "what changed between TWO snapshots", this
+    answers "how often does each url change", which is what a frontier
+    generator weights fetch_order by).
+
+    Output per url:
+      n_visits     — snapshots observed;
+      n_changes    — adjacent snapshot pairs whose content hash
+                     differs (ordered by ``ts_col``; equal timestamps
+                     break ties on the hash so reruns are
+                     deterministic);
+      change_frac  — n_changes / (n_visits - 1), null for single-visit
+                     urls (no interval observed);
+      change_rate  — the CGM-style smoothed estimator
+                     -ln((intervals - changes + 0.5)/(intervals + 0.5))
+                     per interval: finite even when EVERY interval
+                     changed (change_frac 1.0 would naively mean an
+                     infinite Poisson rate), monotone in change_frac,
+                     and more visits pull it closer to the raw
+                     fraction — so a 1-of-1 changer ranks below a
+                     10-of-10 changer, which a bare fraction cannot
+                     express. Null for single-visit urls.
+
+    Scale shape: the history is projected to (key, ts, xxhash64) FIRST
+    — page text never enters the shuffle — then ONE url-keyed exchange
+    serves both the lag window and the aggregate (same clustering, no
+    second Exchange; asserted in tests/test_snapshot.py). Hash
+    equality carries the standard ~2^-64 per-pair collision trade the
+    module docstring documents."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, "_h")
+    slim = history.select(
+        F.col(key_col).alias(key_col),
+        F.col(ts_col).alias(ts_col),
+        F.xxhash64(F.col(text_col)).alias("_h"),
+    )
+    prev = F.lag("_h").over(w)
+    flagged = slim.withColumn(
+        "_chg", (prev.isNotNull() & (F.col("_h") != prev)).cast("long")
+    )
+    agg = flagged.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.sum("_chg").alias("n_changes"),
+    )
+    intervals = (F.col("n_visits") - 1).cast("double")
+    changes = F.col("n_changes").cast("double")
+    return agg.select(
+        key_col,
+        "n_visits",
+        "n_changes",
+        F.when(intervals > 0, changes / intervals).alias("change_frac"),
+        F.when(
+            intervals > 0,
+            -F.log((intervals - changes + 0.5) / (intervals + 0.5)),
+        ).alias("change_rate"),
+    )

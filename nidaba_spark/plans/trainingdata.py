@@ -3675,6 +3675,67 @@ SELECT * FROM (
 """
 
 
+def q_recrawl_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Recrawl scheduling signal (operators/snapshot.recrawl_priority)
+    over a synthesized multi-snapshot history: every doc's url gets
+    1 + doc_id%4 visits (ts = visit index) whose content is
+    'v' || ((doc_id*7 + j*j) % 5) — by construction visits 0→1 and
+    1→2 always change while 2→3 never does (4 ≡ 9 mod 5), so the
+    corpus plants change_frac = 1.0, 2/3, and the single-visit null
+    case. The oracle replays the identical synthesis + SQL window
+    (the budget_select pattern: the global window IS the spec the
+    distributed path must reproduce), with the hash-equality swap
+    (text compare) that cannot diverge absent a 64-bit collision."""
+    from ..operators.snapshot import recrawl_priority
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    hist = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (d % 4).cast("int"))).alias("j"),
+    ).select(
+        F.concat(
+            F.lit("https://h.example.com/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.col("j").cast("long").alias("warc_ts"),
+        F.concat(
+            F.lit("v"),
+            (
+                (F.col("doc_id") * 7 + F.col("j") * F.col("j")) % 5
+            ).cast("string"),
+        ).alias("text"),
+    )
+    return recrawl_priority(hist)
+
+
+ORACLE["recrawl_priority"] = """
+WITH h AS (
+  SELECT CAST(doc_id AS BIGINT) AS i, CAST(t.j AS BIGINT) AS j
+  FROM documents, UNNEST(range(0, CAST(doc_id % 4 AS BIGINT) + 1)) AS t(j)),
+v AS (
+  SELECT 'https://h.example.com/p/' || i AS url, j AS ts,
+         'v' || ((i * 7 + j * j) % 5) AS text
+  FROM h),
+c AS (
+  SELECT url,
+         CASE WHEN lag(text) OVER w IS NOT NULL
+                   AND text <> lag(text) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM v WINDOW w AS (PARTITION BY url ORDER BY ts)),
+a AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_visits,
+         CAST(sum(chg) AS BIGINT) AS n_changes
+  FROM c GROUP BY url)
+SELECT url, n_visits, n_changes,
+       CASE WHEN n_visits > 1
+            THEN CAST(n_changes AS DOUBLE) / (n_visits - 1) END AS change_frac,
+       CASE WHEN n_visits > 1
+            THEN -ln((n_visits - 1 - n_changes + 0.5) / (n_visits - 1 + 0.5))
+       END AS change_rate
+FROM a
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -3760,4 +3821,5 @@ QUERIES = {
     "cdx_index": q_cdx_index,
     "crawl_frontier": q_crawl_frontier,
     "sitemap_entries": q_sitemap_entries,
+    "recrawl_priority": q_recrawl_priority,
 }

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 import sys
 
+import pytest
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -76,6 +77,74 @@ def test_corpus_diff_empty_sides(spark):
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_recrawl_priority_hand_case(spark):
+    import math
+
+    from nidaba_spark.operators.snapshot import recrawl_priority
+
+    hist = spark.createDataFrame(
+        [
+            # volatile: 3 visits, both intervals change
+            ("u/volatile", 0, "a"), ("u/volatile", 1, "b"), ("u/volatile", 2, "c"),
+            # stable: 3 visits, nothing changes
+            ("u/stable", 0, "x"), ("u/stable", 1, "x"), ("u/stable", 2, "x"),
+            # mixed: 3 visits, one change
+            ("u/mixed", 0, "p"), ("u/mixed", 1, "p"), ("u/mixed", 2, "q"),
+            # single visit: no interval observed
+            ("u/once", 0, "z"),
+        ],
+        "url string, warc_ts long, text string",
+    )
+    got = {r["url"]: r for r in recrawl_priority(hist).collect()}
+    assert (got["u/volatile"]["n_visits"], got["u/volatile"]["n_changes"]) == (3, 2)
+    assert got["u/volatile"]["change_frac"] == 1.0
+    assert got["u/stable"]["n_changes"] == 0 and got["u/stable"]["change_frac"] == 0.0
+    assert got["u/mixed"]["change_frac"] == 0.5
+    assert got["u/once"]["change_frac"] is None
+    assert got["u/once"]["change_rate"] is None
+    # CGM smoothed estimator: -ln((n - X + 0.5) / (n + 0.5)) over
+    # n = 2 intervals — finite for the all-changed url, ordered
+    # volatile > mixed > stable
+    assert got["u/volatile"]["change_rate"] == pytest.approx(-math.log(0.5 / 2.5))
+    assert got["u/mixed"]["change_rate"] == pytest.approx(-math.log(1.5 / 2.5))
+    assert got["u/stable"]["change_rate"] == pytest.approx(-math.log(2.5 / 2.5))
+    assert (
+        got["u/volatile"]["change_rate"]
+        > got["u/mixed"]["change_rate"]
+        > got["u/stable"]["change_rate"]
+        == 0.0
+    )
+    # more evidence at the same fraction -> higher smoothed rate:
+    # 10-of-10 must outrank 1-of-1
+    hist2 = spark.createDataFrame(
+        [("u/1of1", t, str(t)) for t in range(2)]
+        + [("u/10of10", t, str(t)) for t in range(11)],
+        "url string, warc_ts long, text string",
+    )
+    g2 = {r["url"]: r["change_rate"] for r in recrawl_priority(hist2).collect()}
+    assert g2["u/10of10"] > g2["u/1of1"]
+
+
+def test_recrawl_priority_one_exchange_no_text(spark):
+    from nidaba_spark.operators.snapshot import recrawl_priority
+
+    hist = spark.createDataFrame(
+        [("u", 0, "BIGTEXT"), ("u", 1, "OTHER")],
+        "url string, warc_ts long, text string",
+    )
+    plan = (
+        recrawl_priority(hist)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one url-keyed exchange serves both the lag window and the agg
+    assert plan.count("Exchange") == 1
+    # text is hashed in the scan-side projection (below the exchange);
+    # the window and aggregate operators above it must not carry it
+    assert "xxhash64(text" in plan
+    for line in plan.splitlines():
+        if "Window" in line or "HashAggregate" in line:
+            assert "text#" not in line, line
 
 
 def test_script_counts_hand_case(spark):
