@@ -86,6 +86,13 @@ def main() -> None:
         help="also export the curated corpus as CC-shaped WET segments",
     )
     ap.add_argument("--wet-segments", type=int, default=64)
+    ap.add_argument(
+        "--wat-out", default=None,
+        help="also export per-page WAT metadata segments (head meta + "
+        "resolved outlinks/anchors as JSON envelopes) from the RAW "
+        "crawl pages — the link-graph-shaped artifact, no page bytes",
+    )
+    ap.add_argument("--wat-segments", type=int, default=64)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -255,6 +262,23 @@ def main() -> None:
                 cdx_path,
             )
             metrics["cdx_captures"] = spark.read.parquet(cdx_path).count()
+
+    # ---- phase 6 (optional): WAT egress — head metadata + resolved
+    # outlinks per RAW page as JSON metadata records (the crawl-graph
+    # artifact: consumers get the link structure without page bytes).
+    # Independent of --wet-out; shares write_wet's shard permutation so
+    # wat-N pairs with wet-N when both are exported.
+    if args.wat_out:
+        with phase("wat_export"):
+            from nidaba_spark.sources.rawfiles import write_wat
+
+            manifest = write_wat(pages, args.wat_out, args.wat_segments)
+            agg = manifest.agg(
+                F.count(F.lit(1)), F.sum("n_records"), F.sum("n_bytes")
+            ).collect()[0]
+            metrics["wat_segments"] = agg[0]
+            metrics["wat_records"] = agg[1]
+            metrics["wat_bytes"] = agg[2]
 
     metrics["lineage_rows"] = pipe.lineage().count()
     metrics["total_wall_sec"] = round(time.perf_counter() - t_job, 2)

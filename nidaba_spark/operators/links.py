@@ -230,6 +230,115 @@ def canonical_dedup(
     )
 
 
+def page_wat(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, ts_iso, wat_json): the WAT metadata envelope per page,
+    built ENTIRELY in whole-stage codegen — regexp extracts for head
+    metadata and hrefs, higher-order array transforms for link
+    resolution, `to_json` for serialization. One narrow scan of the
+    crawl table: no explode, no shuffle, no Python.
+
+    Envelope shape (CC-WAT-like, not byte-compatible — we own both
+    ends of the round-trip):
+
+      Envelope.WARC-Header-Metadata: {WARC-Target-URI, WARC-Date,
+        WARC-Type: response}
+      Envelope.Payload-Metadata.HTTP-Response-Metadata.HTML-Metadata:
+        Head: {Title, Metas: [{name: robots, content}],
+               Link: [{rel: canonical, url}]}   (absent fields omitted
+               by to_json's null-dropping)
+        Links: [{url}] — every resolved <a href> in document order
+               (double-quoted matches then single-quoted; same match
+               sets as page_links)
+        Anchors: [{url, text}] — the tag-free double-quoted-anchor
+               subset with whitespace-collapsed text (same view as
+               anchor_texts)
+
+    HOF note: resolve_href expands per array element, so the per-row
+    scheme/origin sub-expressions re-evaluate per link — regexes over
+    the (short) URL, noise next to the body scans; the lambdas never
+    re-touch the body, so the HOF quadratic-eval trap (NOTES) does not
+    apply."""
+    src = F.col(url_col)
+    body = html_text(F.col(html_col))
+    hrefs = F.concat(
+        F.regexp_extract_all(body, F.lit(_HREF_DQ), F.lit(1)),
+        F.regexp_extract_all(body, F.lit(_HREF_SQ), F.lit(1)),
+    )
+    link_objs = F.transform(
+        F.filter(
+            F.transform(hrefs, lambda h: resolve_href(src, h)),
+            lambda u: u.isNotNull(),
+        ),
+        lambda u: F.struct(u.alias("url")),
+    )
+    anchor_pairs = F.arrays_zip(
+        F.regexp_extract_all(body, F.lit(_HREF_ANCHOR), F.lit(1)).alias("href"),
+        F.regexp_extract_all(body, F.lit(_HREF_ANCHOR), F.lit(2)).alias("anchor"),
+    )
+    anchors = F.filter(
+        F.transform(
+            anchor_pairs,
+            lambda p: F.struct(
+                resolve_href(src, p["href"]).alias("url"),
+                F.trim(F.regexp_replace(p["anchor"], r"\s+", " ")).alias("text"),
+            ),
+        ),
+        lambda a: a["url"].isNotNull(),
+    )
+    robots = F.lower(_first_nonempty(body, _ROBOTS_NC, _ROBOTS_CN))
+    canon_href = _first_nonempty(body, _CANON_RH, _CANON_HR)
+    canonical = F.when(canon_href != "", resolve_href(src, canon_href))
+    title = F.trim(
+        F.regexp_replace(F.regexp_extract(body, _TITLE, 1), r"\s+", " ")
+    )
+    head = F.struct(
+        title.alias("Title"),
+        F.when(
+            robots != "",
+            F.array(
+                F.struct(
+                    F.lit("robots").alias("name"), robots.alias("content")
+                )
+            ),
+        ).alias("Metas"),
+        F.when(
+            canonical.isNotNull(),
+            F.array(
+                F.struct(
+                    F.lit("canonical").alias("rel"), canonical.alias("url")
+                )
+            ),
+        ).alias("Link"),
+    )
+    ts_iso = F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    envelope = F.struct(
+        F.struct(
+            src.alias("WARC-Target-URI"),
+            ts_iso.alias("WARC-Date"),
+            F.lit("response").alias("WARC-Type"),
+        ).alias("WARC-Header-Metadata"),
+        F.struct(
+            F.struct(
+                F.struct(
+                    head.alias("Head"),
+                    link_objs.alias("Links"),
+                    anchors.alias("Anchors"),
+                ).alias("HTML-Metadata")
+            ).alias("HTTP-Response-Metadata")
+        ).alias("Payload-Metadata"),
+    )
+    return pages.select(
+        src.alias("url"),
+        ts_iso.alias("ts_iso"),
+        F.to_json(F.struct(envelope.alias("Envelope"))).alias("wat_json"),
+    )
+
+
 # tracking params stripped by normalize_url: the industry-standard
 # junk set (utm_* campaign tags, Google/Facebook click ids, generic
 # session ids). Matching is on the PARAM NAME only.

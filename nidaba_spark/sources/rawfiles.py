@@ -307,6 +307,118 @@ def write_wet(
     TIMESTAMP_NTZ face value — see NOTES.md on NTZ); null text writes
     an empty payload, null url an empty URI.
     """
+    slim = docs.select(
+        F.col(url_col).alias("url"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+        F.col(text_col).alias("text"),
+    )
+    return _write_warc_segments(
+        slim,
+        out_dir,
+        num_segments,
+        prefix="wet",
+        suffix=".warc.wet.gz" if gzip_members else ".warc.wet",
+        record_cols=("url", "ts_iso", "text"),
+        record_fn=wet_record_bytes,
+        gz=bool(gzip_members),
+        salt="wet",
+    )
+
+
+def wat_record_bytes(url: str, ts_iso: str, payload_json: str) -> bytes:
+    """One ISO 28500 `metadata` record carrying a WAT JSON envelope.
+
+    Deterministic like wet_record_bytes: WARC-Record-ID derives from
+    md5(url, ts, 'wat'); WARC-Refers-To is the id the SAME page's
+    conversion/response record gets from wet_record_bytes' md5(url,
+    ts) — so a WET+WAT export pair cross-references without either
+    writer seeing the other's output."""
+    import hashlib
+    import uuid
+
+    payload = payload_json.encode("utf-8")
+    rid = uuid.UUID(
+        bytes=hashlib.md5((url + "\x00" + ts_iso + "\x00wat").encode("utf-8")).digest()
+    )
+    ref = uuid.UUID(bytes=hashlib.md5((url + "\x00" + ts_iso).encode("utf-8")).digest())
+    head = (
+        "WARC/1.0\r\n"
+        "WARC-Type: metadata\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {ts_iso}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"WARC-Refers-To: <urn:uuid:{ref}>\r\n"
+        "Content-Type: application/json\r\n"
+        f"Content-Length: {len(payload)}\r\n"
+        "\r\n"
+    ).encode("utf-8")
+    return head + payload + b"\r\n\r\n"
+
+
+def write_wat(
+    pages: DataFrame,
+    out_dir: str,
+    num_segments: int,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    html_col: str = "html",
+    gzip_members: bool = True,
+) -> DataFrame:
+    """Write per-page WAT metadata segments (the third Common-Crawl
+    artifact, next to WET text and the CDX capture index): one
+    `metadata` record per page whose JSON envelope carries the head
+    metadata (title, robots meta, canonical link) and the resolved
+    outlinks with anchor text — everything a link-graph or
+    frontier-generation consumer needs WITHOUT re-shipping page bytes.
+
+    The envelope is built entirely JVM-side (operators/links.page_wat:
+    regexp extracts + higher-order array transforms + to_json, one
+    narrow codegen'd scan of html — no explode, no shuffle beyond the
+    segment exchange); the Python task only frames and gzips, same as
+    write_wet. Determinism, atomicity, manifest: see write_wet — the
+    writer is shared (_write_warc_segments). Returns the materialized
+    manifest (segment, path, n_records, n_bytes, sha256)."""
+    from ..operators.links import page_wat
+
+    slim = page_wat(pages, url_col=url_col, ts_col=ts_col, html_col=html_col)
+    return _write_warc_segments(
+        slim,
+        out_dir,
+        num_segments,
+        prefix="wat",
+        suffix=".warc.wat.gz" if gzip_members else ".warc.wat",
+        record_cols=("url", "ts_iso", "wat_json"),
+        record_fn=wat_record_bytes,
+        gz=bool(gzip_members),
+        # same salt as write_wet ON PURPOSE: the md5-uniform permutation
+        # is then identical, so page P lands in wat-00007 exactly when
+        # its text landed in wet-00007 — paired segment files, like CC's
+        # own WET/WAT segment correspondence
+        salt="wet",
+    )
+
+
+def _write_warc_segments(
+    slim: DataFrame,
+    out_dir: str,
+    num_segments: int,
+    prefix: str,
+    suffix: str,
+    record_cols: tuple,
+    record_fn,
+    gz: bool,
+    salt: str,
+) -> DataFrame:
+    """Shared segment-file writer behind write_wet / write_wat.
+
+    ``slim`` must carry a ``url`` column plus ``record_cols`` (url
+    first); each record's bytes are ``record_fn(*cols)`` with nulls
+    coerced to ''. One job: shard_assign (the md5-uniform permutation,
+    pure function of url) then applyInPandas over segment groups —
+    tmp-file + atomic-rename per segment, deterministic in-segment
+    order, per-record gzip members when ``gz``. Returns the
+    materialized manifest (segment, path, n_records, n_bytes, sha256).
+    Scale/determinism rationale documented on write_wet."""
     import hashlib
     import os
 
@@ -315,15 +427,8 @@ def write_wet(
     from ..operators.packing import shard_assign
 
     os.makedirs(out_dir, exist_ok=True)
-    gz = bool(gzip_members)
-    suffix = ".warc.wet.gz" if gz else ".warc.wet"
-
-    slim = docs.select(
-        F.col(url_col).alias("url"),
-        F.date_format(F.col(ts_col), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
-        F.col(text_col).alias("text"),
-    )
-    assigned = shard_assign(slim, num_segments, id_col="url", salt="wet")
+    payload_cols = list(record_cols)
+    assigned = shard_assign(slim, num_segments, id_col="url", salt=salt)
 
     def _write_segment(key, pdf):
         import gzip as gzmod
@@ -331,7 +436,7 @@ def write_wet(
         from pyspark import TaskContext
 
         seg = int(key[0])
-        name = f"wet-{seg:05d}{suffix}"
+        name = f"{prefix}-{seg:05d}{suffix}"
         final = os.path.join(out_dir, name)
         # tmp name carries the task ATTEMPT id: with speculation (or a
         # zombie straggler) two attempts for the same segment would
@@ -349,15 +454,13 @@ def write_wet(
         # inputs (review r05).
         pdf = pdf.assign(
             _upos=pdf.groupby("url")["shard_pos"].transform("min")
-        ).sort_values(["_upos", "url", "ts_iso", "text"])
+        ).sort_values(["_upos"] + payload_cols)
         h = hashlib.sha256()
         n_bytes = 0
         with open(tmp, "wb") as f:
             chunks = [_wet_warcinfo_bytes(name)]
-            for url, ts_iso, text in zip(pdf["url"], pdf["ts_iso"], pdf["text"]):
-                chunks.append(
-                    wet_record_bytes(url or "", ts_iso or "", text or "")
-                )
+            for tup in zip(*(pdf[c] for c in payload_cols)):
+                chunks.append(record_fn(*(v or "" for v in tup)))
             for c in chunks:
                 # mtime=0: gzip's default header stamps wall-clock
                 # time, which would break byte-determinism
@@ -384,7 +487,7 @@ def write_wet(
     # as a fresh local DataFrame (reusing the lazy plan would re-run
     # the write job on every downstream action)
     rows = manifest.collect()
-    return docs.sparkSession.createDataFrame(rows, manifest.schema)
+    return slim.sparkSession.createDataFrame(rows, manifest.schema)
 
 
 def read_warc_pages(

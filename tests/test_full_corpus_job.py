@@ -67,13 +67,14 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
         "--max-docs-per-host", "50", "--min-quality", "0.2",
         "--min-model-score", "0.05", "--robots", robots_path,
         "--wet-out", wet_out, "--wet-segments", "2",
+        "--wat-out", str(tmp_path / "wat"), "--wat-segments", "2",
     ])
     job.main()
 
     metrics = json.load(open(os.path.join(workdir, "rehearsal_metrics.json")))
     assert set(metrics["phases"]) == {
         "extract", "curate", "linkgraph", "index", "wet_export",
-        "cdx_index",
+        "cdx_index", "wat_export",
     }
     assert metrics["extracted_rows"] == N
     assert 0 < metrics["curated_rows"] <= N
@@ -140,6 +141,37 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
         spark, cap[0]["warc_file"], cap[0]["offset"], cap[0]["warc_len"]
     )
     assert payload.decode("utf-8") == got[0]["text"]
+
+    # WAT export: one metadata record per RAW page (pre-curation —
+    # the link graph wants blocked/duplicate pages' outlinks too),
+    # envelope link sets matching the page_links operator view
+    import json as _json
+
+    from nidaba_spark.operators.links import page_links
+    from nidaba_spark.sources.rawfiles import (
+        parse_warc_records,
+        read_warc_pages as _rwp,
+    )
+
+    assert metrics["wat_records"] == N
+    wat_urls, wat_links = set(), {}
+    for f in sorted((tmp_path / "wat").glob("*.warc.wat.gz")):
+        for h, p in parse_warc_records(f.read_bytes()):
+            if h.get("warc-type") != "metadata":
+                continue
+            wat_urls.add(h["warc-target-uri"])
+            hm = _json.loads(p)["Envelope"]["Payload-Metadata"][
+                "HTTP-Response-Metadata"]["HTML-Metadata"]
+            wat_links[h["warc-target-uri"]] = sorted(
+                x["url"] for x in hm["Links"]
+            )
+    assert wat_urls == {r["url"] for r in rows}
+    ingested = _rwp(spark, str(seg_dir))
+    expect_links = {}
+    for r in page_links(ingested).collect():
+        expect_links.setdefault(r["src"], []).append(r["dst"])
+    for u, ls in expect_links.items():
+        assert wat_links[u] == sorted(ls)
 
     # serving indexes are queryable
     from nidaba_spark.operators.search import bm25_topk_postings
