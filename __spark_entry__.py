@@ -134,6 +134,8 @@ _RETIRED_FROM_DRIVER = [
     "crawl_frontier",
     "sitemap_entries",
     "recrawl_priority",
+    "feed_entries",
+    "feed_discovery",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -3736,6 +3736,176 @@ FROM a
 """
 
 
+def q_feed_entries(spark: SparkSession, sf: str) -> DataFrame:
+    """RSS/Atom feed ingestion (operators/feeds.feed_entries) over
+    synthesized feed XML: every doc gets an RSS feed with two items —
+    the first exercises CDATA link wrapping (doc_id%7), XML entity
+    unescaping (&amp; in the query string), whitespace trimming,
+    conditional pubDate (doc_id%2) and guid (doc_id%3); the second is
+    link-only (nulls); a third has NO link and must drop — and every
+    third doc adds an Atom feed whose entry exercises the RFC 4287
+    rel rule (a rel="self" link listed FIRST must be skipped for the
+    rel-less alternate), relative-href resolution against the feed
+    url, and the published→updated fallback (doc_id%2). The oracle
+    reconstructs every row INDEPENDENTLY from the doc_id arithmetic
+    (the sitemap pattern)."""
+    from ..operators.feeds import feed_entries
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    site = F.concat(
+        F.lit("https://f"), (d % 5).cast("string"), F.lit(".example.org")
+    )
+    link1 = F.concat(site, F.lit("/p/"), d.cast("string"), F.lit("?x=1&amp;y=2"))
+    link1_tag = F.when(
+        d % 7 == 0,
+        F.concat(F.lit("<link><![CDATA["), link1, F.lit("]]></link>")),
+    ).otherwise(F.concat(F.lit("<link> "), link1, F.lit(" </link>")))
+    rss_xml = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><item>'
+              "<title>Post "),
+        d.cast("string"),
+        F.lit(" &amp; more</title>"),
+        link1_tag,
+        F.when(
+            d % 2 == 0,
+            F.concat(
+                F.lit("<pubDate>Mon, 0"),
+                ((d % 9) + 1).cast("string"),
+                F.lit(" Jan 2026 00:00:00 GMT</pubDate>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("<guid>g-"), d.cast("string"), F.lit("</guid>")),
+        ).otherwise(F.lit("")),
+        F.lit("</item><item><link>"),
+        site,
+        F.lit("/p/"),
+        d.cast("string"),
+        F.lit("/alt</link></item><item><title>linkless drops</title></item>"
+              "</channel></rss>"),
+    )
+    rss = docs.select(
+        F.concat(site, F.lit("/feed-"), d.cast("string"), F.lit(".rss")).alias(
+            "url"
+        ),
+        F.encode(rss_xml, "UTF-8").alias("html"),
+    )
+    atom_xml = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><entry><title>A'),
+        d.cast("string"),
+        F.lit('</title><link rel="self" href="'),
+        site,
+        F.lit("/feed-"),
+        d.cast("string"),
+        F.lit('.atom"/><link href="/posts/'),
+        d.cast("string"),
+        F.lit('"/>'),
+        F.when(
+            d % 2 == 0,
+            F.lit("<published>2026-03-01T00:00:00Z</published>"),
+        ).otherwise(F.lit("<updated>2026-03-02T00:00:00Z</updated>")),
+        F.lit("<id>tag:"),
+        d.cast("string"),
+        F.lit("</id></entry></feed>"),
+    )
+    atom = docs.filter(d % 3 == 0).select(
+        F.concat(site, F.lit("/feed-"), d.cast("string"), F.lit(".atom")).alias(
+            "url"
+        ),
+        F.encode(atom_xml, "UTF-8").alias("html"),
+    )
+    return feed_entries(rss.unionByName(atom))
+
+
+ORACLE["feed_entries"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://f' || (doc_id % 5) || '.example.org' AS site
+  FROM documents)
+SELECT * FROM (
+  SELECT site || '/feed-' || i || '.rss' AS feed_url,
+         'rss' AS kind,
+         site || '/p/' || i || '?x=1&y=2' AS loc,
+         'Post ' || i || ' & more' AS title,
+         CASE WHEN i % 2 = 0
+              THEN 'Mon, 0' || ((i % 9) + 1) || ' Jan 2026 00:00:00 GMT'
+         END AS published,
+         CASE WHEN i % 3 = 0 THEN 'g-' || i END AS guid
+  FROM d
+  UNION ALL
+  SELECT site || '/feed-' || i || '.rss', 'rss',
+         site || '/p/' || i || '/alt', NULL, NULL, NULL
+  FROM d
+  UNION ALL
+  SELECT site || '/feed-' || i || '.atom', 'atom',
+         site || '/posts/' || i, 'A' || i,
+         CASE WHEN i % 2 = 0 THEN '2026-03-01T00:00:00Z'
+              ELSE '2026-03-02T00:00:00Z' END,
+         'tag:' || i
+  FROM d WHERE i % 3 = 0
+)
+"""
+
+
+def q_feed_discovery(spark: SparkSession, sf: str) -> DataFrame:
+    """Feed autodiscovery (operators/feeds.page_feed_links) over
+    synthesized HTML heads: even docs declare an RSS feed with a
+    RELATIVE href and rel-before-type attribute order; odd docs an
+    Atom feed with an absolute href and type-before-rel order; every
+    head also carries two decoys (rel=stylesheet, rel=alternate
+    type=text/html) that must not match. Oracle reconstructs the one
+    row per doc from the parity arithmetic."""
+    from ..operators.feeds import page_feed_links
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    site = F.concat(
+        F.lit("https://f"), (d % 5).cast("string"), F.lit(".example.org")
+    )
+    feed_link = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit('<link rel="alternate" type="application/rss+xml" href="/f'),
+            d.cast("string"),
+            F.lit('.xml">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<link type="application/atom+xml" href="'),
+            site,
+            F.lit("/f"),
+            d.cast("string"),
+            F.lit('.atom" rel="alternate">'),
+        )
+    )
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        feed_link,
+        F.lit('<link rel="alternate" type="text/html" href="/en">'
+              "</head><body></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(site, F.lit("/page/"), d.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return page_feed_links(pages)
+
+
+ORACLE["feed_discovery"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://f' || (doc_id % 5) || '.example.org' AS site
+  FROM documents)
+SELECT site || '/page/' || i AS url,
+       CASE WHEN i % 2 = 0 THEN site || '/f' || i || '.xml'
+            ELSE site || '/f' || i || '.atom' END AS feed_url,
+       CASE WHEN i % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_type
+FROM d
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -3822,4 +3992,6 @@ QUERIES = {
     "crawl_frontier": q_crawl_frontier,
     "sitemap_entries": q_sitemap_entries,
     "recrawl_priority": q_recrawl_priority,
+    "feed_entries": q_feed_entries,
+    "feed_discovery": q_feed_discovery,
 }
