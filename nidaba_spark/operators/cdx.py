@@ -88,6 +88,7 @@ def build_cdx(
     ts_col: str = "warc_ts",
     payload_col: str = "html",
     mime: str = "text/html",
+    mime_col: str | None = None,
     npartitions: int | None = None,
     carry: tuple[str, ...] = (),
 ) -> DataFrame:
@@ -122,7 +123,13 @@ def build_cdx(
         ts.alias("ts"),
         F.col(url_col).alias("url"),
         F.sha2(payload, 256).alias("digest"),
-        F.lit(mime).alias("mime"),
+        # mime_col (e.g. read_warc_responses' parsed Content-Type)
+        # beats the literal default; null parses fall back to it
+        (
+            F.coalesce(F.col(mime_col), F.lit(mime))
+            if mime_col
+            else F.lit(mime)
+        ).alias("mime"),
         F.octet_length(payload).alias("length"),
         *[F.col(c) for c in carry],
     ).filter(F.col("surt").isNotNull())

@@ -230,6 +230,73 @@ def canonical_dedup(
     )
 
 
+def redirect_edges(
+    responses: DataFrame,
+    url_col: str = "url",
+    status_col: str = "status",
+    location_col: str = "location",
+) -> DataFrame:
+    """(src, dst, status): one alias edge per 3xx capture with a
+    resolvable Location (sources/rawfiles.read_warc_responses is the
+    input shape). Self-redirects drop (an alias to itself is noise
+    that would self-loop the resolver). Pure codegen projection —
+    the redirect table is typically 1-5% of a crawl, tiny relative
+    to page bytes."""
+    s = F.col(status_col)
+    return (
+        responses.filter(
+            (s >= 300) & (s < 400) & F.col(location_col).isNotNull()
+        )
+        .select(
+            F.col(url_col).alias("src"),
+            resolve_href(F.col(url_col), F.col(location_col)).alias("dst"),
+            s.alias("status"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+
+
+def follow_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """(src, final): each redirect source mapped to the END of its
+    redirect chain — the alias table canonical_dedup / CDX revisit
+    logic joins against, so A→B→C collapses to A→C and B→C.
+
+    Pointer jumping, not per-hop walking: each round joins the
+    mapping with itself (dst → that dst's own mapping), DOUBLING the
+    resolved chain length, so ceil(log2(max_hops)) self-join shuffles
+    cover max_hops (the HTTP-client convention; browsers cap near
+    20 ≤ 2^5). Each shuffle moves the slim (src, dst) alias table
+    only. Cycles (A→B→A) resolve to a member of the cycle after the
+    hop budget and are then DROPPED (final == some src of the same
+    chain that still maps onward ⇒ detectable as non-terminal): a
+    redirect loop has no landing page, so it must not alias anything.
+    Duplicate-src captures (recrawls with different targets) collapse
+    to min(dst) first — deterministic regardless of ingest order."""
+    m = edges.groupBy("src").agg(F.min("dst").alias("dst"))
+    rounds = max(1, (max_hops - 1).bit_length())
+    for _ in range(rounds):
+        nxt = m.select(
+            F.col("src").alias("_s"), F.col("dst").alias("_d")
+        )
+        m = (
+            m.join(nxt, m["dst"] == nxt["_s"], "left")
+            .select(
+                "src", F.coalesce(nxt["_d"], m["dst"]).alias("dst")
+            )
+        )
+    # non-terminal finals are cycle members: their final still has an
+    # outgoing alias AND the chain never left the cycle, which after
+    # log2 rounds of jumping shows up as final ∈ src-set with
+    # final's own final != a fixed point. The simple sound rule:
+    # drop rows whose final is still a redirect SOURCE — for a
+    # terminal chain the landing page is by construction not 3xx.
+    srcs = edges.select(F.col("src").alias("_src")).distinct()
+    return (
+        m.join(srcs, m["dst"] == srcs["_src"], "left_anti")
+        .select("src", F.col("dst").alias("final"))
+    )
+
+
 def page_wat(
     pages: DataFrame,
     url_col: str = "url",

@@ -204,6 +204,36 @@ def _http_body(payload: bytes) -> bytes:
     return payload[sep + 4:] if sep >= 0 else payload
 
 
+def _http_meta(payload: bytes):
+    """(status, mime, location) from an HTTP response payload's header
+    block; all-None when the payload is not HTTP-framed. mime is the
+    Content-Type media type lowercased with parameters (charset=...)
+    stripped; location is the raw Location header value (resolution
+    against the capture url is the consumer's step —
+    operators/links.redirect_edges). First occurrence of each header
+    wins; a non-numeric status token yields status None rather than a
+    task kill (crawl archives contain every malformation)."""
+    if not payload.startswith(b"HTTP/"):
+        return None, None, None
+    sep = payload.find(b"\r\n\r\n")
+    head = payload if sep < 0 else payload[:sep]
+    lines = head.split(b"\r\n")
+    parts = lines[0].split(None, 2)
+    status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else None
+    mime = location = None
+    for line in lines[1:]:
+        k, _, v = line.partition(b":")
+        k = k.strip().lower()
+        if k == b"content-type" and mime is None:
+            mime = (
+                v.split(b";", 1)[0].strip().decode("utf-8", "replace").lower()
+                or None
+            )
+        elif k == b"location" and location is None:
+            location = v.strip().decode("utf-8", "replace") or None
+    return status, mime, location
+
+
 # ----------------------------------------------------------- WET egress
 # The writer half of the WARC/WET story: emit an extracted corpus AS
 # Common-Crawl-shaped WET segment files (`conversion` records), so the
@@ -543,6 +573,63 @@ def read_warc_pages(
     return raw.mapInPandas(
         _records,
         "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def read_warc_responses(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*.warc*",
+) -> DataFrame:
+    """WARC drops → the HTTP-layer view of `response` records:
+    (url, warc_ts, status, mime, location, html).
+
+    What read_warc_pages throws away on purpose (its consumers want
+    page bytes), this reader keeps: the HTTP status code, the
+    Content-Type media type (parameters stripped, lowercased), and
+    the raw Location header — the inputs for redirect-alias
+    resolution (operators/links.redirect_edges), mime-aware CDX
+    records (build_cdx(mime_col=...)), and status-filtered extraction
+    (a 404's body is error boilerplate, not content). Non-HTTP-framed
+    payloads get null status/mime/location with the whole payload as
+    html — same tolerance as _http_body. Same one-task-per-WARC-file
+    Arrow-batched scan as the sibling readers."""
+    import pandas as pd
+
+    def _records(batches):
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "url": [], "warc_ts": [], "status": [], "mime": [],
+                "location": [], "html": [],
+            }
+            for content in pdf["content"]:
+                for h, payload in parse_warc_records(bytes(content)):
+                    if h.get("warc-type") != "response":
+                        continue
+                    rows["url"].append(h.get("warc-target-uri", ""))
+                    ts = pd.to_datetime(
+                        h.get("warc-date"), utc=True, errors="coerce"
+                    )
+                    rows["warc_ts"].append(
+                        ts.tz_localize(None) if ts is not pd.NaT else pd.NaT
+                    )
+                    status, mime, location = _http_meta(payload)
+                    rows["status"].append(status)
+                    rows["mime"].append(mime)
+                    rows["location"].append(location)
+                    rows["html"].append(_http_body(payload))
+            df = pd.DataFrame(rows)
+            # all-null status must stay integer-typed for Arrow
+            df["status"] = df["status"].astype("Int32")
+            yield df
+
+    raw = (
+        spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+    ).select("content")
+    return raw.mapInPandas(
+        _records,
+        "url string, warc_ts timestamp, status int, mime string, "
+        "location string, html binary",
     )
 
 

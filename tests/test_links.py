@@ -275,3 +275,70 @@ def test_pagerank_composition(spark, corpus_rows):
     ).collect()
     total = sum(r["rank"] for r in ranks)
     assert ranks and abs(total - 1.0) < 1e-6
+
+
+def _responses(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, status int, location string"
+    )
+
+
+def test_redirect_edges_rules(spark):
+    from nidaba_spark.operators.links import redirect_edges
+
+    df = _responses(spark, [
+        ("https://r.example/a", 301, "/b"),            # relative resolved
+        ("https://r.example/ok", 200, None),           # not a redirect
+        ("https://r.example/weird", 200, "/elsewhere"),  # 2xx Location ignored
+        ("https://r.example/self", 302, "https://r.example/self"),  # self drop
+        ("https://r.example/c", 307, "https://other.example/d"),
+        ("https://r.example/nul", 303, None),          # no Location
+        ("https://r.example/bad", 301, "mailto:x@y"),  # unresolvable drop
+    ])
+    got = {(r["src"], r["dst"], r["status"]) for r in redirect_edges(df).collect()}
+    assert got == {
+        ("https://r.example/a", "https://r.example/b", 301),
+        ("https://r.example/c", "https://other.example/d", 307),
+    }
+
+
+def test_follow_redirects_chains_cycles_caps(spark):
+    from nidaba_spark.operators.links import follow_redirects
+
+    e = lambda s, d: (f"https://c.example/{s}", f"https://c.example/{d}", 301)
+    edges = spark.createDataFrame(
+        [
+            e("a", "b"), e("b", "c"), e("c", "d"),   # chain a→b→c→d
+            e("x", "y"), e("y", "x"),                 # 2-cycle: no landing page
+            e("lone", "final"),                        # 1 hop
+            # duplicate src from recrawls: deterministic min(dst) chosen
+            ("https://c.example/dup", "https://c.example/z2", 301),
+            ("https://c.example/dup", "https://c.example/z1", 302),
+        ],
+        "src string, dst string, status int",
+    ).select("src", "dst")
+    got = {r["src"]: r["final"] for r in follow_redirects(edges, max_hops=8).collect()}
+    assert got == {
+        "https://c.example/a": "https://c.example/d",
+        "https://c.example/b": "https://c.example/d",
+        "https://c.example/c": "https://c.example/d",
+        "https://c.example/lone": "https://c.example/final",
+        "https://c.example/dup": "https://c.example/z1",
+    }  # x and y (cycle members) resolve nowhere and are absent
+
+
+def test_follow_redirects_hop_budget(spark):
+    """A chain longer than max_hops resolves mid-chain onto a redirect
+    source and is dropped — the client-gives-up semantics."""
+    from nidaba_spark.operators.links import follow_redirects
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i+1}") for i in range(n)], "src string, dst string"
+    )
+    got = {r["src"]: r["final"] for r in follow_redirects(edges, max_hops=16).collect()}
+    assert got == {f"u{i}": f"u{n}" for i in range(n)}
+    short = follow_redirects(edges, max_hops=4).collect()
+    # 4-hop budget resolves only the tail of the chain (sources within
+    # 4 hops of the terminal); heads land on redirect sources and drop
+    assert {r["src"] for r in short} == {f"u{i}" for i in range(n - 4, n)}

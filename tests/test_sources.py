@@ -312,6 +312,90 @@ def test_warc_mixed_and_malformed_dates(spark, tmp_path):
     assert got["https://bad.example/3"]["warc_ts"] is None  # coerced, not crashed
 
 
+def test_http_meta_pure():
+    from nidaba_spark.sources.rawfiles import _http_meta
+
+    assert _http_meta(
+        b"HTTP/1.1 301 Moved Permanently\r\nServer: x\r\n"
+        b"Location: /new/place\r\nContent-Type: text/html; charset=UTF-8\r\n"
+        b"\r\nredirect body"
+    ) == (301, "text/html", "/new/place")
+    # first occurrence of each header wins; media type lowercased
+    assert _http_meta(
+        b"HTTP/1.0 200 OK\r\nContent-Type: Application/PDF\r\n"
+        b"Content-Type: text/plain\r\n\r\n%PDF"
+    ) == (200, "application/pdf", None)
+    # not HTTP-framed / garbage status token: nulls, never a raise
+    assert _http_meta(b"<html>raw dump</html>") == (None, None, None)
+    assert _http_meta(b"HTTP/1.1 banana\r\n\r\nx") == (None, None, None)
+    # headers-only payload (no CRLFCRLF) still parses
+    assert _http_meta(b"HTTP/1.1 204 No Content\r\nContent-Type: a/b") == (
+        204, "a/b", None,
+    )
+
+
+def test_read_warc_responses(spark, tmp_path):
+    from nidaba_spark.sources.rawfiles import read_warc_responses
+
+    recs = (
+        _warc_record(
+            "response", "https://r.example/old", "2026-01-02T03:04:05Z",
+            b"HTTP/1.1 301 Moved\r\nLocation: https://r.example/new\r\n\r\ngone",
+        )
+        + _warc_record(
+            "response", "https://r.example/page", "2026-01-02T03:04:06Z",
+            _http(b"<html>ok</html>"),
+        )
+        + _warc_record(
+            "response", "https://r.example/raw", "2026-01-02T03:04:07Z",
+            b"not http framed at all",
+        )
+        + _warc_record(  # non-response records skipped
+            "metadata", "https://r.example/page", "2026-01-02T03:04:06Z",
+            b"{}",
+        )
+    )
+    (tmp_path / "r.warc").write_bytes(recs)
+    got = {
+        r["url"]: r for r in read_warc_responses(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {
+        "https://r.example/old", "https://r.example/page",
+        "https://r.example/raw",
+    }
+    old = got["https://r.example/old"]
+    assert (old["status"], old["location"]) == (301, "https://r.example/new")
+    assert bytes(old["html"]) == b"gone"
+    page = got["https://r.example/page"]
+    assert (page["status"], page["mime"], page["location"]) == (
+        200, "text/html", None,
+    )
+    assert bytes(page["html"]) == b"<html>ok</html>"
+    raw = got["https://r.example/raw"]
+    assert raw["status"] is None and raw["mime"] is None
+    assert bytes(raw["html"]) == b"not http framed at all"
+
+
+def test_build_cdx_mime_col(spark):
+    from nidaba_spark.operators.cdx import build_cdx
+
+    df = spark.createDataFrame(
+        [
+            ("https://m.example/a", "20260101000000", b"x", "application/pdf"),
+            ("https://m.example/b", "20260101000000", b"y", None),
+        ],
+        "url string, warc_ts string, html binary, mime_parsed string",
+    )
+    got = {
+        r["url"]: r["mime"]
+        for r in build_cdx(df, mime_col="mime_parsed").collect()
+    }
+    assert got == {
+        "https://m.example/a": "application/pdf",
+        "https://m.example/b": "text/html",  # null parse → literal default
+    }
+
+
 def test_wet_writer_roundtrip(spark, tmp_path):
     """write_wet → read_warc_pages round-trips (url, text) byte-
     identically and second-precision warc_ts; files are CC-shaped
