@@ -47,6 +47,7 @@ def crawl_frontier(
     url_col: str = "url",
     html_col: str = "html",
     distinct_referrers: bool = False,
+    redirect_aliases: DataFrame | None = None,
 ) -> DataFrame:
     """(url, host, n_referrers, fetch_order) for every discovered,
     not-yet-crawled URL. ``crawled`` is a one-column (url) frame of
@@ -63,7 +64,17 @@ def crawl_frontier(
     to one vote) — at the cost of a second exchange: a partial-agg'd
     (src, dst) dedup shuffle ahead of the dst count. On the synthetic
     test corpus every link occurs once per page, so both modes agree
-    with the oracle."""
+    with the oracle.
+
+    ``redirect_aliases`` is a (src, final) frame — links.
+    follow_redirects output — mapping known redirect sources to their
+    chain's landing page: discovered candidates remap through it
+    BEFORE the seen-filter, so a link to /old that 301s to an
+    already-crawled /new never re-enters the frontier, and votes for
+    /old and /new merge. Scale shape: the remap joins the POST-DEDUP
+    candidate set (one slim row per distinct discovered url) — one
+    extra candidate-keyed exchange plus a re-aggregation, never a
+    touch of the link fan-in; AQE broadcasts small alias tables."""
     own = pages.select(F.col(url_col).alias("url"))
     seen = own if crawled is None else own.unionByName(
         crawled.select(F.col(crawled.columns[0]).alias("url"))
@@ -76,6 +87,18 @@ def crawl_frontier(
         .groupBy(F.col("dst").alias("url"))
         .agg(F.count(F.lit(1)).alias("n_referrers"))
     )
+    if redirect_aliases is not None:
+        al = redirect_aliases.select(
+            F.col("src").alias("_asrc"), F.col("final").alias("_afinal")
+        )
+        cand = (
+            cand.join(al, cand["url"] == al["_asrc"], "left")
+            .select(
+                F.coalesce("_afinal", "url").alias("url"), "n_referrers"
+            )
+            .groupBy("url")
+            .agg(F.sum("n_referrers").alias("n_referrers"))
+        )
     fresh = cand.join(seen, "url", "left_anti")
     w = Window.partitionBy("host").orderBy(
         F.desc("n_referrers"), F.col("url")

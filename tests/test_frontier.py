@@ -90,3 +90,44 @@ def test_frontier_external_crawled_composes_with_own(spark, pages):
     crawled = spark.createDataFrame([("https://c.com/y",)], "url string")
     urls = {r["url"] for r in crawl_frontier(pages, crawled=crawled).collect()}
     assert urls == {"https://b.com/z"}  # own urls STILL excluded
+
+
+def test_frontier_redirect_aliases_remap_and_merge(spark):
+    """Candidates remap through the redirect alias table before the
+    seen-filter: /old → already-crawled /new never re-enters; votes
+    for an alias source and its landing page merge; unaliased
+    candidates pass through."""
+    pages = spark.createDataFrame(
+        [
+            _page("https://s.com/1", "https://t.com/old", "https://t.com/fresh-old"),
+            _page("https://s.com/2", "https://t.com/old", "https://t.com/new"),
+            _page("https://s.com/3", "https://u.com/plain"),
+        ],
+        "url string, html binary",
+    )
+    aliases = spark.createDataFrame(
+        [
+            ("https://t.com/old", "https://t.com/new"),
+            ("https://t.com/fresh-old", "https://t.com/fresh-new"),
+        ],
+        "src string, final string",
+    )
+    crawled = spark.createDataFrame([("https://t.com/new",)], "url string")
+    got = {
+        r["url"]: r["n_referrers"]
+        for r in crawl_frontier(
+            pages, crawled=crawled, redirect_aliases=aliases
+        ).collect()
+    }
+    # /old's 2 votes + /new's 1 vote merged onto /new — then dropped
+    # as crawled; /fresh-old remaps to its (uncrawled) landing page
+    assert got == {
+        "https://t.com/fresh-new": 1,
+        "https://u.com/plain": 1,
+    }
+    # without aliases the raw targets surface and /old re-enters
+    raw = {
+        r["url"]
+        for r in crawl_frontier(pages, crawled=crawled).collect()
+    }
+    assert "https://t.com/old" in raw and "https://t.com/fresh-old" in raw
