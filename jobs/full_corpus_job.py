@@ -229,8 +229,19 @@ def main() -> None:
         with phase("wet_export"):
             from nidaba_spark.sources.rawfiles import write_wet
 
-            wet_src = curated.withColumn(
-                "warc_ts", F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+            # real capture timestamps, not a synthetic epoch: the
+            # curated table doesn't carry warc_ts, so join it back
+            # from the raw pages (max per url = the capture the
+            # recrawl-dedup kept). This is ALSO what makes the
+            # WET↔WAT record cross-reference real — WARC-Refers-To
+            # derives from (url, ts), so both writers must see the
+            # same timestamp for the same capture (review r05).
+            caps = pages.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+            wet_src = curated.join(caps, "url", "left").withColumn(
+                "warc_ts",
+                F.coalesce(
+                    "warc_ts", F.to_timestamp(F.lit("1970-01-01 00:00:00"))
+                ),
             )
             manifest = write_wet(wet_src, args.wet_out, args.wet_segments)
             agg = manifest.agg(

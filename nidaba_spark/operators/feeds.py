@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .links import html_text, resolve_href
-from .sitemap import _blank_null, _tag, _xml_unescape
+from .sitemap import _blank_null, _xml_unescape
 
 _ITEM_BLOCK = r"(?is)<item[\s>].*?</item>"
 _ENTRY_BLOCK = r"(?is)<entry[\s>].*?</entry>"
@@ -46,6 +46,22 @@ _LINK_TAG = r"(?is)<link\b[^>]*>"
 _REL_ANY = r"""(?i)[\s"'/]rel\s*=\s*["'][^"']*["']"""
 _REL_ALT = r"""(?i)[\s"'/]rel\s*=\s*["']alternate["']"""
 _HREF_ATTR = r"""(?i)[\s"'/]href\s*=\s*["']([^"']*)["']"""
+
+
+def _tag(block: Column, name: str) -> Column:
+    """Trimmed inner text of ``<name …attrs…>…</name>`` inside one
+    block ('' when absent); optional CDATA wrapper stripped. Unlike
+    sitemap's bare-tag extractor, the opening tag may carry
+    attributes — the RSS 2.0 spec's own example is
+    ``<guid isPermaLink="false">…``, and Atom titles routinely carry
+    ``type="html"``; requiring bare tags silently nulls those fields
+    on a large fraction of real feeds (review r05)."""
+    return F.regexp_extract(
+        block,
+        rf"(?is)<{name}(?:\s[^>]*)?>\s*(?:<!\[CDATA\[)?\s*(.*?)"
+        rf"\s*(?:\]\]>)?\s*</{name}>",
+        1,
+    )
 
 
 def _atom_alt_href(block: Column) -> Column:
@@ -129,7 +145,9 @@ def page_feed_links(
     feed_type is 'rss' or 'atom' from the MIME type; href resolved
     against the page. One narrow scan, explode bounded by <link> tags
     per head (a handful)."""
-    body = html_text(F.col(html_col))
+    body = F.col(html_col)
+    if isinstance(pages.schema[html_col].dataType, T.BinaryType):
+        body = html_text(body)
     tags = F.filter(
         F.regexp_extract_all(body, F.lit(_LINK_TAG), F.lit(0)),
         lambda t: t.rlike(_REL_ALT) & t.rlike(_TYPE_FEED),

@@ -71,34 +71,57 @@ def crawl_frontier(
     chain's landing page: discovered candidates remap through it
     BEFORE the seen-filter, so a link to /old that 301s to an
     already-crawled /new never re-enters the frontier, and votes for
-    /old and /new merge. Scale shape: the remap joins the POST-DEDUP
-    candidate set (one slim row per distinct discovered url) — one
-    extra candidate-keyed exchange plus a re-aggregation, never a
-    touch of the link fan-in; AQE broadcasts small alias tables."""
+    /old and /new merge. Scale shape: the remap joins a POST-DEDUP
+    slim set — the candidate table (occurrence mode) or the distinct
+    (src, dst) pair set (distinct_referrers mode, where the remap must
+    precede the per-page vote so a page linking both /old and its
+    landing page still votes once) — never the raw link fan-in; AQE
+    broadcasts small alias tables. Alias srcs are defensively
+    collapsed to min(final) so a malformed (duplicated-src) alias
+    table cannot fan votes out."""
     own = pages.select(F.col(url_col).alias("url"))
     seen = own if crawled is None else own.unionByName(
         crawled.select(F.col(crawled.columns[0]).alias("url"))
     )
+    # defensive one-final-per-src collapse: nothing enforces that the
+    # caller hands follow_redirects' already-unique output, and a
+    # duplicated alias src would fan the join out and inflate votes
+    al = None
+    if redirect_aliases is not None:
+        al = redirect_aliases.groupBy(
+            F.col("src").alias("_asrc")
+        ).agg(F.min("final").alias("_afinal"))
     links = page_links(pages, url_col=url_col, html_col=html_col)
     if distinct_referrers:
-        links = links.select("src", "dst").distinct()
-    cand = (
-        links
-        .groupBy(F.col("dst").alias("url"))
-        .agg(F.count(F.lit(1)).alias("n_referrers"))
-    )
-    if redirect_aliases is not None:
-        al = redirect_aliases.select(
-            F.col("src").alias("_asrc"), F.col("final").alias("_afinal")
+        pairs = links.select("src", "dst").distinct()
+        if al is not None:
+            # remap BEFORE the per-page vote is cast: one page linking
+            # both /old and its landing page /new must still count
+            # once for /new, so the distinct re-runs on remapped pairs
+            # (joins the slim distinct pair set, not the link fan-in)
+            pairs = pairs.join(
+                al, pairs["dst"] == al["_asrc"], "left"
+            ).select(
+                "src", F.coalesce("_afinal", "dst").alias("dst")
+            ).distinct()
+        cand = pairs.groupBy(F.col("dst").alias("url")).agg(
+            F.count(F.lit(1)).alias("n_referrers")
         )
+    else:
         cand = (
-            cand.join(al, cand["url"] == al["_asrc"], "left")
-            .select(
-                F.coalesce("_afinal", "url").alias("url"), "n_referrers"
-            )
-            .groupBy("url")
-            .agg(F.sum("n_referrers").alias("n_referrers"))
+            links
+            .groupBy(F.col("dst").alias("url"))
+            .agg(F.count(F.lit(1)).alias("n_referrers"))
         )
+        if al is not None:
+            cand = (
+                cand.join(al, cand["url"] == al["_asrc"], "left")
+                .select(
+                    F.coalesce("_afinal", "url").alias("url"), "n_referrers"
+                )
+                .groupBy("url")
+                .agg(F.sum("n_referrers").alias("n_referrers"))
+            )
     fresh = cand.join(seen, "url", "left_anti")
     w = Window.partitionBy("host").orderBy(
         F.desc("n_referrers"), F.col("url")

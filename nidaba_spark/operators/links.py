@@ -262,26 +262,39 @@ def follow_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
     logic joins against, so A→B→C collapses to A→C and B→C.
 
     Pointer jumping, not per-hop walking: each round joins the
-    mapping with itself (dst → that dst's own mapping), DOUBLING the
-    resolved chain length, so ceil(log2(max_hops)) self-join shuffles
-    cover max_hops (the HTTP-client convention; browsers cap near
-    20 ≤ 2^5). Each shuffle moves the slim (src, dst) alias table
-    only. Cycles (A→B→A) resolve to a member of the cycle after the
-    hop budget and are then DROPPED (final == some src of the same
-    chain that still maps onward ⇒ detectable as non-terminal): a
-    redirect loop has no landing page, so it must not alias anything.
-    Duplicate-src captures (recrawls with different targets) collapse
-    to min(dst) first — deterministic regardless of ingest order."""
-    m = edges.groupBy("src").agg(F.min("dst").alias("dst"))
-    rounds = max(1, (max_hops - 1).bit_length())
-    for _ in range(rounds):
+    mapping with itself (dst → that dst's own mapping) and advances
+    only while the COMBINED hop count stays ≤ max_hops — the budget
+    is exact, not rounded up to a power of two (a 7-hop chain under
+    max_hops=5 drops; review r05). Resolved length doubles per round
+    until the budget or the terminal truncates it, so
+    ceil(log2(max_hops))+1 self-join shuffles cover any budget (the
+    HTTP-client convention; browsers cap near 20 ≤ 2^5). Each shuffle
+    moves the slim (src, dst, hops) alias table only. Cycles (A→B→A)
+    burn the budget inside the cycle and are then DROPPED (their
+    final is still a redirect source): a redirect loop has no landing
+    page, so it must not alias anything. Duplicate-src captures
+    (recrawls with different targets) collapse to min(dst) first —
+    deterministic regardless of ingest order."""
+    m = edges.groupBy("src").agg(F.min("dst").alias("dst")).withColumn(
+        "h", F.lit(1)
+    )
+    for _ in range(max(1, max_hops.bit_length() + 1)):
         nxt = m.select(
-            F.col("src").alias("_s"), F.col("dst").alias("_d")
+            F.col("src").alias("_s"),
+            F.col("dst").alias("_d"),
+            F.col("h").alias("_h"),
+        )
+        step_ok = nxt["_d"].isNotNull() & (
+            (m["h"] + nxt["_h"]) <= F.lit(max_hops)
         )
         m = (
             m.join(nxt, m["dst"] == nxt["_s"], "left")
             .select(
-                "src", F.coalesce(nxt["_d"], m["dst"]).alias("dst")
+                "src",
+                F.when(step_ok, nxt["_d"]).otherwise(m["dst"]).alias("dst"),
+                F.when(step_ok, m["h"] + nxt["_h"]).otherwise(m["h"]).alias(
+                    "h"
+                ),
             )
         )
     # non-terminal finals are cycle members: their final still has an

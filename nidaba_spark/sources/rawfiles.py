@@ -196,12 +196,31 @@ def parse_warc_records_located(data: bytes):
         yield from _parse_plain_located(data)
 
 
+def _http_split(payload: bytes):
+    """(header block, body) of an HTTP payload. Header/body separator
+    is the first CRLFCRLF **or bare LFLF** — noncompliant servers emit
+    bare-LF headers and crawl archives store them verbatim, so a
+    CRLF-only split would silently leak the header block into the
+    body (and lose Location/Content-Type in _http_meta)."""
+    sep_crlf = payload.find(b"\r\n\r\n")
+    sep_lf = payload.find(b"\n\n")
+    if sep_crlf >= 0 and (sep_lf < 0 or sep_crlf <= sep_lf):
+        return payload[:sep_crlf], payload[sep_crlf + 4:]
+    if sep_lf >= 0:
+        return payload[:sep_lf], payload[sep_lf + 2:]
+    return payload, None
+
+
 def _http_body(payload: bytes) -> bytes:
     """Body of an HTTP response payload (after its header block).
     Chunked transfer decoding is out of scope for crawl archives —
-    CC stores identity bodies; seam documented."""
-    sep = payload.find(b"\r\n\r\n")
-    return payload[sep + 4:] if sep >= 0 else payload
+    CC stores identity bodies; seam documented. Non-HTTP-framed
+    payloads pass through whole — a raw dump's own blank lines must
+    not truncate it."""
+    if not payload.startswith(b"HTTP/"):
+        return payload
+    _head, body = _http_split(payload)
+    return payload if body is None else body
 
 
 def _http_meta(payload: bytes):
@@ -212,12 +231,12 @@ def _http_meta(payload: bytes):
     against the capture url is the consumer's step —
     operators/links.redirect_edges). First occurrence of each header
     wins; a non-numeric status token yields status None rather than a
-    task kill (crawl archives contain every malformation)."""
+    task kill; bare-LF header lines parse the same as CRLF (crawl
+    archives contain every malformation)."""
     if not payload.startswith(b"HTTP/"):
         return None, None, None
-    sep = payload.find(b"\r\n\r\n")
-    head = payload if sep < 0 else payload[:sep]
-    lines = head.split(b"\r\n")
+    head, _body = _http_split(payload)
+    lines = head.replace(b"\r\n", b"\n").split(b"\n")
     parts = lines[0].split(None, 2)
     status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else None
     mime = location = None

@@ -91,3 +91,35 @@ def test_feed_discovery_decoys_and_resolution(spark):
 def test_feed_entries_plan_is_one_narrow_scan(spark, feeds):
     plan = feed_entries(feeds)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # zero shuffles: scan → generate → project
+
+
+def test_attribute_bearing_tags_still_extract(spark):
+    """RSS 2.0's own example is <guid isPermaLink="false">; Atom titles
+    routinely carry type="html" — attribute-bearing tags must not null
+    the field (review r05)."""
+    rss = (
+        '<rss><channel><item><title type="text">T</title>'
+        "<link>https://x.example/p</link>"
+        '<guid isPermaLink="false">g-77</guid></item></channel></rss>'
+    )
+    feeds = spark.createDataFrame(
+        [("https://x.example/f.rss", bytearray(rss.encode()))],
+        "url string, html binary",
+    )
+    [r] = feed_entries(feeds).collect()
+    assert (r["title"], r["guid"]) == ("T", "g-77")
+
+
+def test_string_xml_column_accepted_by_both(spark):
+    """feed_entries and page_feed_links agree on input schemas: a
+    string html column works without a binary round-trip (review r05)."""
+    df = spark.createDataFrame(
+        [(
+            "https://s.example/pg",
+            '<html><head><link rel="alternate" '
+            'type="application/rss+xml" href="/f.xml"></head></html>',
+        )],
+        "url string, html string",
+    )
+    [r] = page_feed_links(df).collect()
+    assert (r["feed_url"], r["feed_type"]) == ("https://s.example/f.xml", "rss")

@@ -131,3 +131,32 @@ def test_frontier_redirect_aliases_remap_and_merge(spark):
         for r in crawl_frontier(pages, crawled=crawled).collect()
     }
     assert "https://t.com/old" in raw and "https://t.com/fresh-old" in raw
+
+
+def test_frontier_aliases_respect_distinct_referrers(spark):
+    """One page linking both /old and its landing page /new votes ONCE
+    for /new under distinct_referrers (the remap precedes the per-page
+    vote); a duplicated-src alias table cannot fan votes out."""
+    pages = spark.createDataFrame(
+        [_page("https://s.com/1", "https://t.com/old", "https://t.com/new",
+               "https://t.com/old")],
+        "url string, html binary",
+    )
+    aliases = spark.createDataFrame(
+        [("https://t.com/old", "https://t.com/new"),
+         ("https://t.com/old", "https://t.com/zzz")],  # malformed dup src
+        "src string, final string",
+    )
+    got = {
+        r["url"]: r["n_referrers"]
+        for r in crawl_frontier(
+            pages, distinct_referrers=True, redirect_aliases=aliases
+        ).collect()
+    }
+    assert got == {"https://t.com/new": 1}
+    # occurrence mode still counts the raw 3 votes, merged onto /new
+    occ = {
+        r["url"]: r["n_referrers"]
+        for r in crawl_frontier(pages, redirect_aliases=aliases).collect()
+    }
+    assert occ == {"https://t.com/new": 3}

@@ -166,6 +166,23 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
                 x["url"] for x in hm["Links"]
             )
     assert wat_urls == {r["url"] for r in rows}
+    # the WET↔WAT cross-reference is real in THIS job too: for every
+    # curated url, the WAT record's WARC-Refers-To is the WET record's
+    # WARC-Record-ID (both derive from the same real capture ts —
+    # review r05 caught the epoch-vs-real mismatch)
+    wet_ids, wat_refs = {}, {}
+    import glob as _glob
+    for f in sorted(_glob.glob(os.path.join(wet_out, "*.gz"))):
+        for h, _ in parse_warc_records(open(f, "rb").read()):
+            if h.get("warc-type") == "conversion":
+                wet_ids[h["warc-target-uri"]] = h["warc-record-id"]
+    for f in sorted((tmp_path / "wat").glob("*.warc.wat.gz")):
+        for h, _ in parse_warc_records(f.read_bytes()):
+            if h.get("warc-type") == "metadata":
+                wat_refs[h["warc-target-uri"]] = h["warc-refers-to"]
+    assert wet_ids and all(
+        wat_refs[u] == rid for u, rid in wet_ids.items()
+    )
     ingested = _rwp(spark, str(seg_dir))
     expect_links = {}
     for r in page_links(ingested).collect():

@@ -338,7 +338,11 @@ def test_follow_redirects_hop_budget(spark):
     )
     got = {r["src"]: r["final"] for r in follow_redirects(edges, max_hops=16).collect()}
     assert got == {f"u{i}": f"u{n}" for i in range(n)}
-    short = follow_redirects(edges, max_hops=4).collect()
-    # 4-hop budget resolves only the tail of the chain (sources within
-    # 4 hops of the terminal); heads land on redirect sources and drop
-    assert {r["src"] for r in short} == {f"u{i}" for i in range(n - 4, n)}
+    # the budget is EXACT for any value, not rounded up to a power of
+    # two: only sources within max_hops of the terminal resolve; heads
+    # land on redirect sources and drop
+    for hops in (4, 5, 1):
+        short = follow_redirects(edges, max_hops=hops).collect()
+        assert {r["src"] for r in short} == {
+            f"u{i}" for i in range(n - hops, n)
+        }, hops

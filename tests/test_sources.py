@@ -485,3 +485,19 @@ def test_wet_record_bytes_pure():
     assert payload.decode("utf-8") == "café"
     # deterministic: same inputs -> same bytes (record id included)
     assert rec == wet_record_bytes("https://x.org", "2024-01-01T00:00:00Z", "café")
+
+
+def test_http_meta_bare_lf_headers():
+    """Noncompliant servers emit bare-LF header lines and archives
+    store them verbatim: the split must not half-parse (status found,
+    Location lost) — review r05."""
+    from nidaba_spark.sources.rawfiles import _http_body, _http_meta
+
+    payload = b"HTTP/1.1 301 Moved\nLocation: /new\nContent-Type: a/b\n\nbody"
+    assert _http_meta(payload) == (301, "a/b", "/new")
+    assert _http_body(payload) == b"body"
+    # non-HTTP payloads pass through whole even when they contain
+    # blank lines
+    raw = b"plain text\n\nwith a blank line"
+    assert _http_meta(raw) == (None, None, None)
+    assert _http_body(raw) == raw
