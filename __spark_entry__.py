@@ -136,6 +136,7 @@ _RETIRED_FROM_DRIVER = [
     "recrawl_priority",
     "feed_entries",
     "feed_discovery",
+    "og_meta",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -202,6 +202,56 @@ def page_meta(
     )
 
 
+def _meta_prop(body: Column, prop: str) -> Column:
+    """content of ``<meta property="<prop>" content="...">`` in either
+    attribute order ('' when absent) — the page_meta robots/canonical
+    pattern applied to OpenGraph-style property metas."""
+    pc = (
+        rf"""(?i)<meta[\s]{_ATTR}property\s*=\s*["']{prop}["']"""
+        rf"""[^>]*?[\s"'/]content\s*=\s*["']([^"']*)["']"""
+    )
+    cp = (
+        rf"""(?i)<meta[\s]{_ATTR}content\s*=\s*["']([^"']*)["']"""
+        rf"""[^>]*?[\s"'/]property\s*=\s*["']{prop}["']"""
+    )
+    return _first_nonempty(body, pc, cp)
+
+
+def og_meta(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, og_title, og_description, og_type, og_image, og_url) —
+    OpenGraph head metadata, the structured self-description social
+    cards and search snippets read. Curation uses: og_title as a
+    higher-quality title surrogate than <title> on template-heavy
+    sites, og:type for document-class priors (article vs product vs
+    video), og:image for the multimodal pairing key, og:url as yet
+    another canonical signal next to <link rel=canonical> (page_meta)
+    and redirect finals (follow_redirects). og_image/og_url are
+    RESOLVED against the page url; text fields are
+    whitespace-collapsed; absent fields null. Same scale shape as
+    page_meta: one narrow whole-stage-codegen scan, zero shuffles."""
+    body = html_text(F.col(html_col))
+    src = F.col(url_col)
+
+    def txt(prop: str) -> Column:
+        v = F.trim(F.regexp_replace(_meta_prop(body, prop), r"\s+", " "))
+        return F.when(v != "", v)
+
+    def href(prop: str) -> Column:
+        v = _meta_prop(body, prop)
+        return F.when(v != "", resolve_href(src, v))
+
+    return pages.select(
+        src.alias("url"),
+        txt("og:title").alias("og_title"),
+        txt("og:description").alias("og_description"),
+        txt("og:type").alias("og_type"),
+        href("og:image").alias("og_image"),
+        href("og:url").alias("og_url"),
+    )
+
+
 def canonical_dedup(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

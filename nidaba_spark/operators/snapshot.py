@@ -150,3 +150,41 @@ def recrawl_priority(
             -F.log((intervals - changes + 0.5) / (intervals + 0.5)),
         ).alias("change_rate"),
     )
+
+
+def fetch_validators(
+    responses: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """(url, warc_ts, etag, last_modified) — each url's LATEST capture
+    validators (sources/rawfiles.read_warc_responses is the input
+    shape): the conditional-GET state a recrawler echoes back as
+    If-None-Match / If-Modified-Since so an unchanged page costs a
+    304's headers instead of a body transfer. Joined onto
+    recrawl_priority's schedule this is the complete recrawl row:
+    WHEN to revisit (change_rate) and HOW to revisit cheaply
+    (validators).
+
+    Latest = max ts per url with the validator struct riding inside a
+    max_by-style struct-max (ties break on the struct's remaining
+    fields, deterministic) — ONE map-side-combined groupBy, the same
+    single url-keyed exchange recrawl_priority pays; header strings
+    only, never page bytes."""
+    picked = F.max(
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            F.col("etag").alias("etag"),
+            F.col("last_modified").alias("last_modified"),
+        )
+    ).alias("_v")
+    return (
+        responses.groupBy(F.col(key_col).alias("url"))
+        .agg(picked)
+        .select(
+            "url",
+            F.col("_v.ts").alias(ts_col),
+            F.col("_v.etag").alias("etag"),
+            F.col("_v.last_modified").alias("last_modified"),
+        )
+    )

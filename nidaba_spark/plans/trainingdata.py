@@ -3849,6 +3849,69 @@ SELECT * FROM (
 """
 
 
+def q_og_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """OpenGraph extraction (operators/links.og_meta) over synthesized
+    heads: og:title present on every doc with property/content
+    attribute order flipping on doc parity (both regex orders
+    exercised) and internal whitespace to collapse; og:type only on
+    doc_id%3==0; og:image a RELATIVE path resolved against the page
+    url; og:description and og:url absent (nulls). Oracle reconstructs
+    from the arithmetic."""
+    from ..operators.links import og_meta
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    site = F.concat(
+        F.lit("https://g"), (d % 5).cast("string"), F.lit(".example.net")
+    )
+    title_meta = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit('<meta property="og:title" content="Title  '),
+            d.cast("string"),
+            F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit('<meta content="Title  '),
+            d.cast("string"),
+            F.lit('" property="og:title">'),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        title_meta,
+        F.when(
+            d % 3 == 0,
+            F.lit('<meta property="og:type" content="article">'),
+        ).otherwise(F.lit("")),
+        F.lit('<meta property="og:image" content="/img/'),
+        d.cast("string"),
+        F.lit('.png"><meta name="description" content="decoy">'
+              "</head><body></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(site, F.lit("/a/"), d.cast("string")).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return og_meta(pages)
+
+
+ORACLE["og_meta"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://g' || (doc_id % 5) || '.example.net' AS site
+  FROM documents)
+SELECT site || '/a/' || i AS url,
+       'Title ' || i AS og_title,
+       CAST(NULL AS VARCHAR) AS og_description,
+       CASE WHEN i % 3 = 0 THEN 'article' END AS og_type,
+       site || '/img/' || i || '.png' AS og_image,
+       CAST(NULL AS VARCHAR) AS og_url
+FROM d
+"""
+
+
 def q_feed_discovery(spark: SparkSession, sf: str) -> DataFrame:
     """Feed autodiscovery (operators/feeds.page_feed_links) over
     synthesized HTML heads: even docs declare an RSS feed with a
@@ -3994,4 +4057,5 @@ QUERIES = {
     "recrawl_priority": q_recrawl_priority,
     "feed_entries": q_feed_entries,
     "feed_discovery": q_feed_discovery,
+    "og_meta": q_og_meta,
 }

@@ -224,22 +224,24 @@ def _http_body(payload: bytes) -> bytes:
 
 
 def _http_meta(payload: bytes):
-    """(status, mime, location) from an HTTP response payload's header
-    block; all-None when the payload is not HTTP-framed. mime is the
-    Content-Type media type lowercased with parameters (charset=...)
-    stripped; location is the raw Location header value (resolution
-    against the capture url is the consumer's step —
-    operators/links.redirect_edges). First occurrence of each header
-    wins; a non-numeric status token yields status None rather than a
-    task kill; bare-LF header lines parse the same as CRLF (crawl
-    archives contain every malformation)."""
+    """(status, mime, location, etag, last_modified) from an HTTP
+    response payload's header block; all-None when the payload is not
+    HTTP-framed. mime is the Content-Type media type lowercased with
+    parameters (charset=...) stripped; location is the raw Location
+    header value (resolution against the capture url is the
+    consumer's step — operators/links.redirect_edges); etag /
+    last_modified are the raw validator values a recrawler echoes
+    back in If-None-Match / If-Modified-Since. First occurrence of
+    each header wins; a non-numeric status token yields status None
+    rather than a task kill; bare-LF header lines parse the same as
+    CRLF (crawl archives contain every malformation)."""
     if not payload.startswith(b"HTTP/"):
-        return None, None, None
+        return None, None, None, None, None
     head, _body = _http_split(payload)
     lines = head.replace(b"\r\n", b"\n").split(b"\n")
     parts = lines[0].split(None, 2)
     status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else None
-    mime = location = None
+    mime = location = etag = last_modified = None
     for line in lines[1:]:
         k, _, v = line.partition(b":")
         k = k.strip().lower()
@@ -250,7 +252,11 @@ def _http_meta(payload: bytes):
             )
         elif k == b"location" and location is None:
             location = v.strip().decode("utf-8", "replace") or None
-    return status, mime, location
+        elif k == b"etag" and etag is None:
+            etag = v.strip().decode("utf-8", "replace") or None
+        elif k == b"last-modified" and last_modified is None:
+            last_modified = v.strip().decode("utf-8", "replace") or None
+    return status, mime, location, etag, last_modified
 
 
 # ----------------------------------------------------------- WET egress
@@ -601,25 +607,29 @@ def read_warc_responses(
     glob: str = "*.warc*",
 ) -> DataFrame:
     """WARC drops → the HTTP-layer view of `response` records:
-    (url, warc_ts, status, mime, location, html).
+    (url, warc_ts, status, mime, location, etag, last_modified, html).
 
     What read_warc_pages throws away on purpose (its consumers want
     page bytes), this reader keeps: the HTTP status code, the
-    Content-Type media type (parameters stripped, lowercased), and
-    the raw Location header — the inputs for redirect-alias
-    resolution (operators/links.redirect_edges), mime-aware CDX
-    records (build_cdx(mime_col=...)), and status-filtered extraction
-    (a 404's body is error boilerplate, not content). Non-HTTP-framed
-    payloads get null status/mime/location with the whole payload as
-    html — same tolerance as _http_body. Same one-task-per-WARC-file
-    Arrow-batched scan as the sibling readers."""
+    Content-Type media type (parameters stripped, lowercased), the
+    raw Location header, and the ETag / Last-Modified validators —
+    the inputs for redirect-alias resolution (operators/links.
+    redirect_edges), mime-aware CDX records (build_cdx(mime_col=...)),
+    status-filtered extraction (a 404's body is error boilerplate,
+    not content), and conditional-recrawl scheduling (operators/
+    snapshot.fetch_validators: echo the validators back as
+    If-None-Match / If-Modified-Since and a 304 costs headers, not a
+    body). Non-HTTP-framed payloads get null HTTP columns with the
+    whole payload as html — same tolerance as _http_body. Same
+    one-task-per-WARC-file Arrow-batched scan as the sibling
+    readers."""
     import pandas as pd
 
     def _records(batches):
         for pdf in batches:
             rows: dict[str, list] = {
                 "url": [], "warc_ts": [], "status": [], "mime": [],
-                "location": [], "html": [],
+                "location": [], "etag": [], "last_modified": [], "html": [],
             }
             for content in pdf["content"]:
                 for h, payload in parse_warc_records(bytes(content)):
@@ -632,10 +642,12 @@ def read_warc_responses(
                     rows["warc_ts"].append(
                         ts.tz_localize(None) if ts is not pd.NaT else pd.NaT
                     )
-                    status, mime, location = _http_meta(payload)
+                    status, mime, location, etag, lastmod = _http_meta(payload)
                     rows["status"].append(status)
                     rows["mime"].append(mime)
                     rows["location"].append(location)
+                    rows["etag"].append(etag)
+                    rows["last_modified"].append(lastmod)
                     rows["html"].append(_http_body(payload))
             df = pd.DataFrame(rows)
             # all-null status must stay integer-typed for Arrow
@@ -648,7 +660,7 @@ def read_warc_responses(
     return raw.mapInPandas(
         _records,
         "url string, warc_ts timestamp, status int, mime string, "
-        "location string, html binary",
+        "location string, etag string, last_modified string, html binary",
     )
 
 

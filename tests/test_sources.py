@@ -318,19 +318,21 @@ def test_http_meta_pure():
     assert _http_meta(
         b"HTTP/1.1 301 Moved Permanently\r\nServer: x\r\n"
         b"Location: /new/place\r\nContent-Type: text/html; charset=UTF-8\r\n"
+        b'ETag: "abc123"\r\nLast-Modified: Tue, 01 Jan 2026 00:00:00 GMT\r\n'
         b"\r\nredirect body"
-    ) == (301, "text/html", "/new/place")
+    ) == (301, "text/html", "/new/place", '"abc123"',
+          "Tue, 01 Jan 2026 00:00:00 GMT")
     # first occurrence of each header wins; media type lowercased
     assert _http_meta(
         b"HTTP/1.0 200 OK\r\nContent-Type: Application/PDF\r\n"
         b"Content-Type: text/plain\r\n\r\n%PDF"
-    ) == (200, "application/pdf", None)
+    ) == (200, "application/pdf", None, None, None)
     # not HTTP-framed / garbage status token: nulls, never a raise
-    assert _http_meta(b"<html>raw dump</html>") == (None, None, None)
-    assert _http_meta(b"HTTP/1.1 banana\r\n\r\nx") == (None, None, None)
+    assert _http_meta(b"<html>raw dump</html>") == (None,) * 5
+    assert _http_meta(b"HTTP/1.1 banana\r\n\r\nx") == (None,) * 5
     # headers-only payload (no CRLFCRLF) still parses
     assert _http_meta(b"HTTP/1.1 204 No Content\r\nContent-Type: a/b") == (
-        204, "a/b", None,
+        204, "a/b", None, None, None,
     )
 
 
@@ -494,10 +496,47 @@ def test_http_meta_bare_lf_headers():
     from nidaba_spark.sources.rawfiles import _http_body, _http_meta
 
     payload = b"HTTP/1.1 301 Moved\nLocation: /new\nContent-Type: a/b\n\nbody"
-    assert _http_meta(payload) == (301, "a/b", "/new")
+    assert _http_meta(payload) == (301, "a/b", "/new", None, None)
     assert _http_body(payload) == b"body"
     # non-HTTP payloads pass through whole even when they contain
     # blank lines
     raw = b"plain text\n\nwith a blank line"
-    assert _http_meta(raw) == (None, None, None)
+    assert _http_meta(raw) == (None,) * 5
     assert _http_body(raw) == raw
+
+
+def test_fetch_validators_latest_capture_wins(spark, tmp_path):
+    """read_warc_responses surfaces ETag/Last-Modified;
+    fetch_validators keeps each url's latest-capture validators — the
+    conditional-GET state for cheap recrawls."""
+    from nidaba_spark.operators.snapshot import fetch_validators
+    from nidaba_spark.sources.rawfiles import read_warc_responses
+
+    recs = (
+        _warc_record(
+            "response", "https://v.example/p", "2026-01-01T00:00:00Z",
+            b'HTTP/1.1 200 OK\r\nETag: "old"\r\n'
+            b"Last-Modified: Thu, 01 Jan 2026 00:00:00 GMT\r\n\r\nv1",
+        )
+        + _warc_record(
+            "response", "https://v.example/p", "2026-02-01T00:00:00Z",
+            b'HTTP/1.1 200 OK\r\nETag: "new"\r\n\r\nv2',
+        )
+        + _warc_record(
+            "response", "https://v.example/q", "2026-01-15T00:00:00Z",
+            b"HTTP/1.1 200 OK\r\n"
+            b"Last-Modified: Fri, 02 Jan 2026 00:00:00 GMT\r\n\r\nq",
+        )
+    )
+    (tmp_path / "v.warc").write_bytes(recs)
+    resp = read_warc_responses(spark, str(tmp_path))
+    got = {
+        r["url"]: (r["etag"], r["last_modified"])
+        for r in fetch_validators(resp).collect()
+    }
+    assert got == {
+        # the later capture's validators win even though it lacks
+        # Last-Modified — validators describe ONE capture, not a merge
+        "https://v.example/p": ('"new"', None),
+        "https://v.example/q": (None, "Fri, 02 Jan 2026 00:00:00 GMT"),
+    }
