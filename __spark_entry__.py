@@ -137,6 +137,9 @@ _RETIRED_FROM_DRIVER = [
     "feed_entries",
     "feed_discovery",
     "og_meta",
+    "image_candidates",
+    "jsonld_article",
+    "html_tables",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

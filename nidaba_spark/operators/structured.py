@@ -1,0 +1,306 @@
+"""Structured in-page content extraction from raw HTML — the three
+page artifacts next to the link graph (operators/links.py): image-text
+pairs, JSON-LD article metadata, and <table> grids.
+
+Curation uses:
+
+  * ``image_candidates`` — the multimodal candidate generator
+    (LAION/DataComp shape): every ``<img>`` occurrence with a
+    resolvable source URL plus its alt/title text and declared
+    dimensions. Join the resolved ``img_url`` against a fetched media
+    table (operators/multimodal.py payload columns) and the (alt,
+    payload) pairs ARE the image-text training candidates; the
+    width/height attributes pre-filter icons and tracking pixels
+    before a single byte of image data is fetched.
+  * ``jsonld_article_meta`` — schema.org Article metadata from
+    ``<script type="application/ld+json">`` blocks: publish/modified
+    dates (the freshness signal recrawl_priority can only infer),
+    headline (a third title surrogate next to <title> and og:title),
+    author. Publisher-declared, so it survives template-heavy pages
+    where DOM heuristics drown.
+  * ``html_tables`` — table grids as (table_idx, row_idx,
+    cells array<string>) rows: structured-data harvesting and a
+    table-density page-class signal (a page that is mostly <table> is
+    a listing/spec sheet, not prose).
+
+Scale shape shared by all three: ONE narrow whole-stage-codegen scan
+over the latin-1 byte view (links.html_text — never throws, preserves
+the ASCII bytes markup syntax is made of); regexp_extract_all →
+posexplode generators fan rows out without any Exchange, so at 10^12
+pages each operator is a single map stage and page bytes never
+shuffle (plan-asserted in tests/test_structured.py). No Python
+touches any path.
+
+Documented subset (regex-over-bytes, the standard large-crawl trade):
+
+  * image attributes parse in either order and either quote style;
+    unquoted attribute values (src=/x.png) are skipped like
+    links.py's href scan skips them; width/height keep only plain
+    integer values ("640" yes, "640px" no — try_cast, never a throw).
+    Images inside comments/CDATA still match (same accepted false
+    positive as the href scan). data:/javascript: sources drop via
+    links.resolve_href; an <img> with no resolvable src (lazy-load
+    data-src patterns) emits no row, but ``img_idx`` still counts it,
+    so surviving rows keep their true on-page position.
+  * JSON-LD blocks must be top-level JSON OBJECTS (the common emitter
+    form); array-wrapped and @graph-wrapped payloads yield nulls —
+    extend by exploding ``jsonld_blocks`` and flattening @graph if a
+    corpus needs it. ``@type`` matching is exact string match per
+    schema.org convention.
+  * tables: well-formed (closed) tr/td/th tags; a NESTED table is
+    consumed by its parent's (lazy) match — the parent's block ends
+    at the INNER close and the inner table's markup flattens into the
+    parent's cell text rather than extracting as its own table_idx
+    (matches never overlap). Layout-nesting pages are boilerplate,
+    not data tables; pin in tests/test_structured.py. Implicitly-
+    closed cells (``<td>a<td>b``) don't match; pages from table
+    generators (the ones worth harvesting) close their cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .links import html_text, resolve_href
+
+_IMG_TAG = r"(?i)<img[\s/][^>]*>"
+_LD_BLOCK = (
+    r"""(?is)<script[^>]*?type\s*=\s*["']application/ld\+json["'][^>]*>"""
+    r"(.*?)</script>"
+)
+_TABLE_BLOCK = r"(?is)<table(?:[\s/][^>]*)?>(.*?)</table>"
+_TR_BLOCK = r"(?is)<tr(?:[\s/][^>]*)?>(.*?)</tr>"
+_CELL_BLOCK = r"(?is)<t[dh](?:[\s/][^>]*)?>(.*?)</t[dh]>"
+
+#: schema.org types jsonld_article_meta treats as "an article".
+ARTICLE_TYPES = (
+    "Article",
+    "NewsArticle",
+    "BlogPosting",
+    "ScholarlyArticle",
+    "Report",
+    "TechArticle",
+)
+
+
+def _attr(tag: Column, name: str) -> Column:
+    """Quoted attribute value inside one tag string (null when absent
+    or empty). Two passes — double- then single-quoted — like the
+    href scan, so each pattern stays trivially RE2-portable; the
+    ``[\\s"'/]`` prefix bounds the attribute NAME (data-src must not
+    match src — the links.py r05 review lesson)."""
+    dq = F.regexp_extract(tag, rf"""(?i)[\s"'/]{name}\s*=\s*"([^"]*)\"""", 1)
+    sq = F.regexp_extract(tag, rf"""(?i)[\s"'/]{name}\s*=\s*'([^']*)'""", 1)
+    v = F.when(dq != "", dq).otherwise(sq)
+    return F.when(v != "", v)
+
+
+def _clean_text(c: Column) -> Column:
+    """Whitespace-collapsed trimmed text (null when empty)."""
+    v = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return F.when(v != "", v)
+
+
+def _html_unescape(c: Column) -> Column:
+    """The predefined HTML entities table cells actually carry —
+    &amp; LAST so &amp;lt; round-trips (the sitemap.py rule)."""
+    for ent, ch in (
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&apos;", "'"),
+        ("&#39;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def image_candidates(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, img_idx, img_url, alt, title, width, height) — one row
+    per ``<img>`` occurrence with a resolvable absolute source URL.
+
+    ``img_idx`` is the tag's 0-based position among ALL <img> tags on
+    the page (dropped tags keep their slot — position is a layout
+    prior: idx 0 is usually the logo). ``alt``/``title`` are
+    whitespace-collapsed (null when absent/empty); ``width``/
+    ``height`` are the declared integer attributes (null otherwise).
+    One codegen scan + one posexplode generator; zero shuffles.
+    """
+    body = html_text(F.col(html_col))
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(body, F.lit(_IMG_TAG), 0)).alias(
+            "img_idx", "tag"
+        ),
+    )
+    t = F.col("tag")
+    resolved = tags.select(
+        "url",
+        "img_idx",
+        resolve_href(F.col("url"), _attr(t, "src")).alias("img_url"),
+        _clean_text(F.coalesce(_attr(t, "alt"), F.lit(""))).alias("alt"),
+        _clean_text(F.coalesce(_attr(t, "title"), F.lit(""))).alias("title"),
+        _attr(t, "width").try_cast("int").alias("width"),
+        _attr(t, "height").try_cast("int").alias("height"),
+    )
+    return resolved.where(F.col("img_url").isNotNull())
+
+
+def image_text_pairs(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    min_alt_chars: int = 5,
+    min_side: int = 64,
+) -> DataFrame:
+    """The curation-grade cut of ``image_candidates``: caption text
+    present and long enough to train on, and no DECLARED dimension
+    below ``min_side`` (icons/pixels declare tiny sizes; images with
+    no declared size pass — the fetch stage re-checks real pixels).
+    Same single-scan plan; the filter rides the same projection."""
+    c = image_candidates(pages, url_col, html_col)
+    caption = F.coalesce(F.col("alt"), F.col("title"))
+    return (
+        c.where(F.length(caption) >= min_alt_chars)
+        .where(
+            (F.col("width").isNull() | (F.col("width") >= min_side))
+            & (F.col("height").isNull() | (F.col("height") >= min_side))
+        )
+        .withColumn("caption", caption)
+    )
+
+
+def jsonld_blocks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, block_idx, json) — raw JSON-LD payload strings, one row
+    per ``<script type="application/ld+json">`` block, trimmed. The
+    generic consumer surface: downstream picks its own schema."""
+    body = html_text(F.col(html_col))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(body, F.lit(_LD_BLOCK), 1)).alias(
+            "block_idx", "json_raw"
+        ),
+    ).select(
+        "url",
+        "block_idx",
+        # NOT F.trim — Spark's trim strips the space char only, and
+        # pretty-printed blocks start/end with newlines.
+        F.regexp_replace(F.col("json_raw"), r"^\s+|\s+$", "").alias("json"),
+    )
+
+
+def jsonld_article_meta(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    article_types: tuple[str, ...] = ARTICLE_TYPES,
+) -> DataFrame:
+    """(url, ld_type, headline, description, date_published,
+    date_modified, author) — the FIRST article-typed JSON-LD block per
+    page, one row per page (all-null fields when the page declares no
+    article). ``author`` handles both schema.org forms: a Person
+    object ({"name": ...}) and a bare string.
+
+    Plan: the block array, the article filter, and the first-pick are
+    ONE collapsed projection (array HOFs, no explode — a page is one
+    row in, one row out); json_tuple parses the chosen block ONCE for
+    the five flat fields. Zero shuffles, zero Python.
+    """
+    body = html_text(F.col(html_col))
+    blocks = F.regexp_extract_all(body, F.lit(_LD_BLOCK), 1)
+    arts = F.filter(
+        blocks,
+        lambda b: F.get_json_object(b, "$['@type']").isin(*article_types),
+    )
+    lded = pages.select(
+        F.col(url_col).alias("url"), F.try_element_at(arts, F.lit(1)).alias("ld")
+    )
+    parsed = lded.select(
+        "url",
+        F.json_tuple(
+            F.col("ld"),
+            "@type",
+            "headline",
+            "description",
+            "datePublished",
+            "dateModified",
+            "author",
+        ).alias(
+            "ld_type",
+            "headline",
+            "description",
+            "date_published",
+            "date_modified",
+            "author_raw",
+        ),
+    )
+    author = F.coalesce(
+        F.get_json_object(F.col("author_raw"), "$.name"),
+        F.when(~F.col("author_raw").startswith("{"), F.col("author_raw")),
+    )
+    return parsed.select(
+        "url",
+        "ld_type",
+        _clean_text(F.coalesce(F.col("headline"), F.lit(""))).alias("headline"),
+        _clean_text(F.coalesce(F.col("description"), F.lit(""))).alias(
+            "description"
+        ),
+        F.col("date_published"),
+        F.col("date_modified"),
+        _clean_text(F.coalesce(author, F.lit(""))).alias("author"),
+    )
+
+
+def html_tables(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, table_idx, row_idx, cells array<string>, n_cells) — one
+    row per <tr> of every <table> on the page, cells in document
+    order with tags stripped, entities unescaped, whitespace
+    collapsed (empty cell → '').
+
+    Plan: two chained posexplode generators (tables, then rows) — no
+    Exchange anywhere, so a 10^12-page scan stays one map stage and a
+    mega-page with 10^5 rows fans out inside its own partition. The
+    cell transform is computed once per row; n_cells reads the
+    materialized array, not a re-parse.
+    """
+    body = html_text(F.col(html_col))
+    tbls = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(body, F.lit(_TABLE_BLOCK), 1)).alias(
+            "table_idx", "tbl"
+        ),
+    )
+    rows = tbls.select(
+        "url",
+        "table_idx",
+        F.posexplode(
+            F.regexp_extract_all(F.col("tbl"), F.lit(_TR_BLOCK), 1)
+        ).alias("row_idx", "tr"),
+    )
+    cells = F.transform(
+        F.regexp_extract_all(F.col("tr"), F.lit(_CELL_BLOCK), 1),
+        lambda c: F.trim(
+            F.regexp_replace(
+                _html_unescape(F.regexp_replace(c, r"(?is)<[^>]*>", " ")),
+                r"\s+",
+                " ",
+            )
+        ),
+    )
+    with_cells = rows.select("url", "table_idx", "row_idx", cells.alias("cells"))
+    return with_cells.select(
+        "url",
+        "table_idx",
+        "row_idx",
+        "cells",
+        F.size(F.col("cells")).alias("n_cells"),
+    )

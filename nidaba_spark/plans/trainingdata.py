@@ -3969,6 +3969,215 @@ FROM d
 """
 
 
+def q_image_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal image-text pair candidates
+    (operators/structured.image_candidates) over synthesized pages:
+    each doc carries a lazy-load decoy (<img data-src=…> — no src, so
+    no row, but it HOLDS slot 0 of img_idx), the real image at slot 1
+    (attribute order AND quote style flip on doc parity; alt carries
+    internal whitespace to collapse; src is ROOT-RELATIVE and must
+    resolve against the page url; width/height only on doc_id%3==0),
+    and a data:-URI tracking pixel at slot 2 (dropped by
+    resolve_href). Oracle reconstructs the single surviving row per
+    doc from the arithmetic."""
+    from ..operators.structured import image_candidates
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    site = F.concat(
+        F.lit("https://m"), (d % 5).cast("string"), F.lit(".example.com")
+    )
+    ds = d.cast("string")
+    real_img = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit('<img src="/i/'),
+            ds,
+            F.lit('.jpg" alt="Photo  '),
+            ds,
+            F.lit('"'),
+            F.when(d % 3 == 0, F.lit(' width="640" height="480"')).otherwise(
+                F.lit("")
+            ),
+            F.lit(">"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<img alt='Photo  "),
+            ds,
+            F.lit("'"),
+            F.when(d % 3 == 0, F.lit(" width='640' height='480'")).otherwise(
+                F.lit("")
+            ),
+            F.lit(" src='/i/"),
+            ds,
+            F.lit(".jpg'>"),
+        )
+    )
+    html = F.concat(
+        F.lit('<html><body><img data-src="/lazy.png" alt="decoy">'),
+        real_img,
+        F.lit('<img src="data:image/gif;base64,R0lGOD" alt="pixel">'
+              "</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(site, F.lit("/g/"), ds).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return image_candidates(pages)
+
+
+ORACLE["image_candidates"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://m' || (doc_id % 5) || '.example.com' AS site
+  FROM documents)
+SELECT site || '/g/' || i AS url,
+       1 AS img_idx,
+       site || '/i/' || i || '.jpg' AS img_url,
+       'Photo ' || i AS alt,
+       CAST(NULL AS VARCHAR) AS title,
+       CASE WHEN i % 3 = 0 THEN 640 END AS width,
+       CASE WHEN i % 3 = 0 THEN 480 END AS height
+FROM d
+"""
+
+
+def q_jsonld_article(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-LD article metadata
+    (operators/structured.jsonld_article_meta) over synthesized heads:
+    docs with doc_id%3==0 lead with a BreadcrumbList decoy block (the
+    article filter must skip it), every head carries a
+    text/javascript decoy script; even docs declare a NewsArticle
+    (double-quoted type attr, object-form author, datePublished set),
+    odd docs a BlogPosting (single-quoted type attr, STRING-form
+    author, dateModified instead). Headlines carry internal
+    whitespace to collapse. Oracle reconstructs from the parity
+    arithmetic."""
+    from ..operators.structured import jsonld_article_meta
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    site = F.concat(
+        F.lit("https://n"), (d % 5).cast("string"), F.lit(".example.org")
+    )
+    author = F.concat(F.lit("Writer "), (d % 7).cast("string"))
+    day = ((d % 20) + 10).cast("string")
+    art = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"NewsArticle","headline":"Story  '),
+            ds,
+            F.lit('","datePublished":"2024-01-'),
+            day,
+            F.lit('","author":{"name":"'),
+            author,
+            F.lit('"}}</script>'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<script type='application/ld+json'>"
+                  '{"@type":"BlogPosting","headline":"Post  '),
+            ds,
+            F.lit('","dateModified":"2023-12-01","author":"'),
+            author,
+            F.lit('"}</script>'),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            d % 3 == 0,
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"BreadcrumbList","itemListElement":[]}'
+                  "</script>"),
+        ).otherwise(F.lit("")),
+        art,
+        F.lit('<script type="text/javascript">var x=1;</script>'
+              "</head><body></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(site, F.lit("/art/"), ds).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return jsonld_article_meta(pages)
+
+
+ORACLE["jsonld_article"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://n' || (doc_id % 5) || '.example.org' AS site
+  FROM documents)
+SELECT site || '/art/' || i AS url,
+       CASE WHEN i % 2 = 0 THEN 'NewsArticle' ELSE 'BlogPosting' END
+         AS ld_type,
+       CASE WHEN i % 2 = 0 THEN 'Story ' || i ELSE 'Post ' || i END
+         AS headline,
+       CAST(NULL AS VARCHAR) AS description,
+       CASE WHEN i % 2 = 0 THEN '2024-01-' || ((i % 20) + 10) END
+         AS date_published,
+       CASE WHEN i % 2 = 1 THEN '2023-12-01' END AS date_modified,
+       'Writer ' || (i % 7) AS author
+FROM d
+"""
+
+
+def q_html_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """Table-grid extraction (operators/structured.html_tables) over
+    synthesized pages: every doc carries one attribute-bearing
+    2-column table (header <th> row + a data row whose cells carry a
+    nested <b> tag, an &amp; entity, and padding whitespace); docs
+    with doc_id%4==0 carry a second bare single-cell table (table_idx
+    must advance). Oracle reconstructs every (table, row, cells) row
+    from the arithmetic."""
+    from ..operators.structured import html_tables
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    site = F.concat(
+        F.lit("https://t"), (d % 5).cast("string"), F.lit(".example.io")
+    )
+    html = F.concat(
+        F.lit('<html><body><table class="data"><tr><th>k</th><th>v</th></tr>'
+              "<tr><td>name &amp; <b>"),
+        ds,
+        F.lit("</b></td><td> "),
+        (d * 7).cast("string"),
+        F.lit(" </td></tr></table>"),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("<table><tr><td>only "), ds, F.lit("</td></tr></table>")),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(site, F.lit("/tbl/"), ds).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return html_tables(pages)
+
+
+ORACLE["html_tables"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://t' || (doc_id % 5) || '.example.io' AS site
+  FROM documents),
+rows AS (
+  SELECT site || '/tbl/' || i AS url, 0 AS table_idx, 0 AS row_idx,
+         ['k', 'v'] AS cells, 2 AS n_cells FROM d
+  UNION ALL
+  SELECT site || '/tbl/' || i, 0, 1,
+         ['name & ' || i, CAST(i * 7 AS VARCHAR)], 2 FROM d
+  UNION ALL
+  SELECT site || '/tbl/' || i, 1, 0, ['only ' || i], 1
+  FROM d WHERE i % 4 = 0)
+SELECT * FROM rows
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -4058,4 +4267,7 @@ QUERIES = {
     "feed_entries": q_feed_entries,
     "feed_discovery": q_feed_discovery,
     "og_meta": q_og_meta,
+    "image_candidates": q_image_candidates,
+    "jsonld_article": q_jsonld_article,
+    "html_tables": q_html_tables,
 }

@@ -1,0 +1,206 @@
+"""Structured in-page extraction (operators/structured.py): image-text
+pair candidates, JSON-LD article metadata, HTML table grids.
+
+Semantics pinned on hand-built HTML (attribute order/quote flips,
+decoys, entity + whitespace handling, the documented nested-table
+truncation) plus plan-shape assertions: every operator must stay ONE
+narrow codegen scan — no Exchange, no Python eval — because at 10^12
+pages anything else shuffles page bytes. Full DuckDB oracles for the
+three exported queries live in tests/test_offdriver_oracles.py via the
+ORACLE registry (arithmetic-reconstructed, independent of the parser).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from nidaba_spark.operators.structured import (
+    html_tables,
+    image_candidates,
+    image_text_pairs,
+    jsonld_article_meta,
+    jsonld_blocks,
+)
+
+HTML = b"""<html><head>
+<script type="application/ld+json">{"@type":"BreadcrumbList","itemListElement":[]}</script>
+<script type='application/ld+json'>
+{"@type":"NewsArticle","headline":"Big  Story","datePublished":"2024-03-15","author":{"name":"Jo Writer"},"description":"d1"}
+</script>
+<script type="text/javascript">var x={"@type":"NewsArticle"};</script>
+</head><body>
+<img src="/logo.png" width="32" height="32" alt="logo">
+<img alt='A  cat photo' src='img/cat.jpg' width="640" height="480">
+<img data-src="/lazy.png" alt="lazy decoy">
+<img src="data:image/gif;base64,R0lGOD" alt="pixel">
+<IMG SRC="//cdn.example.org/b.jpg" title="Banner  here">
+<table class="t"><tr><th>K</th><th>V</th></tr>
+<tr><td>name &amp; co</td><td> <b>42</b> </td></tr></table>
+<table><tr><td>solo</td></tr></table>
+</body></html>"""
+
+PLAIN = b"<html><body>no structure at all</body></html>"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(
+        [
+            ("https://ex.com/a/page.html", bytearray(HTML)),
+            ("https://ex.com/b", bytearray(PLAIN)),
+        ],
+        "url string, html binary",
+    )
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- images
+
+
+def test_image_candidates_semantics(pages):
+    rows = {r["img_idx"]: r for r in image_candidates(pages).collect()}
+    # data-src decoy (idx 2) and data: pixel (idx 3) emit no rows, but
+    # surviving rows keep their true tag positions.
+    assert sorted(rows) == [0, 1, 4]
+    logo = rows[0]
+    assert logo["img_url"] == "https://ex.com/logo.png"  # root-relative
+    assert (logo["width"], logo["height"]) == (32, 32)
+    cat = rows[1]  # single-quoted, alt-before-src order
+    assert cat["img_url"] == "https://ex.com/a/img/cat.jpg"  # dir-relative
+    assert cat["alt"] == "A cat photo"  # whitespace collapsed
+    banner = rows[4]  # case-insensitive tag/attr, protocol-relative src
+    assert banner["img_url"] == "https://cdn.example.org/b.jpg"
+    assert banner["alt"] is None and banner["title"] == "Banner here"
+    assert banner["width"] is None
+    assert all(r["url"] == "https://ex.com/a/page.html" for r in rows.values())
+
+
+def test_image_text_pairs_cut(pages):
+    rows = image_text_pairs(pages, min_alt_chars=5, min_side=64).collect()
+    # logo: declared 32x32 -> cut; cat: caption + size ok; banner:
+    # title-only caption, no declared size -> passes.
+    assert sorted(r["caption"] for r in rows) == ["A cat photo", "Banner here"]
+
+
+def test_image_plan_is_one_narrow_scan(pages):
+    p = _plan(image_candidates(pages))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+# ---------------------------------------------------------------- JSON-LD
+
+
+def test_jsonld_blocks_raw(pages):
+    rows = jsonld_blocks(pages).collect()
+    assert len(rows) == 2  # text/javascript decoy excluded
+    assert rows[0]["block_idx"] == 0
+    assert rows[0]["json"].startswith('{"@type":"BreadcrumbList"')
+    # pretty-printed block trimmed of surrounding newlines
+    assert rows[1]["json"].startswith('{"@type":"NewsArticle"')
+    assert rows[1]["json"].endswith("}")
+
+
+def test_jsonld_article_meta_semantics(pages):
+    rows = {r["url"]: r for r in jsonld_article_meta(pages).collect()}
+    assert len(rows) == 2  # one row per page, always
+    art = rows["https://ex.com/a/page.html"]
+    # BreadcrumbList decoy skipped; script-sourced lookalike never parsed
+    assert art["ld_type"] == "NewsArticle"
+    assert art["headline"] == "Big Story"  # whitespace collapsed
+    assert art["date_published"] == "2024-03-15"
+    assert art["author"] == "Jo Writer"  # object-form author
+    assert art["description"] == "d1"
+    empty = rows["https://ex.com/b"]
+    assert empty["ld_type"] is None and empty["headline"] is None
+
+
+def test_jsonld_author_string_form(spark):
+    html = (
+        b'<script type="application/ld+json">'
+        b'{"@type":"Article","headline":"H","author":"Plain Name"}</script>'
+    )
+    df = spark.createDataFrame(
+        [("https://x.com/1", bytearray(html))], "url string, html binary"
+    )
+    (row,) = jsonld_article_meta(df).collect()
+    assert row["author"] == "Plain Name"
+
+
+def test_jsonld_array_wrapper_documented_null(spark):
+    # Top-level JSON arrays are outside the documented subset: the
+    # block survives jsonld_blocks but article_meta yields nulls.
+    html = (
+        b'<script type="application/ld+json">'
+        b'[{"@type":"Article","headline":"H"}]</script>'
+    )
+    df = spark.createDataFrame(
+        [("https://x.com/1", bytearray(html))], "url string, html binary"
+    )
+    (row,) = jsonld_article_meta(df).collect()
+    assert row["ld_type"] is None
+    assert jsonld_blocks(df).count() == 1
+
+
+def test_jsonld_plan_is_one_narrow_scan(pages):
+    p = _plan(jsonld_article_meta(pages))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+# ---------------------------------------------------------------- tables
+
+
+def test_html_tables_semantics(pages):
+    rows = sorted(
+        html_tables(pages).collect(),
+        key=lambda r: (r["table_idx"], r["row_idx"]),
+    )
+    assert [(r["table_idx"], r["row_idx"]) for r in rows] == [
+        (0, 0),
+        (0, 1),
+        (1, 0),
+    ]
+    assert rows[0]["cells"] == ["K", "V"]  # th cells
+    # nested tag stripped, entity unescaped, padding collapsed
+    assert rows[1]["cells"] == ["name & co", "42"]
+    assert rows[1]["n_cells"] == 2
+    assert rows[2]["cells"] == ["solo"]
+
+
+def test_html_tables_nested_flattens_into_parent(spark):
+    # Documented subset: the outer table's lazy match ends at the
+    # INNER </table> and consumes the inner markup, which flattens
+    # into the outer cell's text; the inner table does NOT extract as
+    # its own table_idx (matches never overlap).
+    html = (
+        b"<table><tr><td>outer<table><tr><td>inner</td></tr></table>"
+        b"</td></tr></table>"
+    )
+    df = spark.createDataFrame(
+        [("https://x.com/t", bytearray(html))], "url string, html binary"
+    )
+    rows = html_tables(df).collect()
+    assert [r["cells"] for r in rows] == [["outer inner"]]
+
+
+def test_html_tables_empty_cell_and_no_tables(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://x.com/1", bytearray(b"<table><tr><td></td><td>x</td></tr></table>")),
+            ("https://x.com/2", bytearray(b"<p>tableless</p>")),
+        ],
+        "url string, html binary",
+    )
+    rows = html_tables(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["cells"] == ["", "x"]
+
+
+def test_html_tables_plan_no_exchange(pages):
+    p = _plan(html_tables(pages))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
