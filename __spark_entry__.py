@@ -140,6 +140,7 @@ _RETIRED_FROM_DRIVER = [
     "image_candidates",
     "jsonld_article",
     "html_tables",
+    "page_dates",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -4178,6 +4178,96 @@ SELECT * FROM rows
 """
 
 
+def q_page_dates(spark: SparkSession, sf: str) -> DataFrame:
+    """Publish-date (freshness) extraction
+    (operators/structured.page_dates) over synthesized pages — four
+    doc classes, one per carrier, each with a lower-priority decoy
+    that must LOSE: doc_id%4==0 JSON-LD datePublished beats an
+    OpenGraph decoy; %4==1 OpenGraph full-ISO timestamp (truncates to
+    date) beats an UNPARSEABLE <time> (falls through, not masks);
+    %4==2 <time datetime> with quote style flipping on doc_id%8;
+    %4==3 the /YYYY/MM/DD/ permalink path. Oracle reconstructs date,
+    winning raw string, and source label from the arithmetic."""
+    from ..operators.structured import page_dates
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    site = F.concat(
+        F.lit("https://d"), (d % 5).cast("string"), F.lit(".example.net")
+    )
+    day19 = ((d % 19) + 10).cast("string")  # 10..28
+    day9 = ((d % 9) + 1).cast("string")  # 1..9 (zero-padded below)
+    url = F.when(
+        d % 4 == 3,
+        F.concat(site, F.lit("/2021/06/"), day19, F.lit("/post-"), ds),
+    ).otherwise(F.concat(site, F.lit("/p/"), ds))
+    time_tag = F.when(
+        d % 8 == 2,
+        F.concat(F.lit('<time datetime="2022-11-'), day19, F.lit('">x</time>')),
+    ).otherwise(
+        F.concat(F.lit("<time datetime='2022-11-"), day19, F.lit("'>x</time>"))
+    )
+    html = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit('<script type="application/ld+json">'
+                      '{"@type":"Article","datePublished":"2024-02-'),
+                day19,
+                F.lit('"}</script>'
+                      '<meta property="article:published_time" '
+                      'content="2020-01-01">'),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit('<meta property="article:published_time" '
+                      'content="2023-07-0'),
+                day9,
+                F.lit('T08:00:00Z">'
+                      '<time datetime="coming soon">x</time>'),
+            ),
+        )
+        .when(d % 4 == 2, time_tag)
+        .otherwise(F.lit("<p>dateless markup</p>"))
+    )
+    pages = docs.select(
+        url.alias("url"), F.encode(html, "UTF-8").alias("html")
+    )
+    return page_dates(pages)
+
+
+ORACLE["page_dates"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://d' || (doc_id % 5) || '.example.net' AS site,
+         CAST((doc_id % 19) + 10 AS VARCHAR) AS day19,
+         CAST((doc_id % 9) + 1 AS VARCHAR) AS day9
+  FROM documents)
+SELECT CASE WHEN i % 4 = 3
+            THEN site || '/2021/06/' || day19 || '/post-' || i
+            ELSE site || '/p/' || i END AS url,
+       CASE i % 4
+         WHEN 0 THEN CAST('2024-02-' || day19 AS DATE)
+         WHEN 1 THEN CAST('2023-07-0' || day9 AS DATE)
+         WHEN 2 THEN CAST('2022-11-' || day19 AS DATE)
+         ELSE CAST('2021-06-' || day19 AS DATE) END AS published_date,
+       CASE i % 4
+         WHEN 0 THEN '2024-02-' || day19
+         WHEN 1 THEN '2023-07-0' || day9 || 'T08:00:00Z'
+         WHEN 2 THEN '2022-11-' || day19
+         ELSE '2021-06-' || day19 END AS date_raw,
+       CASE i % 4
+         WHEN 0 THEN 'jsonld'
+         WHEN 1 THEN 'og'
+         WHEN 2 THEN 'time'
+         ELSE 'url' END AS date_source
+FROM d
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -4270,4 +4360,5 @@ QUERIES = {
     "image_candidates": q_image_candidates,
     "jsonld_article": q_jsonld_article,
     "html_tables": q_html_tables,
+    "page_dates": q_page_dates,
 }

@@ -14,12 +14,15 @@ from __future__ import annotations
 
 import pytest
 
+import datetime
+
 from nidaba_spark.operators.structured import (
     html_tables,
     image_candidates,
     image_text_pairs,
     jsonld_article_meta,
     jsonld_blocks,
+    page_dates,
 )
 
 HTML = b"""<html><head>
@@ -147,6 +150,68 @@ def test_jsonld_array_wrapper_documented_null(spark):
 
 def test_jsonld_plan_is_one_narrow_scan(pages):
     p = _plan(jsonld_article_meta(pages))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_jsonld_author_array_form(spark):
+    html = (
+        b'<script type="application/ld+json">'
+        b'{"@type":"Article","headline":"H",'
+        b'"author":[{"name":"First A"},{"name":"Second B"}]}</script>'
+    )
+    df = spark.createDataFrame(
+        [("https://x.com/1", bytearray(html))], "url string, html binary"
+    )
+    (row,) = jsonld_article_meta(df).collect()
+    assert row["author"] == "First A"
+
+
+# ------------------------------------------------------------ page_dates
+
+
+def test_page_dates_priority_and_fallthrough(spark):
+    rows = [
+        # 1. JSON-LD beats an OpenGraph decoy
+        (
+            "https://a.com/x",
+            b'<script type="application/ld+json">{"@type":"Article",'
+            b'"datePublished":"2024-03-15T10:00:00Z"}</script>'
+            b'<meta property="article:published_time" content="2020-01-01">',
+        ),
+        # 2. OpenGraph full-ISO truncates to a date; a stale <time> loses
+        (
+            "https://a.com/y",
+            b'<meta property="article:published_time" '
+            b'content="2023-07-04T08:00:00Z"><time datetime="1999-01-01">o</time>',
+        ),
+        # 3. an UNPARSEABLE declared value falls through to the URL date
+        ("https://a.com/2021/06/15/slug", b'<time datetime="not a date">x</time>'),
+        # 4. single-quoted datetime as the FIRST attribute
+        ("https://a.com/t", b"<time datetime='2022-11-03'>d</time>"),
+        # 5. no carrier at all
+        ("https://a.com/none", b"<p>hi</p>"),
+    ]
+    df = spark.createDataFrame(
+        [(u, bytearray(h)) for u, h in rows], "url string, html binary"
+    )
+    out = {r["url"]: r for r in page_dates(df).collect()}
+    assert out["https://a.com/x"]["date_source"] == "jsonld"
+    assert out["https://a.com/x"]["published_date"] == datetime.date(2024, 3, 15)
+    assert out["https://a.com/x"]["date_raw"] == "2024-03-15T10:00:00Z"
+    assert out["https://a.com/y"]["date_source"] == "og"
+    assert out["https://a.com/y"]["published_date"] == datetime.date(2023, 7, 4)
+    assert out["https://a.com/2021/06/15/slug"]["date_source"] == "url"
+    assert out["https://a.com/2021/06/15/slug"]["published_date"] == datetime.date(
+        2021, 6, 15
+    )
+    assert out["https://a.com/t"]["date_source"] == "time"
+    none = out["https://a.com/none"]
+    assert none["published_date"] is None and none["date_source"] is None
+
+
+def test_page_dates_plan_no_exchange(pages):
+    p = _plan(page_dates(pages))
     assert "Exchange" not in p
     assert "EvalPython" not in p
 
