@@ -200,6 +200,12 @@ def main() -> None:
         help="NFC-normalize extracted text before any hash-keyed stage",
     )
     ap.add_argument(
+        "--min-published-date", default=None, metavar="YYYY-MM-DD",
+        help="freshness floor: drop pages whose declared publish date "
+        "(JSON-LD/OpenGraph/<time>/permalink path) is older; undated "
+        "pages pass",
+    )
+    ap.add_argument(
         "--split", action="append", default=[], metavar="NAME=FRAC",
         help="stratified split assignment, e.g. --split train=0.8 "
         "--split val=0.1 --split test=0.1 (fractions must sum to 1; "
@@ -298,6 +304,7 @@ def main() -> None:
         char_dup_span_remove=args.char_dup_span_remove,
         char_dup_span_L=args.char_dup_span_L,
         host_boilerplate_min_pages=args.host_boilerplate_min_pages,
+        min_published_date=args.min_published_date,
     )
     if args.recipe:
         import inspect

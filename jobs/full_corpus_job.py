@@ -93,6 +93,12 @@ def main() -> None:
         "crawl pages — the link-graph-shaped artifact, no page bytes",
     )
     ap.add_argument("--wat-segments", type=int, default=64)
+    ap.add_argument(
+        "--images-out", default=None,
+        help="also export multimodal image-text pair candidates "
+        "(resolved <img> src + alt/title captions) from the pages "
+        "that SURVIVED curation — the fetch-stage work list",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -290,6 +296,24 @@ def main() -> None:
             metrics["wat_segments"] = agg[0]
             metrics["wat_records"] = agg[1]
             metrics["wat_bytes"] = agg[2]
+
+    # ---- phase 7 (optional): multimodal candidates — image-text
+    # pairs (structured.image_text_pairs) from the RAW html of pages
+    # that SURVIVED curation: the page already passed every quality /
+    # dedup / decontamination judgment, so its images inherit that
+    # judgment, and the output is exactly the fetch stage's work list
+    # (img_url to GET, caption to pair). The pair scan is one codegen
+    # pass over (url, html); the semi-join keys on url with the slim
+    # curated side broadcast by AQE at rehearsal scale.
+    if args.images_out:
+        with phase("images_export"):
+            from nidaba_spark.operators.structured import image_text_pairs
+
+            pairs = image_text_pairs(pages).join(
+                curated.select("url"), "url", "left_semi"
+            )
+            pairs.write.mode("overwrite").parquet(args.images_out)
+            metrics["image_pairs"] = spark.read.parquet(args.images_out).count()
 
     metrics["lineage_rows"] = pipe.lineage().count()
     metrics["total_wall_sec"] = round(time.perf_counter() - t_job, 2)

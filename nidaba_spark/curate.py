@@ -77,6 +77,7 @@ def curate(
     char_dup_span_remove: bool = False,
     char_dup_span_L: int = 200,
     host_boilerplate_min_pages: int | None = None,
+    min_published_date: str | None = None,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -233,6 +234,16 @@ def curate(
                               instead and dedup at the stage
                               boundary; this flag is the single-plan
                               form;
+      min_published_date    — freshness floor BEFORE extraction (pages
+                              path only, needs html): drop pages whose
+                              declared publish date (structured
+                              .page_dates carriers — JSON-LD datePublished,
+                              og article:published_time, <time datetime>,
+                              /YYYY/MM/DD/ permalink) parses OLDER than
+                              this ISO date; undated pages pass (absence
+                              is not staleness). Pure scan predicate
+                              riding the extraction scan — zero extra
+                              shuffles or crawl passes;
       lm_ref +
       lm_min_logscore       — Stupid-Backoff bigram-LM floor (the
                               CCNet perplexity-filter shape,
@@ -323,6 +334,17 @@ def curate(
             pre_extracted = robots_filter(
                 pre_extracted, robots_df, agent=robots_agent
             ).filter(F.col("robots_allowed")).drop("robots_allowed")
+    if min_published_date is not None and pre_extracted is None:
+        from .operators.structured import published_on_or_after
+
+        # freshness floor on the RAW pages (needs html, so pages-path
+        # only, like canonical_url_dedup): drop pages whose declared
+        # publish date (structured.page_dates carriers — JSON-LD / og /
+        # <time> / permalink path) parses and is older than the floor;
+        # UNDATED pages pass — absence is not staleness. A pure
+        # scan-level predicate riding the extraction scan: zero extra
+        # shuffles, zero extra passes over the crawl.
+        pages = pages.filter(published_on_or_after(min_published_date))
     if canonical_url_dedup and pre_extracted is None:
         from .operators.links import page_meta
 

@@ -292,8 +292,40 @@ def page_dates(
     Scale shape: one narrow codegen scan, zero shuffles, zero Python
     (plan-asserted in tests/test_structured.py).
     """
-    body = html_text(F.col(html_col))
-    src = F.col(url_col)
+    date, raw_win, source = _date_exprs(
+        F.col(url_col), html_text(F.col(html_col)), article_types
+    )
+    return pages.select(
+        F.col(url_col).alias("url"),
+        date.alias("published_date"),
+        raw_win.alias("date_raw"),
+        source.alias("date_source"),
+    )
+
+
+def published_on_or_after(
+    min_date: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    article_types: tuple[str, ...] = ARTICLE_TYPES,
+) -> Column:
+    """Boolean freshness predicate over raw pages: true when the page
+    has NO parseable publish date (undated pages pass — most of the
+    web is undated, and absence is not staleness) OR its page_dates
+    date is >= ``min_date`` (ISO yyyy-MM-dd). A pure scan-level
+    expression, so ``pages.filter(...)`` adds zero shuffles — this is
+    the curate(min_published_date=) form."""
+    date, _, _ = _date_exprs(
+        F.col(url_col), html_text(F.col(html_col)), article_types
+    )
+    return date.isNull() | (date >= F.lit(min_date).cast("date"))
+
+
+def _date_exprs(
+    src: Column, body: Column, article_types: tuple[str, ...] = ARTICLE_TYPES
+) -> tuple[Column, Column, Column]:
+    """(published_date, winning raw string, source label) column
+    expressions — the page_dates core, reusable as a scan predicate."""
     blocks = F.regexp_extract_all(body, F.lit(_LD_BLOCK), 1)
     arts = F.filter(
         blocks,
@@ -347,12 +379,7 @@ def page_dates(
     raw_win = F.coalesce(
         *[F.when(parsed[n].isNotNull(), raw) for n, raw in cands]
     )
-    return pages.select(
-        src.alias("url"),
-        date.alias("published_date"),
-        raw_win.alias("date_raw"),
-        source.alias("date_source"),
-    )
+    return date, raw_win, source
 
 
 def html_tables(

@@ -62,6 +62,7 @@ def test_curate_cli_defaults_match_library():
         ("min_model_score", "min_model_score"),
         ("decontam_bloom_fpp", "decontam_bloom_fpp"),
         ("decontam_fuzzy_threshold", "decontam_fuzzy_threshold"),
+        ("min_published_date", "min_published_date"),
     ]:
         assert (
             _cli_default(cli_flag, "curate_corpus") == sig[lib_param].default

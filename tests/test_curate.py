@@ -796,3 +796,52 @@ def test_host_boilerplate_composes_with_span_removal(spark):
     texts = [r["text"] for r in out.select("text").collect()]
     assert texts and all(nav.lower().split()[0] not in t for t in texts)
     assert all("body" in t for t in texts)  # content survived
+
+
+def test_min_published_date_stage_wired(spark, pages):
+    """Freshness floor causality: pages stamped with a STALE declared
+    <time datetime> vanish, pages stamped FRESH survive, UNDATED pages
+    pass untouched — and the baseline (flag off) keeps all three
+    classes, so the stage caused the drop."""
+    body = F.decode("html", "ISO-8859-1")
+    bucket = F.pmod(F.xxhash64("url"), F.lit(10))
+    marked = pages.withColumn(
+        "html",
+        F.encode(
+            F.concat(
+                F.when(
+                    bucket == 0, F.lit('<time datetime="2015-01-01">old</time>')
+                )
+                .when(
+                    bucket == 1, F.lit('<time datetime="2024-06-01">new</time>')
+                )
+                .otherwise(F.lit("")),
+                body,
+            ),
+            "ISO-8859-1",
+        ),
+    )
+    stale = {r["url"] for r in marked.filter(bucket == 0).select("url").collect()}
+    fresh = {r["url"] for r in marked.filter(bucket == 1).select("url").collect()}
+    assert len(stale) >= 2 and len(fresh) >= 2
+
+    base = {
+        r["url"]
+        for r in curate.curate(
+            marked, min_quality=0.0, pack_budget=512, npartitions=8
+        ).select("url").collect()
+    }
+    out = {
+        r["url"]
+        for r in curate.curate(
+            marked, min_quality=0.0, pack_budget=512, npartitions=8,
+            min_published_date="2020-01-01",
+        ).select("url").collect()
+    }
+    assert base & stale and base & fresh  # baseline keeps both classes
+    assert not (out & stale)  # stale-dated pages dropped
+    assert out & fresh  # fresh-dated pages survive
+    # undated pages are untouched by the stage
+    undated_base = base - stale - fresh
+    undated_out = out - stale - fresh
+    assert undated_base == undated_out and undated_base

@@ -36,6 +36,13 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
     import sys as _sys
 
     rows = corpus.generate_rows(N)
+    # plant a multimodal candidate on every page (the synthetic corpus
+    # carries no <img>): exercises the --images-out phase
+    for r in rows:
+        if r["html"]:
+            r["html"] = (
+                b'<img src="/pic.jpg" alt="a planted test caption">' + r["html"]
+            )
     seg_dir = tmp_path / "segments"
     seg_dir.mkdir()
     # two CC-style member-gzip segments
@@ -68,13 +75,14 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
         "--min-model-score", "0.05", "--robots", robots_path,
         "--wet-out", wet_out, "--wet-segments", "2",
         "--wat-out", str(tmp_path / "wat"), "--wat-segments", "2",
+        "--images-out", str(tmp_path / "images"),
     ])
     job.main()
 
     metrics = json.load(open(os.path.join(workdir, "rehearsal_metrics.json")))
     assert set(metrics["phases"]) == {
         "extract", "curate", "linkgraph", "index", "wet_export",
-        "cdx_index", "wat_export",
+        "cdx_index", "wat_export", "images_export",
     }
     assert metrics["extracted_rows"] == N
     assert 0 < metrics["curated_rows"] <= N
@@ -114,6 +122,17 @@ def test_full_corpus_job_end_to_end(spark, tmp_path, monkeypatch):
     # robots gate honored through the composition: the disallowed
     # host never reaches the curated table
     assert not any("site3.example" in r["url"] for r in got)
+
+    # multimodal candidates: one planted pair per SURVIVING page, the
+    # src resolved absolute against the page url, caption carried
+    images = spark.read.parquet(str(tmp_path / "images"))
+    assert metrics["image_pairs"] == images.count() > 0
+    curated_urls = {r["url"] for r in got}
+    img_rows = images.collect()
+    assert {r["url"] for r in img_rows} <= curated_urls
+    assert all(r["caption"] == "a planted test caption" for r in img_rows)
+    assert all(r["img_url"].endswith("/pic.jpg") and "://" in r["img_url"]
+               for r in img_rows)
 
     # WET export round-trips the curated texts byte-identically
     from nidaba_spark.sources.rawfiles import read_warc_pages
