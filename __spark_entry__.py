@@ -141,6 +141,8 @@ _RETIRED_FROM_DRIVER = [
     "jsonld_article",
     "html_tables",
     "page_dates",
+    "av_candidates",
+    "page_lang_declared",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

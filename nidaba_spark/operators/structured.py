@@ -175,6 +175,117 @@ def image_text_pairs(
     )
 
 
+_AV_TAG = r"(?i)<(video|audio|source)[\s/][^>]*>"
+
+
+def av_candidates(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, media_idx, kind, media_url, mime, poster_url, caption) —
+    one row per ``<video>``/``<audio>``/``<source>`` occurrence with a
+    resolvable source URL: the audio/video half of the multimodal
+    candidate story next to ``image_candidates`` (the fetch stage GETs
+    ``media_url``, operators/multimodal.py owns the payload once
+    fetched).
+
+    ``kind`` is the lowercased tag name — a ``<source>`` row's parent
+    element is outside a regex's reach, so its ``mime`` (the declared
+    ``type`` attr, e.g. audio/mpeg vs video/mp4) is the modality
+    signal. ``poster_url`` (video only) is the declared cover image —
+    itself an image-text candidate. ``caption`` = title or aria-label
+    (video/audio carry no alt). ``media_idx`` counts ALL matching tags
+    so surviving rows keep their on-page position. A row survives when
+    EITHER url resolves: a ``<video poster=…>`` wrapping ``<source>``
+    children (the common form) keeps its poster row (media_url null)
+    while the children contribute the source rows; a tag with neither
+    emits nothing.
+
+    Same scale shape as image_candidates: one codegen scan + one
+    posexplode generator, zero shuffles, zero Python (plan-asserted).
+    """
+    body = html_text(F.col(html_col))
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(body, F.lit(_AV_TAG), 0)).alias(
+            "media_idx", "tag"
+        ),
+    )
+    t = F.col("tag")
+    resolved = tags.select(
+        "url",
+        "media_idx",
+        F.lower(F.regexp_extract(t, r"(?i)^<(video|audio|source)", 1)).alias(
+            "kind"
+        ),
+        resolve_href(F.col("url"), _attr(t, "src")).alias("media_url"),
+        F.lower(_attr(t, "type")).alias("mime"),
+        resolve_href(F.col("url"), _attr(t, "poster")).alias("poster_url"),
+        _clean_text(
+            F.coalesce(_attr(t, "title"), _attr(t, "aria-label"), F.lit(""))
+        ).alias("caption"),
+    )
+    return resolved.where(
+        F.col("media_url").isNotNull() | F.col("poster_url").isNotNull()
+    )
+
+
+def page_lang_declared(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, html_lang, og_locale, content_language, lang_declared) —
+    what the page SAYS its language is, from the three declaration
+    carriers: the ``<html lang=…>`` attribute, the ``og:locale``
+    OpenGraph meta, and the ``Content-Language`` http-equiv meta.
+    ``lang_declared`` is the normalized primary subtag (lowercased,
+    BCP-47 region/script stripped: en-US → en, zh_CN → zh) of the
+    first carrier present, in that trust order.
+
+    Curation use: joined against the DETECTED language (lang_id), a
+    declared≠detected mismatch is a strong junk signal — scraped/
+    machine-translated spam routinely declares en while the byte
+    content is something else — and declared language covers the
+    short-text pages n-gram detection is weakest on. One narrow
+    codegen scan, zero shuffles, zero Python (plan-asserted).
+    """
+    body = html_text(F.col(html_col))
+    # first <html …> tag's lang attr; _attr's separator rule via the
+    # unanchored search inside the extracted tag string
+    html_tag = F.regexp_extract(body, r"(?i)<html[\s/][^>]*>", 0)
+    html_lang = _attr(html_tag, "lang")
+    from .links import _meta_prop
+
+    ogl = _meta_prop(body, "og:locale")
+    og_locale = F.when(ogl != "", ogl)
+    cl_dq = F.regexp_extract(
+        body,
+        r"""(?i)<meta[\s/](?:[^>]*?[\s"'/])?http-equiv\s*=\s*["']content-language["']"""
+        r"""[^>]*?[\s"'/]content\s*=\s*["']([^"']*)["']""",
+        1,
+    )
+    cl_cd = F.regexp_extract(
+        body,
+        r"""(?i)<meta[\s/](?:[^>]*?[\s"'/])?content\s*=\s*["']([^"']*)["']"""
+        r"""[^>]*?[\s"'/]http-equiv\s*=\s*["']content-language["']""",
+        1,
+    )
+    cl = F.when(cl_dq != "", cl_dq).otherwise(cl_cd)
+    content_language = F.when(cl != "", cl)
+
+    def primary(c: Column) -> Column:
+        # first comma-separated tag, then primary subtag ('-' or '_')
+        one = F.trim(F.substring_index(c, ",", 1))
+        return F.lower(F.regexp_extract(one, r"^([A-Za-z]{2,8})", 1))
+
+    declared = primary(F.coalesce(html_lang, og_locale, content_language))
+    return pages.select(
+        F.col(url_col).alias("url"),
+        html_lang.alias("html_lang"),
+        og_locale.alias("og_locale"),
+        content_language.alias("content_language"),
+        F.when(declared != "", declared).alias("lang_declared"),
+    )
+
+
 def jsonld_blocks(
     pages: DataFrame, url_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

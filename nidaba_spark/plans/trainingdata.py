@@ -4268,6 +4268,146 @@ FROM d
 """
 
 
+def q_av_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio/video candidate extraction
+    (operators/structured.av_candidates) over synthesized pages in
+    three classes: doc_id%3==0 the common wrapped form — a src-less
+    <video poster=…> whose poster must survive as its own row while
+    the <source> child contributes the media row (mime from type);
+    %3==1 a single-quoted <audio src title> (caption whitespace to
+    collapse); %3==2 a data:-URI video decoy (drops) next to a bare
+    <audio src>. Oracle reconstructs every row from the arithmetic."""
+    from ..operators.structured import av_candidates
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    site = F.concat(
+        F.lit("https://v"), (d % 5).cast("string"), F.lit(".example.tv")
+    )
+    html = (
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<video poster="/c/'),
+                ds,
+                F.lit('.jpg"><source src="/m/'),
+                ds,
+                F.lit('.mp4" type="video/mp4"></video>'),
+            ),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit("<audio src='/m/"),
+                ds,
+                F.lit(".mp3' title='Clip  "),
+                ds,
+                F.lit("'></audio>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('<video src="data:video/mp4;base64,AAAA"></video>'
+                      '<audio src="/m/'),
+                ds,
+                F.lit('.ogg"></audio>'),
+            )
+        )
+    )
+    pages = docs.select(
+        F.concat(site, F.lit("/w/"), ds).alias("url"),
+        F.encode(
+            F.concat(F.lit("<html><body>"), html, F.lit("</body></html>")),
+            "UTF-8",
+        ).alias("html"),
+    )
+    return av_candidates(pages)
+
+
+ORACLE["av_candidates"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://v' || (doc_id % 5) || '.example.tv' AS site
+  FROM documents),
+rows AS (
+  SELECT site || '/w/' || i AS url, 0 AS media_idx, 'video' AS kind,
+         CAST(NULL AS VARCHAR) AS media_url, CAST(NULL AS VARCHAR) AS mime,
+         site || '/c/' || i || '.jpg' AS poster_url,
+         CAST(NULL AS VARCHAR) AS caption
+  FROM d WHERE i % 3 = 0
+  UNION ALL
+  SELECT site || '/w/' || i, 1, 'source',
+         site || '/m/' || i || '.mp4', 'video/mp4', NULL, NULL
+  FROM d WHERE i % 3 = 0
+  UNION ALL
+  SELECT site || '/w/' || i, 0, 'audio',
+         site || '/m/' || i || '.mp3', NULL, NULL, 'Clip ' || i
+  FROM d WHERE i % 3 = 1
+  UNION ALL
+  SELECT site || '/w/' || i, 1, 'audio',
+         site || '/m/' || i || '.ogg', NULL, NULL, NULL
+  FROM d WHERE i % 3 = 2)
+SELECT * FROM rows
+"""
+
+
+def q_page_lang_declared(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared-language extraction
+    (operators/structured.page_lang_declared) over synthesized pages:
+    doc_id%4==0 a BCP-47 <html lang="en-US"> (region must strip);
+    %4==1 a bare <html> (no match) plus og:locale de_DE with
+    attribute order flipping on doc_id%8 (underscore subtag form);
+    %4==2 a multi-value Content-Language http-equiv 'zh-CN, en'
+    (first tag wins) with attribute order flipping on doc_id%8;
+    %4==3 nothing declared (all null). Oracle reconstructs from the
+    arithmetic."""
+    from ..operators.structured import page_lang_declared
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    site = F.concat(
+        F.lit("https://l"), (d % 5).cast("string"), F.lit(".example.net")
+    )
+    og = F.when(
+        d % 8 < 4,
+        F.lit('<meta property="og:locale" content="de_DE">'),
+    ).otherwise(F.lit('<meta content="de_DE" property="og:locale">'))
+    cl = F.when(
+        d % 8 < 4,
+        F.lit('<meta http-equiv="Content-Language" content="zh-CN, en">'),
+    ).otherwise(
+        F.lit('<meta content="zh-CN, en" http-equiv="content-language">')
+    )
+    html = (
+        F.when(d % 4 == 0, F.lit('<html lang="en-US"><body>x</body></html>'))
+        .when(d % 4 == 1, F.concat(F.lit("<html><head>"), og, F.lit("</head></html>")))
+        .when(d % 4 == 2, F.concat(F.lit("<html><head>"), cl, F.lit("</head></html>")))
+        .otherwise(F.lit("<html><body>undeclared</body></html>"))
+    )
+    pages = docs.select(
+        F.concat(site, F.lit("/pg/"), ds).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return page_lang_declared(pages)
+
+
+ORACLE["page_lang_declared"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://l' || (doc_id % 5) || '.example.net' AS site
+  FROM documents)
+SELECT site || '/pg/' || i AS url,
+       CASE WHEN i % 4 = 0 THEN 'en-US' END AS html_lang,
+       CASE WHEN i % 4 = 1 THEN 'de_DE' END AS og_locale,
+       CASE WHEN i % 4 = 2 THEN 'zh-CN, en' END AS content_language,
+       CASE i % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de' WHEN 2 THEN 'zh' END
+         AS lang_declared
+FROM d
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -4361,4 +4501,6 @@ QUERIES = {
     "jsonld_article": q_jsonld_article,
     "html_tables": q_html_tables,
     "page_dates": q_page_dates,
+    "av_candidates": q_av_candidates,
+    "page_lang_declared": q_page_lang_declared,
 }

@@ -17,12 +17,14 @@ import pytest
 import datetime
 
 from nidaba_spark.operators.structured import (
+    av_candidates,
     html_tables,
     image_candidates,
     image_text_pairs,
     jsonld_article_meta,
     jsonld_blocks,
     page_dates,
+    page_lang_declared,
 )
 
 HTML = b"""<html><head>
@@ -165,6 +167,67 @@ def test_jsonld_author_array_form(spark):
     )
     (row,) = jsonld_article_meta(df).collect()
     assert row["author"] == "First A"
+
+
+# ------------------------------------------------------- av / declared-lang
+
+
+def test_av_candidates_semantics(spark):
+    html = (
+        b"<html lang='en-US'><body>"
+        b'<video poster="/cover.jpg" width="640">'
+        b'<source src="/v.mp4" type="video/MP4">'
+        b"<source src='/v.webm' type='video/webm'></video>"
+        b'<audio src="snd/a.mp3" title="An  audio clip"></audio>'
+        b'<video src="data:video/mp4;base64,xx"></video>'
+        b"</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("https://v.com/a/p", bytearray(html))], "url string, html binary"
+    )
+    rows = {r["media_idx"]: r for r in av_candidates(df).collect()}
+    # idx 0: src-less <video> survives VIA its poster; idx 4 (data: src,
+    # no poster) drops but holds its slot
+    assert sorted(rows) == [0, 1, 2, 3]
+    assert rows[0]["kind"] == "video" and rows[0]["media_url"] is None
+    assert rows[0]["poster_url"] == "https://v.com/cover.jpg"
+    assert rows[1]["kind"] == "source"
+    assert rows[1]["media_url"] == "https://v.com/v.mp4"
+    assert rows[1]["mime"] == "video/mp4"  # lowercased
+    assert rows[2]["media_url"] == "https://v.com/v.webm"  # single-quoted
+    assert rows[3]["kind"] == "audio"
+    assert rows[3]["media_url"] == "https://v.com/a/snd/a.mp3"  # dir-relative
+    assert rows[3]["caption"] == "An audio clip"  # whitespace collapsed
+
+
+def test_page_lang_declared_semantics(spark):
+    rows = [
+        ("https://l.com/a", b'<html lang="en-US"><body>x</body></html>'),
+        # bare <html> never matches; og:locale with underscore subtag
+        ("https://l.com/b",
+         b'<html><meta content="de_DE" property="og:locale"></html>'),
+        # multi-value Content-Language: first tag wins
+        ("https://l.com/c",
+         b'<meta http-equiv="content-language" content="zh-CN, en">'),
+        ("https://l.com/d", b"<p>undeclared</p>"),
+    ]
+    df = spark.createDataFrame(
+        [(u, bytearray(h)) for u, h in rows], "url string, html binary"
+    )
+    out = {r["url"]: r for r in page_lang_declared(df).collect()}
+    assert out["https://l.com/a"]["html_lang"] == "en-US"
+    assert out["https://l.com/a"]["lang_declared"] == "en"
+    assert out["https://l.com/b"]["html_lang"] is None
+    assert out["https://l.com/b"]["lang_declared"] == "de"
+    assert out["https://l.com/c"]["lang_declared"] == "zh"
+    assert out["https://l.com/d"]["lang_declared"] is None
+
+
+def test_av_and_lang_plans_no_exchange(pages):
+    for df in (av_candidates(pages), page_lang_declared(pages)):
+        p = _plan(df)
+        assert "Exchange" not in p
+        assert "EvalPython" not in p
 
 
 # ------------------------------------------------------------ page_dates
