@@ -143,6 +143,8 @@ _RETIRED_FROM_DRIVER = [
     "page_dates",
     "av_candidates",
     "page_lang_declared",
+    "microdata_meta",
+    "microdata_types",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -539,3 +539,93 @@ def html_tables(
         "cells",
         F.size(F.col("cells")).alias("n_cells"),
     )
+
+
+_META_TAG = r"(?i)<meta[\s/][^>]*>"
+# Single pattern covering both quote styles with ONE capture group so
+# regexp_extract_all preserves document order across styles (the
+# sitemap two-array concat trick would interleave wrong here); a
+# mismatched-quote attribute (itemtype="x') is malformed markup and an
+# accepted false positive of the [^"'>]* core, same documented-subset
+# trade as the href scan.
+_ITEMTYPE_VAL = r"""(?i)[\s"'/]itemtype\s*=\s*["']([^"'>]*)["']"""
+
+
+def microdata_meta(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, meta_idx, itemprop, content) — schema.org **Microdata**
+    name/value pairs carried by ``<meta itemprop=… content=…>`` tags:
+    the fourth publisher-declared metadata carrier next to OpenGraph
+    (links.og_meta), JSON-LD (jsonld_article_meta) and the declared
+    language (page_lang_declared). Microdata is what the big
+    CMS/e-commerce templates emit inline (ratings, prices, SKUs,
+    datePublished on older WordPress themes), so a curation stack that
+    reads only JSON-LD misses the long tail of structured metadata.
+
+    ``meta_idx`` is the tag's 0-based position among ALL ``<meta>``
+    tags on the page (non-itemprop metas keep their slot — the same
+    layout-prior convention as image_candidates.img_idx). ``content``
+    is whitespace-collapsed; a tag with itemprop but an absent/empty
+    content emits no row (element-body microdata — ``<span
+    itemprop=…>text</span>`` — is out of scope for this scan: meta
+    carriers hold the machine-intended values). Attributes parse in
+    either order and either quote style.
+
+    Scale shape: one narrow whole-stage-codegen scan + one posexplode
+    generator; zero shuffles, zero Python, page bytes never leave the
+    map stage (plan-asserted in tests/test_structured.py).
+    """
+    body = html_text(F.col(html_col))
+    tags = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(F.regexp_extract_all(body, F.lit(_META_TAG), 0)).alias(
+            "meta_idx", "tag"
+        ),
+    )
+    t = F.col("tag")
+    out = tags.select(
+        "url",
+        "meta_idx",
+        _attr(t, "itemprop").alias("itemprop"),
+        _clean_text(F.coalesce(_attr(t, "content"), F.lit(""))).alias(
+            "content"
+        ),
+    )
+    return out.where(
+        F.col("itemprop").isNotNull() & F.col("content").isNotNull()
+    )
+
+
+def microdata_types(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, item_idx, itemtype, md_type) — schema.org item-type
+    declarations (``itemtype`` attributes on itemscope roots), in
+    document order. ``md_type`` is the trailing path segment — the
+    bare class name ('Product', 'NewsArticle') curation joins and
+    filters on, quote-style- and scheme-agnostic (http/https schema.org
+    variants collapse); ``itemtype`` keeps the raw declared value for
+    auditability. A page-class prior: a page declaring Product/Offer
+    items is a listing, not prose, before any text heuristic runs.
+
+    Same documented subset as the href scan: the attribute is matched
+    anywhere in the byte stream (comments/CDATA included), bounded on
+    the left by a ``[\\s"'/]`` delimiter so data-itemtype never
+    matches. Single codegen scan + posexplode; zero shuffles.
+    """
+    body = html_text(F.col(html_col))
+    vals = pages.select(
+        F.col(url_col).alias("url"),
+        F.posexplode(
+            F.regexp_extract_all(body, F.lit(_ITEMTYPE_VAL), 1)
+        ).alias("item_idx", "itemtype"),
+    )
+    raw = F.trim(F.col("itemtype"))
+    md = F.regexp_extract(raw, r"([^/#]+)/?$", 1)
+    return vals.select(
+        "url",
+        "item_idx",
+        F.when(raw != "", raw).alias("itemtype"),
+        F.when(md != "", md).alias("md_type"),
+    )

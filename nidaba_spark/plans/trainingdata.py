@@ -4408,6 +4408,133 @@ FROM d
 """
 
 
+def q_microdata_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Microdata name/value extraction
+    (operators/structured.microdata_meta) over synthesized pages:
+    every head leads with a non-itemprop viewport decoy (meta_idx 0,
+    no row — but it HOLDS its slot), slot 1 is datePublished with
+    attribute order AND quote style flipping on doc parity, slot 2 is
+    an itemprop with EMPTY content (no row, holds its slot), and
+    doc_id%3==0 adds a price at slot 3 whose content carries internal
+    whitespace to collapse. Oracle reconstructs from the arithmetic."""
+    from ..operators.structured import microdata_meta
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    site = F.concat(
+        F.lit("https://md"), (d % 5).cast("string"), F.lit(".example.com")
+    )
+    day = ((d % 20) + 10).cast("string")
+    date_tag = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit('<meta itemprop="datePublished" content="2024-02-'),
+            day,
+            F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<meta content='2024-02-"),
+            day,
+            F.lit("' itemprop='datePublished'>"),
+        )
+    )
+    html = F.concat(
+        F.lit('<html><head><meta name="viewport" content="width=device-width">'),
+        date_tag,
+        F.lit('<meta itemprop="sku" content="">'),
+        F.when(
+            d % 3 == 0,
+            F.lit('<meta itemprop="price" content=" 19.99  USD ">'),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body></body></html>"),
+    )
+    pages = docs.select(
+        F.concat(site, F.lit("/p/"), ds).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return microdata_meta(pages)
+
+
+ORACLE["microdata_meta"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://md' || (doc_id % 5) || '.example.com/p/' || doc_id AS url
+  FROM documents)
+SELECT url, 1 AS meta_idx, 'datePublished' AS itemprop,
+       '2024-02-' || ((i % 20) + 10) AS content
+FROM d
+UNION ALL
+SELECT url, 3 AS meta_idx, 'price' AS itemprop, '19.99 USD' AS content
+FROM d WHERE i % 3 = 0
+"""
+
+
+def q_microdata_types(spark: SparkSession, sf: str) -> DataFrame:
+    """Microdata item-type extraction
+    (operators/structured.microdata_types) over synthesized pages:
+    every body carries a data-itemtype decoy (the [\\s"'/] left bound
+    must reject it); even docs declare Product then a single-quoted
+    http-scheme Offer (document order across quote styles must hold),
+    odd docs a NewsArticle; doc_id%3==0 appends a Thing whose value
+    has surrounding whitespace AND a trailing slash (trim + md_type
+    segment extraction). Oracle reconstructs from the arithmetic."""
+    from ..operators.structured import microdata_types
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    site = F.concat(
+        F.lit("https://mt"), (d % 5).cast("string"), F.lit(".example.org")
+    )
+    items = F.when(
+        d % 2 == 0,
+        F.lit(
+            '<div itemscope itemtype="https://schema.org/Product">'
+            "<span itemscope itemtype='http://schema.org/Offer'>x</span>"
+            "</div>"
+        ),
+    ).otherwise(
+        F.lit('<article itemscope itemtype="https://schema.org/NewsArticle">y</article>')
+    )
+    html = F.concat(
+        F.lit('<html><body data-itemtype="https://schema.org/Fake">'),
+        items,
+        F.when(
+            d % 3 == 0,
+            F.lit('<div itemscope itemtype=" https://schema.org/Thing/ ">z</div>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages = docs.select(
+        F.concat(site, F.lit("/t/"), ds).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return microdata_types(pages)
+
+
+ORACLE["microdata_types"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://mt' || (doc_id % 5) || '.example.org/t/' || doc_id AS url
+  FROM documents)
+SELECT url, 0 AS item_idx,
+       CASE WHEN i % 2 = 0 THEN 'https://schema.org/Product'
+            ELSE 'https://schema.org/NewsArticle' END AS itemtype,
+       CASE WHEN i % 2 = 0 THEN 'Product' ELSE 'NewsArticle' END AS md_type
+FROM d
+UNION ALL
+SELECT url, 1 AS item_idx, 'http://schema.org/Offer' AS itemtype,
+       'Offer' AS md_type
+FROM d WHERE i % 2 = 0
+UNION ALL
+SELECT url, CASE WHEN i % 2 = 0 THEN 2 ELSE 1 END AS item_idx,
+       'https://schema.org/Thing/' AS itemtype, 'Thing' AS md_type
+FROM d WHERE i % 3 = 0
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -4503,4 +4630,6 @@ QUERIES = {
     "page_dates": q_page_dates,
     "av_candidates": q_av_candidates,
     "page_lang_declared": q_page_lang_declared,
+    "microdata_meta": q_microdata_meta,
+    "microdata_types": q_microdata_types,
 }

@@ -332,3 +332,74 @@ def test_html_tables_plan_no_exchange(pages):
     p = _plan(html_tables(pages))
     assert "Exchange" not in p
     assert "EvalPython" not in p
+
+
+# ---------------------------------------------------------------- microdata
+
+MD_HTML = b"""<html><head>
+<meta name="viewport" content="width=device-width">
+<meta itemprop="datePublished" content="2024-02-14">
+<meta content='4.5' itemprop='ratingValue'>
+<meta itemprop="sku" content="">
+<meta itemprop="price" content=" 19.99  USD ">
+</head>
+<body data-itemtype="https://schema.org/Fake">
+<div itemscope itemtype="https://schema.org/Product">
+ <span itemscope itemtype='http://schema.org/Offer'>x</span>
+</div>
+<div itemscope itemtype=" https://schema.org/Thing/ ">z</div>
+</body></html>"""
+
+
+@pytest.fixture(scope="module")
+def md_pages(spark):
+    return spark.createDataFrame(
+        [
+            ("https://ex.com/md", bytearray(MD_HTML)),
+            ("https://ex.com/plain", bytearray(PLAIN)),
+        ],
+        "url string, html binary",
+    )
+
+
+def test_microdata_meta_semantics(md_pages):
+    from nidaba_spark.operators.structured import microdata_meta
+
+    rows = {r["meta_idx"]: r for r in microdata_meta(md_pages).collect()}
+    # slot 0 (viewport, no itemprop) and slot 3 (sku, empty content)
+    # emit no rows but HOLD their positions among all <meta> tags.
+    assert sorted(rows) == [1, 2, 4]
+    assert rows[1]["itemprop"] == "datePublished"
+    assert rows[1]["content"] == "2024-02-14"
+    # reversed attribute order + single quotes
+    assert rows[2]["itemprop"] == "ratingValue"
+    assert rows[2]["content"] == "4.5"
+    # internal whitespace collapses, outer trims
+    assert rows[4]["itemprop"] == "price"
+    assert rows[4]["content"] == "19.99 USD"
+    assert all(r["url"] == "https://ex.com/md" for r in rows.values())
+
+
+def test_microdata_types_semantics(md_pages):
+    from nidaba_spark.operators.structured import microdata_types
+
+    rows = sorted(
+        microdata_types(md_pages).collect(), key=lambda r: r["item_idx"]
+    )
+    # data-itemtype decoy must NOT match (left [\s"'/] bound); document
+    # order holds across quote styles; trailing slash + padding on the
+    # third value exercise trim + md_type segment extraction.
+    assert [(r["item_idx"], r["itemtype"], r["md_type"]) for r in rows] == [
+        (0, "https://schema.org/Product", "Product"),
+        (1, "http://schema.org/Offer", "Offer"),
+        (2, "https://schema.org/Thing/", "Thing"),
+    ]
+
+
+def test_microdata_plans_no_exchange(md_pages):
+    from nidaba_spark.operators.structured import microdata_meta, microdata_types
+
+    for df in (microdata_meta(md_pages), microdata_types(md_pages)):
+        p = _plan(df)
+        assert "Exchange" not in p
+        assert "EvalPython" not in p
