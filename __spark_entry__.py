@@ -145,6 +145,8 @@ _RETIRED_FROM_DRIVER = [
     "page_lang_declared",
     "microdata_meta",
     "microdata_types",
+    "hreflang_alternates",
+    "parallel_pages",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

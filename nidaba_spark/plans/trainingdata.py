@@ -4535,6 +4535,146 @@ FROM d WHERE i % 3 = 0
 """
 
 
+def q_hreflang_alternates(spark: SparkSession, sf: str) -> DataFrame:
+    """Declared-translation extraction
+    (operators/multilingual.hreflang_alternates) over synthesized
+    heads: every page declares a SELF row (root-relative href — must
+    resolve), one translation whose hreflang is UPPERCASE on odd docs
+    (must lowercase) with attribute order/quote style flipping, and an
+    x-default; a stylesheet link and a rel=alternate FEED link (no
+    hreflang) are decoys. Oracle reconstructs from the arithmetic."""
+    from ..operators.multilingual import hreflang_alternates
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    site = F.concat(
+        F.lit("https://hl"), (d % 5).cast("string"), F.lit(".example.com")
+    )
+    trans = F.when(
+        d % 2 == 0,
+        F.concat(
+            F.lit('<link rel="alternate" hreflang="fr" href="/fr/'),
+            ds,
+            F.lit('">'),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<link href='/de/"),
+            ds,
+            F.lit("' hreflang='DE' rel='alternate'>"),
+        )
+    )
+    html = F.concat(
+        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/feed">'),
+        F.lit('<link rel="alternate" hreflang="en" href="/en/'),
+        ds,
+        F.lit('">'),
+        trans,
+        F.lit('<link rel="alternate" hreflang="x-default" href="/en/'),
+        ds,
+        F.lit('"></head><body></body></html>'),
+    )
+    pages = docs.select(
+        F.concat(site, F.lit("/en/"), ds).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return hreflang_alternates(pages)
+
+
+ORACLE["hreflang_alternates"] = """
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         'https://hl' || (doc_id % 5) || '.example.com' AS site
+  FROM documents)
+SELECT site || '/en/' || i AS url, 'en' AS hreflang,
+       site || '/en/' || i AS alt_url, FALSE AS is_default
+FROM d
+UNION ALL
+SELECT site || '/en/' || i,
+       CASE WHEN i % 2 = 0 THEN 'fr' ELSE 'de' END,
+       site || CASE WHEN i % 2 = 0 THEN '/fr/' ELSE '/de/' END || i,
+       FALSE
+FROM d
+UNION ALL
+SELECT site || '/en/' || i, 'x-default', site || '/en/' || i, TRUE
+FROM d
+"""
+
+
+def q_parallel_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-language pair mining
+    (operators/multilingual.parallel_page_candidates, mutual=True)
+    over synthesized page triples keyed on k = doc_id // 3: class 0 =
+    the English page declaring fr (mutual), es (one-sided — the es
+    page declares nothing back) and de (never crawled — the existence
+    gate); class 1 = the French page declaring en back; class 2 = the
+    Spanish page with an EMPTY head. Only the en↔fr pair must
+    survive, once per complete (3k, 3k+1) doc pair, labels read from
+    the opposite side's markup. Oracle reconstructs from the
+    arithmetic."""
+    from ..operators.multilingual import parallel_page_candidates
+
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    k = F.floor(d / 3).cast("long")
+    ks = k.cast("string")
+    site = F.concat(
+        F.lit("https://pl"), (k % 7).cast("string"), F.lit(".example.com")
+    )
+    cls = d % 3
+    head_en = F.concat(
+        F.lit('<link rel="alternate" hreflang="en" href="/en/'),
+        ks,
+        F.lit('"><link rel="alternate" hreflang="fr" href="/fr/'),
+        ks,
+        F.lit('"><link rel="alternate" hreflang="es" href="/es/'),
+        ks,
+        F.lit('"><link rel="alternate" hreflang="de" href="/de/'),
+        ks,
+        F.lit('">'),
+    )
+    head_fr = F.concat(
+        F.lit("<link hreflang='en' rel='alternate' href='/en/"),
+        ks,
+        F.lit("'><link rel='alternate' hreflang='fr' href='/fr/"),
+        ks,
+        F.lit("'>"),
+    )
+    head = (
+        F.when(cls == 0, head_en)
+        .when(cls == 1, head_fr)
+        .otherwise(F.lit(""))
+    )
+    path = (
+        F.when(cls == 0, F.lit("/en/"))
+        .when(cls == 1, F.lit("/fr/"))
+        .otherwise(F.lit("/es/"))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), head, F.lit("</head><body>x</body></html>")
+    )
+    pages = docs.select(
+        F.concat(site, path, ks).alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    return parallel_page_candidates(pages)
+
+
+ORACLE["parallel_pages"] = """
+WITH t AS (
+  SELECT CAST(a.doc_id // 3 AS BIGINT) AS k
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 3 = 0)
+SELECT 'https://pl' || (k % 7) || '.example.com/en/' || k AS url_a,
+       'en' AS lang_a,
+       'https://pl' || (k % 7) || '.example.com/fr/' || k AS url_b,
+       'fr' AS lang_b
+FROM t
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -4632,4 +4772,6 @@ QUERIES = {
     "page_lang_declared": q_page_lang_declared,
     "microdata_meta": q_microdata_meta,
     "microdata_types": q_microdata_types,
+    "hreflang_alternates": q_hreflang_alternates,
+    "parallel_pages": q_parallel_pages,
 }
