@@ -147,6 +147,8 @@ _RETIRED_FROM_DRIVER = [
     "microdata_types",
     "hreflang_alternates",
     "parallel_pages",
+    "pagination_chains",
+    "stitch_pages",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -4675,6 +4675,126 @@ FROM t
 """
 
 
+def _pagination_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared fixture for the pagination queries: docs pack into
+    groups of 4 keyed on k = doc_id // 4; a group's chain length is
+    L = 2 + k%3, so members with j = doc_id%4 < L are the chain's
+    pages p0..p{L-1} and the rest are solo pages in a DISJOINT url
+    namespace. EVERY chain page declares rel=next to p{j+1} — for the
+    last page that target does not exist, exercising the existence
+    gate; odd pages additionally declare rel=prev ('previous'
+    spelling on j=3), exercising carrier dedup."""
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    i_s = d.cast("string")
+    k = F.floor(d / 4).cast("long")
+    j = (d % 4).cast("long")
+    L = (k % 3) + 2
+    ks = k.cast("string")
+    js = j.cast("string")
+    site = F.concat(
+        F.lit("https://pg"), (k % 7).cast("string"), F.lit(".example.com")
+    )
+    nxt = F.concat(
+        F.lit('<link rel="next" href="/a/'),
+        ks,
+        F.lit("/p"),
+        (j + 1).cast("string"),
+        F.lit('">'),
+    )
+    prv = (
+        F.when(
+            j == 1,
+            F.concat(
+                F.lit("<link href='/a/"),
+                ks,
+                F.lit("/p0' rel='prev'>"),
+            ),
+        )
+        .when(
+            j == 3,
+            F.concat(
+                F.lit('<link rel="previous" href="/a/'),
+                ks,
+                F.lit('/p2">'),
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.when(
+        j < L,
+        F.concat(F.lit("<html><head>"), nxt, prv, F.lit("</head><body>b</body></html>")),
+    ).otherwise(F.lit("<html><head></head><body>s</body></html>"))
+    url = F.when(
+        j < L, F.concat(site, F.lit("/a/"), ks, F.lit("/p"), js)
+    ).otherwise(F.concat(site, F.lit("/solo/"), i_s))
+    text = F.when(
+        j < L,
+        F.concat(F.lit("Part "), js, F.lit(" of article "), ks),
+    ).otherwise(F.concat(F.lit("solo "), i_s))
+    return docs.select(
+        url.alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        text.alias("text"),
+    )
+
+
+def q_pagination_chains(spark: SparkSession, sf: str) -> DataFrame:
+    """Pagination list-ranking (operators/pagination.paginate_chains)
+    over the shared fixture: variable-length chains (2/3/4 pages by
+    k%3), dangling last-page next targets (existence gate), dual
+    next/prev carriers (dedup), solo pages absent from the output.
+    Oracle reconstructs (url, chain head, position) from the
+    arithmetic — the trailing truncated group is guarded by requiring
+    the group's SECOND member to exist, matching the operator's
+    participants-only semantics."""
+    from ..operators.pagination import paginate_chains
+
+    return paginate_chains(_pagination_pages(spark, sf))
+
+
+ORACLE["pagination_chains"] = """
+WITH x AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         CAST(doc_id // 4 AS BIGINT) AS k,
+         CAST(doc_id % 4 AS BIGINT) AS j
+  FROM documents),
+m AS (SELECT MAX(i) AS mx FROM x)
+SELECT 'https://pg' || (k % 7) || '.example.com/a/' || k || '/p' || j AS url,
+       'https://pg' || (k % 7) || '.example.com/a/' || k || '/p0' AS chain_id,
+       j AS seq
+FROM x, m
+WHERE j < 2 + (k % 3) AND 4 * k + 1 <= mx
+"""
+
+
+def q_stitch_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-page article reassembly
+    (operators/pagination.stitch_paginated) over the shared fixture:
+    each resolved chain's page texts joined in reading order. Oracle
+    = ordered string_agg over the same arithmetic."""
+    from ..operators.pagination import stitch_paginated
+
+    return stitch_paginated(_pagination_pages(spark, sf))
+
+
+ORACLE["stitch_pages"] = """
+WITH x AS (
+  SELECT CAST(doc_id AS BIGINT) AS i,
+         CAST(doc_id // 4 AS BIGINT) AS k,
+         CAST(doc_id % 4 AS BIGINT) AS j
+  FROM documents),
+m AS (SELECT MAX(i) AS mx FROM x)
+SELECT 'https://pg' || (k % 7) || '.example.com/a/' || k || '/p0' AS chain_id,
+       COUNT(*) AS n_pages,
+       string_agg('Part ' || j || ' of article ' || k, chr(10) || chr(10)
+                  ORDER BY j) AS text
+FROM x, m
+WHERE j < 2 + (k % 3) AND 4 * k + 1 <= mx
+GROUP BY k
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -4774,4 +4894,6 @@ QUERIES = {
     "microdata_types": q_microdata_types,
     "hreflang_alternates": q_hreflang_alternates,
     "parallel_pages": q_parallel_pages,
+    "pagination_chains": q_pagination_chains,
+    "stitch_pages": q_stitch_pages,
 }
