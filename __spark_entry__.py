@@ -149,6 +149,7 @@ _RETIRED_FROM_DRIVER = [
     "parallel_pages",
     "pagination_chains",
     "stitch_pages",
+    "extract_markdown",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

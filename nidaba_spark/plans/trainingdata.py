@@ -862,6 +862,86 @@ FROM documents
 """
 
 
+_MD_INTRO = (
+    "This introductory paragraph exists so that the boilerplate classifier "
+    "keeps the article body that follows because a long low link density "
+    "block right before a heading makes every later decision in this "
+    "synthetic fixture fully deterministic for the oracle at any scale"
+)
+_MD_QUOTE = (
+    "A reliably quoted passage of exactly seventeen words keeps this "
+    "block via the current word count rule"
+)
+_MD_CODE = (
+    "def synthetic_function(): return the seventeen word code sample that "
+    "survives the current block rule here now today"
+)
+
+
+def q_extract_markdown(spark: SparkSession, sf: str) -> DataFrame:
+    """Structure-preserving extraction (operators/markdown.py): pages
+    synthesized around the documents corpus with a full structural
+    spread — boilerplate nav/footer, intro paragraph, h1/h2 headings,
+    the doc text, a blockquote, two list items, a pre block — run
+    through decode → segment → markdown_stage. Every NumWordsRules
+    keep/drop decision in the fixture is word-count-engineered to be
+    unconditional (the intro carries >40 words so the post-nav
+    high-link rule keeps it; quote/code carry exactly 17 so the
+    curr>16 rule keeps them; headings/list items ride neighbor
+    rules), so the oracle reconstructs the exact Markdown string."""
+    from ..operators.markdown import extract_markdown
+
+    docs = load(spark, sf, "documents")
+    i_s = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit(
+            '<!DOCTYPE html><html><head><meta charset="utf-8"><title>doc</title>'
+            '</head><body><nav><ul><li><a href="/home">home</a></li></ul></nav>'
+            f"<article><p>{_MD_INTRO}</p><h1>Guide to article "
+        ),
+        i_s,
+        F.lit(" part one</h1><p>"),
+        F.col("text"),
+        F.lit(f"</p><h2>Related notes</h2><blockquote>{_MD_QUOTE}</blockquote><ul><li>alpha item "),
+        i_s,
+        F.lit("</li><li>beta item "),
+        i_s,
+        F.lit(f"</li></ul><pre>{_MD_CODE}</pre></article>"),
+        F.lit(
+            '<footer><div><a href="/a">a</a> <a href="/b">b</a></div>'
+            "<p>© 2024 example inc</p></footer></body></html>"
+        ),
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), i_s).alias("url"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+    md = extract_markdown(pages)
+    return md.select(
+        F.substring("url", 7, 100).cast("bigint").alias("doc_id"),
+        F.col("markdown"),
+        F.col("n_blocks_kept"),
+    )
+
+
+ORACLE["extract_markdown"] = rf"""
+SELECT doc_id,
+       '{_MD_INTRO}' || chr(10) || chr(10)
+       || '# Guide to article ' || doc_id || ' part one' || chr(10) || chr(10)
+       || trim(regexp_replace(text, '[ \t\r\n\v\f]+', ' ', 'g')) || chr(10) || chr(10)
+       || '## Related notes' || chr(10) || chr(10)
+       || '> {_MD_QUOTE}' || chr(10) || chr(10)
+       || '- alpha item ' || doc_id || chr(10) || chr(10)
+       || '- beta item ' || doc_id || chr(10) || chr(10)
+       || '```' || chr(10) || '{_MD_CODE}' || chr(10) || '```' AS markdown,
+       CAST(8 AS INTEGER) AS n_blocks_kept
+FROM documents
+"""
+
+
 # -------------------------------------------- corpus-hygiene filters
 def q_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Substring-level duplication stats (operators/filters.py
@@ -4896,4 +4976,5 @@ QUERIES = {
     "parallel_pages": q_parallel_pages,
     "pagination_chains": q_pagination_chains,
     "stitch_pages": q_stitch_pages,
+    "extract_markdown": q_extract_markdown,
 }
