@@ -150,6 +150,7 @@ _RETIRED_FROM_DRIVER = [
     "pagination_chains",
     "stitch_pages",
     "extract_markdown",
+    "sentences",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

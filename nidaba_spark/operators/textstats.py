@@ -518,3 +518,50 @@ def dominant_script_col() -> Column:
     for name, _ in SCRIPT_CLASSES:
         dominant = dominant.when(F.col(f"n_{name}") == m, F.lit(name))
     return dominant
+
+
+# ------------------------------------------------- sentence segmentation
+
+# One run per sentence: anything up to a terminator run (ASCII .!? plus
+# CJK 。！？), requiring at least one non-space non-terminator char so
+# bare punctuation ('...') yields nothing; a final unterminated tail is
+# its own sentence. Java-regex ∩ RE2 subset (no lookaround) so the
+# DuckDB oracle runs the IDENTICAL pattern. Applied to
+# whitespace-NORMALIZED text only — Java '$' matches before a final
+# newline while RE2's does not, so normalization (which strips the
+# trailing newline case entirely) is what keeps the two engines
+# byte-identical.
+_SENT_RE = "[^.!?。！？]*[^.!?。！？\\s][.!?。！？]+|[^.!?。！？]*[^.!?。！？\\s]$"
+
+
+def sentence_split(text: Column) -> Column:
+    """array<string> of trimmed sentences (documented naive subset: a
+    terminator always ends a sentence, so 'Dr. Smith' splits — the
+    corpus-stats convention, not a linguistic segmenter; CCNet-style
+    dedup/alignment work at this granularity)."""
+    # explicit class, not \s: Java \s includes \x0B, RE2's does not
+    norm = F.trim(F.regexp_replace(text, "[ \t\r\n\f]+", " "))
+    # explicit 1-arg lambda: transform would otherwise feed the array
+    # index into F.trim's optional trimStr parameter
+    return F.transform(
+        F.regexp_extract_all(norm, F.lit(_SENT_RE), F.lit(0)),
+        lambda s: F.trim(s),
+    )
+
+
+def sentence_rows(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, sent_idx, sentence, n_words) — one row per sentence in
+    document order. One narrow codegen scan + posexplode, zero
+    shuffles, zero Python; feeds sentence-level dedup (line_dedup on
+    the sentence column) and alignment candidates."""
+    return docs.select(
+        F.col(id_col), F.posexplode(sentence_split(F.col(text_col)))
+    ).select(
+        F.col(id_col),
+        F.col("pos").cast("int").alias("sent_idx"),
+        F.col("col").alias("sentence"),
+        # post-normalization a single space is the only separator
+        F.size(F.split(F.col("col"), " ")).cast("int").alias("n_words"),
+    )

@@ -942,6 +942,32 @@ FROM documents
 """
 
 
+def q_sentences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence segmentation (operators/textstats.sentence_rows): one
+    row per sentence with document-order index and word count; the
+    pattern is the Java-regex ∩ RE2 subset so the oracle runs the
+    IDENTICAL split."""
+    from ..operators.textstats import sentence_rows
+
+    return sentence_rows(load(spark, sf, "documents"))
+
+
+ORACLE["sentences"] = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_extract_all(
+           trim(regexp_replace(text, '[ \t\r\n\f]+', ' ', 'g')),
+           '[^.!?。！？]*[^.!?。！？\s][.!?。！？]+|[^.!?。！？]*[^.!?。！？\s]$'
+         ) AS sents
+  FROM documents)
+SELECT doc_id,
+       CAST(i - 1 AS INTEGER) AS sent_idx,
+       trim(sents[i]) AS sentence,
+       CAST(len(string_split(trim(sents[i]), ' ')) AS INTEGER) AS n_words
+FROM w, UNNEST(generate_series(1, len(sents))) AS t(i)
+"""
+
+
 # -------------------------------------------- corpus-hygiene filters
 def q_duplicate_spans(spark: SparkSession, sf: str) -> DataFrame:
     """Substring-level duplication stats (operators/filters.py
@@ -4977,4 +5003,5 @@ QUERIES = {
     "pagination_chains": q_pagination_chains,
     "stitch_pages": q_stitch_pages,
     "extract_markdown": q_extract_markdown,
+    "sentences": q_sentences,
 }
