@@ -206,6 +206,12 @@ def main() -> None:
         "pages pass",
     )
     ap.add_argument(
+        "--stitch-pagination", action="store_true",
+        help="reassemble rel=next/prev multi-page articles into one "
+        "document at the chain head url before any hygiene stage",
+    )
+    ap.add_argument("--pagination-max-pages", type=int, default=64)
+    ap.add_argument(
         "--split", action="append", default=[], metavar="NAME=FRAC",
         help="stratified split assignment, e.g. --split train=0.8 "
         "--split val=0.1 --split test=0.1 (fractions must sum to 1; "
@@ -305,6 +311,8 @@ def main() -> None:
         char_dup_span_L=args.char_dup_span_L,
         host_boilerplate_min_pages=args.host_boilerplate_min_pages,
         min_published_date=args.min_published_date,
+        stitch_pagination=args.stitch_pagination,
+        pagination_max_pages=args.pagination_max_pages,
     )
     if args.recipe:
         import inspect

@@ -78,6 +78,8 @@ def curate(
     char_dup_span_L: int = 200,
     host_boilerplate_min_pages: int | None = None,
     min_published_date: str | None = None,
+    stitch_pagination: bool = False,
+    pagination_max_pages: int = 64,
 ) -> DataFrame:
     """pages (url, warc_ts, html, text, lang) → packed curated docs:
     (url, n_tokens, tokens_before, pack_id, pack_pos, quality, text).
@@ -244,6 +246,20 @@ def curate(
                               is not staleness). Pure scan predicate
                               riding the extraction scan — zero extra
                               shuffles or crawl passes;
+      stitch_pagination     — multi-page article reassembly BEFORE any
+                              hygiene stage (pages path only, needs
+                              html): rel=next/prev chains resolved by
+                              operators/pagination's pointer-doubling
+                              list ranking, each chain's surviving
+                              members replaced by ONE document at the
+                              head url with the extracted texts joined
+                              in reading order (so a 5-page article is
+                              not 5 short docs to Gopher rules or
+                              dedup); pagination_max_pages bounds the
+                              doubling horizon. Costs one url-keyed
+                              shuffle of the slim declaration table +
+                              one chain-keyed groupBy over
+                              participants only;
       lm_ref +
       lm_min_logscore       — Stupid-Backoff bigram-LM floor (the
                               CCNet perplexity-filter shape,
@@ -382,6 +398,48 @@ def curate(
     docs = ext1.filter(F.col("text") != "").select(
         "url", "text", F.col("lang").alias("source")
     )
+    if stitch_pagination and pre_extracted is None:
+        from .operators.pagination import chains_from_links, pagination_links
+
+        # multi-page articles reassembled into ONE document before any
+        # hygiene stage sees them (a 5-page article must not count as
+        # 5 short docs for Gopher rules or dedup). Declarations come
+        # from the same narrow codegen scan shape as the other page-
+        # metadata carriers; recrawl dedup on the SLIM declaration
+        # table (latest fetch wins, carrier values break ties) instead
+        # of a second pass over page bytes; resolution is existence-
+        # gated on the urls that actually survived extraction +
+        # recrawl dedup, so a dropped head simply promotes its
+        # successor to head. Stitching itself is one chain-keyed
+        # groupBy over the participants only — solo pages (the vast
+        # majority of any crawl) never enter it.
+        lk = pagination_links(pages, extra_cols=("warc_ts",))
+        w_lk = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.col("next_url"), F.col("prev_url")
+        )
+        lk1 = (
+            lk.withColumn("_rn", F.row_number().over(w_lk))
+            .filter(F.col("_rn") == 1)
+            .select("url", "next_url", "prev_url")
+        )
+        chains = chains_from_links(
+            lk1, docs.select("url"), max_pages=pagination_max_pages
+        ).withColumnRenamed("url", "_u")
+        d = docs.join(chains, docs["url"] == chains["_u"], "left").drop("_u")
+        solo = d.filter(F.col("chain_id").isNull()).drop("chain_id", "seq")
+        parts = F.array_sort(F.collect_list(F.struct("seq", "text")))
+        stitched = (
+            d.filter(F.col("chain_id").isNotNull())
+            .groupBy("chain_id")
+            .agg(
+                F.array_join(
+                    F.transform(parts, lambda s: s["text"]), "\n\n"
+                ).alias("text"),
+                F.min(F.struct("seq", "source"))["source"].alias("source"),
+            )
+            .select(F.col("chain_id").alias("url"), "text", "source")
+        )
+        docs = solo.unionByName(stitched)
     if unicode_nfc:
         from .operators.unicodenorm import unicode_normalize
 

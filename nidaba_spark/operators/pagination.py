@@ -58,13 +58,18 @@ _HREF = r"""(?i)[\s"'/]href\s*=\s*["']([^"']*)["']"""
 
 
 def pagination_links(
-    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(url, next_url, prev_url) — declared pagination neighbors from
-    ``<link rel="next">`` / ``<link rel="prev"|"previous">`` head
-    tags, hrefs RESOLVED against the page, null when absent or
-    unresolvable. First declaration wins when a page repeats one
-    (malformed markup). One codegen scan, zero shuffles, zero Python.
+    """(url[, *extra_cols], next_url, prev_url) — declared pagination
+    neighbors from ``<link rel="next">`` / ``<link rel="prev"|
+    "previous">`` head tags, hrefs RESOLVED against the page, null
+    when absent or unresolvable. First declaration wins when a page
+    repeats one (malformed markup). ``extra_cols`` ride along
+    untouched (curate's recrawl dedup needs warc_ts). One codegen
+    scan, zero shuffles, zero Python.
     """
     body = F.col(html_col)
     if dict(pages.dtypes)[html_col] == "binary":
@@ -78,6 +83,7 @@ def pagination_links(
 
     return pages.select(
         F.col(url_col).alias("url"),
+        *[F.col(c) for c in extra_cols],
         first_href(_REL_NEXT).alias("next_url"),
         first_href(_REL_PREV).alias("prev_url"),
     )
@@ -96,6 +102,20 @@ def paginate_chains(
     drop rules (cycles, over-length chains, dead targets).
     """
     links = pagination_links(pages, url_col, html_col)
+    crawled = pages.select(F.col(url_col).alias("url"))
+    return chains_from_links(links, crawled, max_pages)
+
+
+def chains_from_links(
+    links: DataFrame, crawled: DataFrame, max_pages: int = 64
+) -> DataFrame:
+    """paginate_chains' resolution half over a pre-computed
+    declaration table — the curation-composition seam: when the crawl
+    carries recrawls, dedup the slim (url, next_url, prev_url) table
+    to one declaration per url FIRST (latest fetch wins) and resolve
+    chains against the urls that actually survive extraction, without
+    a second pass over page bytes. ``links`` needs columns (url,
+    next_url, prev_url); ``crawled`` needs (url), unique."""
     # predecessor edges from BOTH carriers: u's rel=next target v gets
     # predecessor u; v's own rel=prev declaration names it directly.
     from_next = links.filter(F.col("next_url").isNotNull()).select(
@@ -105,7 +125,6 @@ def paginate_chains(
         "url", F.col("prev_url").alias("ptr")
     )
     edges = from_next.union(from_prev).filter(F.col("url") != F.col("ptr"))
-    crawled = pages.select(F.col(url_col).alias("url"))
     edges = edges.join(crawled, "url", "left_semi").join(
         crawled.select(F.col("url").alias("ptr")), "ptr", "left_semi"
     )

@@ -845,3 +845,70 @@ def test_min_published_date_stage_wired(spark, pages):
     undated_base = base - stale - fresh
     undated_out = out - stale - fresh
     assert undated_base == undated_out and undated_base
+
+
+def test_stitch_pagination_stage_wired(spark):
+    import datetime
+
+    def para(word):
+        return (
+            f"{word} part one of the guide carries exactly seventeen "
+            "deterministic words so the extractor keeps this block"
+        )
+
+    def page(url, body, links="", ts=1):
+        html = f"<html><head>{links}</head><body><article><p>{body}</p></article></body></html>"
+        return (
+            url,
+            datetime.datetime(2024, 1, ts),
+            html.encode(),
+            body,
+            "en",
+        )
+
+    s = "https://st.example.com"
+    rows = [
+        page(f"{s}/a/p0", para("alpha"), '<link rel="next" href="/a/p1">'),
+        page(
+            f"{s}/a/p1",
+            para("bravo"),
+            '<link rel="next" href="/a/p2"><link rel="prev" href="/a/p0">',
+        ),
+        # recrawl of p1: identical declarations at a later fetch — the
+        # slim-declaration dedup must collapse it, not fan out edges
+        page(
+            f"{s}/a/p1",
+            para("bravo"),
+            '<link rel="next" href="/a/p2"><link rel="prev" href="/a/p0">',
+            ts=2,
+        ),
+        # last page: prev carrier only + a next edge to an uncrawled
+        # target (existence gate)
+        page(
+            f"{s}/a/p2",
+            para("charlie"),
+            '<link rel="previous" href="/a/p1"><link rel="next" href="/a/p3">',
+        ),
+        page(f"{s}/solo", para("delta")),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    out = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=8,
+        stitch_pagination=True,
+    )
+    got = {r["url"]: r["text"] for r in out.collect()}
+    assert set(got) == {f"{s}/a/p0", f"{s}/solo"}
+    assert got[f"{s}/a/p0"] == "\n\n".join(
+        [para("alpha"), para("bravo"), para("charlie")]
+    )
+    assert got[f"{s}/solo"] == para("delta")
+    # determinism at a different parallelism
+    again = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=3,
+        stitch_pagination=True,
+    )
+    assert sorted(tuple(r) for r in out.collect()) == sorted(
+        tuple(r) for r in again.collect()
+    )
