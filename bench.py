@@ -69,6 +69,11 @@ AUX_QUERIES = [
     "crawl_frontier",
     "sitemap_entries",
     "recrawl_priority",
+    # r05 final wave
+    "pagination_chains",
+    "stitch_pages",
+    "extract_markdown",
+    "sentences",
 ]
 
 
