@@ -49,6 +49,13 @@ def main() -> None:
     )
     ap.add_argument("--max-files-per-trigger", type=int, default=None)
     ap.add_argument(
+        "--markdown-out",
+        default=None,
+        help="also write structure-preserving Markdown documents to "
+        "this path — rendered from the completed segment checkpoint "
+        "(a pure-Column pass; the parse is never repeated)",
+    )
+    ap.add_argument(
         "--input-format",
         default="parquet",
         choices=["parquet", "warc"],
@@ -105,6 +112,9 @@ def main() -> None:
     ext = p.run(pages, resume=args.resume)
     n = ext.count()
     print(f"extracted {n} documents -> {p._stage_path('merge')}")
+    if args.markdown_out:
+        p.markdown().write.mode("overwrite").parquet(args.markdown_out)
+        print(f"markdown documents -> {args.markdown_out}")
     lin = p.lineage().groupBy("stage").count().collect()
     print("lineage rows per stage:", {r["stage"]: r["count"] for r in lin})
 

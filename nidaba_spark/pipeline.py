@@ -431,6 +431,22 @@ class Pipeline:
             prev_bytes = 0
         return self.spark.read.schema(schemas.EXTRACTED).parquet(self._stage_path("merge"))
 
+    def markdown(self) -> DataFrame:
+        """Structure-preserving Markdown off the SEGMENT checkpoint —
+        a free by-product of a completed (or resumed) run: the parse
+        already happened, so this is one pure-Column rendering pass
+        over stage=segment with zero Python and no re-extraction
+        (operators/markdown.markdown_stage; --markdown-out on the
+        spark-submit entry)."""
+        from .operators.markdown import markdown_stage
+
+        if not self.is_complete("segment"):
+            raise RuntimeError("segment stage incomplete; run() first")
+        seg = self.spark.read.schema(_STAGE_SCHEMA["segment"]).parquet(
+            self._stage_path("segment")
+        )
+        return markdown_stage(seg)
+
     def run_incremental(self, pages: DataFrame, mode: str = "fused") -> DataFrame:
         """Row-level resume (SURVEY.md §3.2 E2'): anti-join the input's
         urls against the completed merge checkpoint (B10) and process

@@ -91,3 +91,26 @@ def test_plan_no_python_no_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for op in ("Exchange", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert op not in plan, f"{op} leaked into the markdown render:\n{plan}"
+
+
+def test_pipeline_markdown_byproduct(spark, pages_path, tmp_path):
+    """Pipeline.markdown() renders off the SEGMENT checkpoint with no
+    re-parse and matches extract_markdown() on the same pages row for
+    row; before run() it refuses."""
+    import pytest
+
+    from nidaba_spark import pipeline
+    from nidaba_spark.operators.markdown import extract_markdown
+
+    pages = spark.read.parquet(pages_path)
+    p = pipeline.Pipeline(spark, str(tmp_path), run_id="md")
+    with pytest.raises(RuntimeError):
+        p.markdown()
+    p.run(pages)
+    got = sorted(tuple(r) for r in p.markdown().collect())
+    want = sorted(tuple(r) for r in extract_markdown(pages).collect())
+    assert got == want and got
+    # zero Python, zero Exchange on top of the checkpoint scan
+    plan = p.markdown()._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert op not in plan
