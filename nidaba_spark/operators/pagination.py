@@ -33,8 +33,11 @@ Documented subset + hygiene (pinned in tests/test_pagination.py):
 head ``<link>`` declarations only (``<a rel=next>`` body links are a
 recall extension a corpus can opt into later); both ``prev`` and
 ``previous`` accepted; edges to uncrawled targets drop (existence
-gate); a fork (two pages declaring the same successor) resolves to
-the lexicographically-min predecessor, deterministically; self-loops
+gate); an in-fork (two pages declaring the same successor) resolves
+to the lexicographically-min predecessor, deterministically; an
+OUT-fork (two pages naming the same predecessor) is an in-tree —
+both branches resolve to the head with equal seq, and stitching
+orders equal seqs by text, so output stays deterministic; self-loops
 and cycles never resolve to a head and are DROPPED. Chains longer
 than the doubling horizon (2^ceil(log2(max_pages)) hops) resolve
 their head-side prefix and drop the deeper tail — raise

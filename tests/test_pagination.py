@@ -158,3 +158,32 @@ def test_stitch_reading_order_and_sep(spark):
     )
     [r] = stitch_paginated(pages, sep=" | ").collect()
     assert (r["chain_id"], r["n_pages"], r["text"]) == (f"{S}/p0", 3, "one | two | three")
+
+
+def test_chains_out_fork_is_deterministic_tree(spark):
+    # OUT-fork (malformed site): head /h declares next -> /b1 while
+    # /b2 independently declares prev -> /h. Each page has ONE
+    # predecessor, so the structure is an in-tree: both branches
+    # resolve to the head, both carry seq 1, deterministically; stitch
+    # orders duplicate seqs by text tiebreak (array_sort on the
+    # (seq, text) struct), so the output is stable.
+    pages = _pages(
+        spark,
+        [
+            (f"{S}/h", '<html><head><link rel="next" href="/b1"></head></html>', "head"),
+            (f"{S}/b1", "<html><head></head></html>", "alpha branch"),
+            (f"{S}/b2", '<html><head><link rel="prev" href="/h"></head></html>', "beta branch"),
+        ],
+    )
+    got = sorted(tuple(r) for r in paginate_chains(pages).collect())
+    assert got == [
+        (f"{S}/b1", f"{S}/h", 1),
+        (f"{S}/b2", f"{S}/h", 1),
+        (f"{S}/h", f"{S}/h", 0),
+    ]
+    [r] = stitch_paginated(pages).collect()
+    assert (r["chain_id"], r["n_pages"], r["text"]) == (
+        f"{S}/h",
+        3,
+        "head\n\nalpha branch\n\nbeta branch",
+    )
