@@ -151,6 +151,7 @@ _RETIRED_FROM_DRIVER = [
     "stitch_pages",
     "extract_markdown",
     "sentences",
+    "readability",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

@@ -565,3 +565,35 @@ def sentence_rows(
         # post-normalization a single space is the only separator
         F.size(F.split(F.col("col"), " ")).cast("int").alias("n_words"),
     )
+
+
+def readability_cols(text: Column) -> list[Column]:
+    """Flesch Reading Ease + Flesch-Kincaid grade as pure codegen
+    columns (n_words, n_sentences, n_syllables, flesch, fk_grade) —
+    the classic shallow quality/complexity annotation next to
+    doc_quality's ratio features. Documented heuristic: syllables =
+    vowel-group runs ([aeiouy]+) over the lowercased text (spaces
+    break runs, so the whole-text count equals the per-word sum;
+    vowel-less tokens contribute 0), sentences = the sentence_split
+    pattern's match count, denominators floored at 1. Every
+    expression is in the Java-regex ∩ RE2 subset so the DuckDB
+    oracle runs the IDENTICAL arithmetic."""
+    # counts via the replace-length trick (module convention — never
+    # size(regexp_extract_all), which builds a per-match string array)
+    norm = F.trim(F.regexp_replace(text, "[ \t\r\n\f]+", " "))
+    n_words = _count_matches(norm, "[^ ]+").cast("int")
+    n_sents = _count_matches(norm, _SENT_RE).cast("int")
+    n_syll = _count_matches(F.lower(norm), "[aeiouy]+").cast("int")
+    wps = n_words.cast("double") / F.greatest(n_sents, F.lit(1)).cast("double")
+    spw = n_syll.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")
+    return [
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "flesch"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4).alias(
+            "fk_grade"
+        ),
+    ]

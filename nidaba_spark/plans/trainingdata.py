@@ -942,6 +942,42 @@ FROM documents
 """
 
 
+def q_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Flesch / Flesch-Kincaid readability annotation
+    (operators/textstats.readability_cols): pure codegen counts +
+    arithmetic, oracle runs the identical regexes and formulas."""
+    from ..operators.textstats import readability_cols
+
+    return load(spark, sf, "documents").select(
+        "doc_id", *readability_cols(F.col("text"))
+    )
+
+
+ORACLE["readability"] = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(text, '[ \t\r\n\f]+', ' ', 'g')) AS s
+  FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(s, '[^ ]+')) AS INTEGER) AS n_words,
+         CAST(len(regexp_extract_all(
+           s, '[^.!?。！？]*[^.!?。！？\s][.!?。！？]+|[^.!?。！？]*[^.!?。！？\s]$'
+         )) AS INTEGER) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(s), '[aeiouy]+')) AS INTEGER)
+           AS n_syllables
+  FROM n)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(206.835
+             - 1.015 * (n_words / CAST(greatest(n_sentences, 1) AS DOUBLE))
+             - 84.6 * (n_syllables / CAST(greatest(n_words, 1) AS DOUBLE)),
+             4) AS flesch,
+       round(0.39 * (n_words / CAST(greatest(n_sentences, 1) AS DOUBLE))
+             + 11.8 * (n_syllables / CAST(greatest(n_words, 1) AS DOUBLE))
+             - 15.59, 4) AS fk_grade
+FROM c
+"""
+
+
 def q_sentences(spark: SparkSession, sf: str) -> DataFrame:
     """Sentence segmentation (operators/textstats.sentence_rows): one
     row per sentence with document-order index and word count; the
@@ -5004,4 +5040,5 @@ QUERIES = {
     "stitch_pages": q_stitch_pages,
     "extract_markdown": q_extract_markdown,
     "sentences": q_sentences,
+    "readability": q_readability,
 }

@@ -42,3 +42,27 @@ def test_sentence_split_semantics(spark):
         (3, 0, "spaced out.", 2),
         (3, 1, "next line.", 2),
     ]
+
+
+def test_readability_hand_cases(spark):
+    from nidaba_spark.operators.textstats import readability_cols
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (0, "The cat sat. The dog ran!"),  # 6 words, 2 sents, 6 syll
+            (1, ""),  # all-zero, denominators floored
+            (2, "hmm grr pfft"),  # vowel-less: 0 syllables
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in df.select("doc_id", *readability_cols(F.col("text"))).collect()
+    }
+    w, s, y = 6, 2, 6
+    flesch = round(206.835 - 1.015 * (w / s) - 84.6 * (y / w), 4)
+    fk = round(0.39 * (w / s) + 11.8 * (y / w) - 15.59, 4)
+    assert got[0] == (w, s, y, flesch, fk)
+    assert got[1] == (0, 0, 0, 206.835, -15.59)
+    assert got[2][:3] == (3, 1, 0)
