@@ -23,6 +23,8 @@ tests/test_annotate.py):
                                           — the original text column
                                           is NOT rewritten)
   * Gopher A1.1 measures + keep flag     (filters.gopher_* helpers)
+  * Flesch / FK readability              (textstats.readability_cols;
+                                          rd_-prefixed counters)
 
 Name collisions between rule families are prefixed (``gopher_n_words``
 is the paper's whitespace-token count; bare ``n_words`` is the
@@ -57,6 +59,7 @@ from .operators.textstats import (
     quality_bound_cols,
     quality_feature_cols,
     quality_score_col,
+    readability_cols,
     script_count_cols,
     token_count_bpe,
     token_count_ws,
@@ -125,6 +128,16 @@ def annotate(
         fingerprint(t).alias("fingerprint"),
         *pii_counts(t),
         *[F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES],
+        # readability family; its word/sentence counters get the rd_
+        # prefix (n_words is the quality regex-word count,
+        # c4_n_sentences the C4 terminal-punct count)
+        *[
+            c.alias(n)
+            for c, n in zip(
+                readability_cols(t),
+                ["rd_n_words", "rd_n_sentences", "n_syllables", "flesch", "fk_grade"],
+            )
+        ],
         *gopher_measure_cols(rename=_GOPHER_RENAME),
         "c4_n_lines",
         "c4_n_kept_lines",

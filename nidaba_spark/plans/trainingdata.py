@@ -3357,6 +3357,7 @@ def q_annotate(spark: SparkSession, sf: str) -> DataFrame:
         "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
         "n_required_stopwords", "gopher_keep",
         "c4_n_lines", "c4_n_kept_lines", "c4_n_sentences", "c4_keep",
+        "rd_n_words", "rd_n_sentences", "n_syllables", "flesch", "fk_grade",
     )
 
 
@@ -3499,6 +3500,18 @@ WITH a AS (
               coalesce(array_to_string(kept, chr(10)), ''), '[.!?"]')) - 1
               >= 3) AS c4_keep
   FROM ck
+), rdn AS (
+  SELECT doc_id, trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g')) AS s
+  FROM a
+), rd AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(s, '[^ ]+')) AS INTEGER) AS rd_n_words,
+         CAST(len(regexp_extract_all(
+           s, '[^.!?。！？]*[^.!?。！？\s][.!?。！？]+|[^.!?。！？]*[^.!?。！？\s]$'
+         )) AS INTEGER) AS rd_n_sentences,
+         CAST(len(regexp_extract_all(lower(s), '[aeiouy]+')) AS INTEGER)
+           AS n_syllables
+  FROM rdn
 )
 SELECT q.doc_id,
        CAST(q.n_chars AS INTEGER) AS n_chars,
@@ -3551,13 +3564,26 @@ SELECT q.doc_id,
         AND gf.ellipsis_line_frac <= 0.3
         AND gf.alpha_word_frac >= 0.8
         AND gf.n_required_stopwords >= 2) AS gopher_keep,
-       c4.c4_n_lines, c4.c4_n_kept_lines, c4.c4_n_sentences, c4.c4_keep
+       c4.c4_n_lines, c4.c4_n_kept_lines, c4.c4_n_sentences, c4.c4_keep,
+       rd.rd_n_words, rd.rd_n_sentences, rd.n_syllables,
+       round(206.835
+             - 1.015 * (rd.rd_n_words
+                        / CAST(greatest(rd.rd_n_sentences, 1) AS DOUBLE))
+             - 84.6 * (rd.n_syllables
+                       / CAST(greatest(rd.rd_n_words, 1) AS DOUBLE)),
+             4) AS flesch,
+       round(0.39 * (rd.rd_n_words
+                     / CAST(greatest(rd.rd_n_sentences, 1) AS DOUBLE))
+             + 11.8 * (rd.n_syllables
+                       / CAST(greatest(rd.rd_n_words, 1) AS DOUBLE))
+             - 15.59, 4) AS fk_grade
 FROM q
 JOIN a USING (doc_id)
 JOIN fp USING (doc_id)
 JOIN scm USING (doc_id)
 JOIN gf USING (doc_id)
 JOIN c4 USING (doc_id)
+JOIN rd USING (doc_id)
 """.replace("__STOPLIST__", _STOPLIST_SQL)
 
 
