@@ -413,7 +413,12 @@ def curate(
         # successor to head. Stitching itself is one chain-keyed
         # groupBy over the participants only — solo pages (the vast
         # majority of any crawl) never enter it.
-        lk = pagination_links(pages, extra_cols=("warc_ts",))
+        lk = pagination_links(pages, extra_cols=("warc_ts",)).filter(
+            # only declarers enter the url-keyed dedup shuffle — an
+            # all-null row generates no edge, and at the 10^12-row
+            # design point the undeclared majority must never shuffle
+            F.col("next_url").isNotNull() | F.col("prev_url").isNotNull()
+        )
         w_lk = Window.partitionBy("url").orderBy(
             F.desc("warc_ts"), F.col("next_url"), F.col("prev_url")
         )

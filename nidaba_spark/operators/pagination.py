@@ -205,6 +205,11 @@ def stitch_paginated(
     One chain-keyed groupBy on top of paginate_chains; the aggregate
     carries (seq, text) structs, array_sort orders them without a
     per-chain window.
+
+    Expects url-unique pages — recrawl-dedup first (curate's
+    stitch_pagination path does; a duplicated url would fan out the
+    member join and double-count n_pages). A null member text is
+    skipped by array_join (the page still counts in n_pages).
     """
     chains = paginate_chains(pages, url_col, html_col, max_pages)
     joined = chains.join(
