@@ -530,7 +530,11 @@ def dominant_script_col() -> Column:
 # whitespace-NORMALIZED text only — Java '$' matches before a final
 # newline while RE2's does not, so normalization (which strips the
 # trailing newline case entirely) is what keeps the two engines
-# byte-identical.
+# byte-identical. The normalization class INCLUDES \x0B (vertical
+# tab): Java \s covers it, RE2 \s does not, so \x0B must be gone from
+# the text before the pattern's \s runs — review r05 found the
+# divergence live ('\x0b.' → 0 sentences in Spark, 1 in DuckDB).
+_WS_CLASS = "[ \t\r\n\f\x0b]"
 _SENT_RE = "[^.!?。！？]*[^.!?。！？\\s][.!?。！？]+|[^.!?。！？]*[^.!?。！？\\s]$"
 
 
@@ -540,7 +544,7 @@ def sentence_split(text: Column) -> Column:
     corpus-stats convention, not a linguistic segmenter; CCNet-style
     dedup/alignment work at this granularity)."""
     # explicit class, not \s: Java \s includes \x0B, RE2's does not
-    norm = F.trim(F.regexp_replace(text, "[ \t\r\n\f]+", " "))
+    norm = F.trim(F.regexp_replace(text, _WS_CLASS + "+", " "))
     # explicit 1-arg lambda: transform would otherwise feed the array
     # index into F.trim's optional trimStr parameter
     return F.transform(
@@ -580,7 +584,7 @@ def readability_cols(text: Column) -> list[Column]:
     oracle runs the IDENTICAL arithmetic."""
     # counts via the replace-length trick (module convention — never
     # size(regexp_extract_all), which builds a per-match string array)
-    norm = F.trim(F.regexp_replace(text, "[ \t\r\n\f]+", " "))
+    norm = F.trim(F.regexp_replace(text, _WS_CLASS + "+", " "))
     n_words = _count_matches(norm, "[^ ]+").cast("int")
     n_sents = _count_matches(norm, _SENT_RE).cast("int")
     n_syll = _count_matches(F.lower(norm), "[aeiouy]+").cast("int")

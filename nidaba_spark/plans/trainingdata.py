@@ -955,7 +955,7 @@ def q_readability(spark: SparkSession, sf: str) -> DataFrame:
 
 ORACLE["readability"] = r"""
 WITH n AS (
-  SELECT doc_id, trim(regexp_replace(text, '[ \t\r\n\f]+', ' ', 'g')) AS s
+  SELECT doc_id, trim(regexp_replace(text, '[ \t\r\n\f\x0B]+', ' ', 'g')) AS s
   FROM documents),
 c AS (
   SELECT doc_id,
@@ -992,7 +992,7 @@ ORACLE["sentences"] = r"""
 WITH w AS (
   SELECT doc_id,
          regexp_extract_all(
-           trim(regexp_replace(text, '[ \t\r\n\f]+', ' ', 'g')),
+           trim(regexp_replace(text, '[ \t\r\n\f\x0B]+', ' ', 'g')),
            '[^.!?。！？]*[^.!?。！？\s][.!?。！？]+|[^.!?。！？]*[^.!?。！？\s]$'
          ) AS sents
   FROM documents)
@@ -3501,7 +3501,7 @@ WITH a AS (
               >= 3) AS c4_keep
   FROM ck
 ), rdn AS (
-  SELECT doc_id, trim(regexp_replace(t, '[ \t\r\n\f]+', ' ', 'g')) AS s
+  SELECT doc_id, trim(regexp_replace(t, '[ \t\r\n\f\x0B]+', ' ', 'g')) AS s
   FROM a
 ), rd AS (
   SELECT doc_id,
