@@ -152,6 +152,8 @@ _RETIRED_FROM_DRIVER = [
     "extract_markdown",
     "sentences",
     "readability",
+    "url_quality",
+    "code_stats",
 ]
 _FRONT = ["extract_documents", "stream_sessionize_events"]
 DRIVER_CAP = 50

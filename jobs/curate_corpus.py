@@ -178,6 +178,11 @@ def main() -> None:
         help="drop urls matching this regex (repeatable; case-folded)",
     )
     ap.add_argument(
+        "--max-url-score", type=float, default=None,
+        help="drop pages whose soft lexical url_score (operators/"
+        "urlqual) reaches this value (RefinedWeb soft URL filtering)",
+    )
+    ap.add_argument(
         "--recipe", default=None,
         help="published-pipeline preset (c4|gopher|ccnet|refinedweb|"
         "fineweb): applies nidaba_spark.curate.RECIPES[name] for every "
@@ -306,6 +311,7 @@ def main() -> None:
             else None
         ),
         blocked_url_patterns=args.blocked_url_pattern,
+        max_url_score=args.max_url_score,
         unicode_nfc=args.unicode_nfc,
         char_dup_span_remove=args.char_dup_span_remove,
         char_dup_span_L=args.char_dup_span_L,

@@ -71,6 +71,7 @@ def curate(
     min_host_authority: float = 0.0,
     blocked_hosts: DataFrame | list[str] | None = None,
     blocked_url_patterns: list[str] | None = None,
+    max_url_score: float | None = None,
     robots_df: DataFrame | None = None,
     robots_agent: str = "*",
     unicode_nfc: bool = False,
@@ -291,6 +292,13 @@ def curate(
                               hoststats.filter_blocked); applies to
                               the crawl or, with pre_extracted, to
                               the extracted table's urls;
+      max_url_score         — the SOFT side of RefinedWeb URL
+                              filtering: drop pages whose lexical
+                              url_score (digit-stuffed/IP hosts,
+                              param junk, weighted keyword hits —
+                              operators/urlqual) reaches the cut;
+                              pure codegen scan predicate, applied
+                              with the hard blocklist;
       robots_df +
       robots_agent          — robots.txt politeness gate right after
                               the blocklist (operators/robots.py):
@@ -334,6 +342,18 @@ def curate(
         else:
             pre_extracted = filter_blocked(
                 pre_extracted, blocked_hosts, blocked_url_patterns
+            )
+    if max_url_score is not None:
+        from .operators.urlqual import url_quality_filter
+
+        # SOFT url scoring right after the hard blocklist — same
+        # rationale (junk pages never pay for parsing), same shape
+        # (pure codegen scan predicate, zero shuffles).
+        if pre_extracted is None:
+            pages = url_quality_filter(pages, max_score=max_url_score)
+        else:
+            pre_extracted = url_quality_filter(
+                pre_extracted, max_score=max_url_score
             )
     if robots_df is not None:
         from .operators.robots import robots_filter

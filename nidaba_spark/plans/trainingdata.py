@@ -4963,6 +4963,199 @@ GROUP BY k
 """
 
 
+# ------------------------------------------- soft URL quality scoring
+def q_url_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """RefinedWeb-style SOFT url scoring (operators/urlqual): lexical
+    url features + weighted substring keyword score, all codegen.
+    documents carry no url column, so urls are synthesized
+    deterministically from (doc_id, source) planting every feature:
+    IP-literal hosts (%7), hyphen/digit-stuffed hosts (%5), penalized
+    words in the path (%13), %-encoding (%11), query params (%3)."""
+    from ..operators.urlqual import url_feature_cols
+
+    docs = load(spark, sf, "documents")
+    host = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("10.0."), (F.col("doc_id") % 200), F.lit(".99")),
+    ).otherwise(
+        F.concat(
+            F.col("source"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("-mega-sale-24-7")).otherwise(
+                F.lit("")
+            ),
+            F.lit(".example.com"),
+        )
+    )
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        host,
+        F.lit("/p/"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit("/free-xxx-poker")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 11 == 0, F.lit("/f%20o%2fo")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("?a=1&b=2&c="), F.col("doc_id")),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    return pages.select("doc_id", "url", *url_feature_cols(F.col("url")))
+
+
+# SQL count-matches convention: length diff of replace-with-x vs
+# replace-with-nothing (same trick as the Spark side). Every computed
+# numeric is CAST AS DOUBLE/INTEGER explicitly — DuckDB's decimal
+# literal arithmetic would otherwise surface DECIMAL, the classic
+# dtype trap.
+ORACLE["url_quality"] = r"""
+WITH p AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 7 = 0
+             THEN '10.0.' || (doc_id % 200) || '.99'
+             ELSE source
+                  || (CASE WHEN doc_id % 5 = 0 THEN '-mega-sale-24-7'
+                           ELSE '' END)
+                  || '.example.com' END)
+    || '/p/' || doc_id
+    || (CASE WHEN doc_id % 13 = 0 THEN '/free-xxx-poker' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN '/f%20o%2fo' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2&c=' || doc_id ELSE '' END)
+      AS url
+  FROM documents
+), f AS (
+  SELECT doc_id, url, lower(trim(url)) AS u,
+    regexp_replace(regexp_extract(lower(trim(url)),
+      '^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?([^:/?#]+)', 1),
+      '^www\.', '') AS chost
+  FROM p
+), g AS (
+  SELECT doc_id, url, u, chost,
+    CAST(length(u) AS INTEGER) AS url_len,
+    round((length(chost) - length(regexp_replace(chost, '[0-9]', '', 'g')))
+          / CAST(greatest(length(chost), 1) AS DOUBLE), 4) AS host_digit_frac,
+    CAST(length(chost) - length(regexp_replace(chost, '-', '', 'g'))
+         AS INTEGER) AS host_hyphens,
+    regexp_extract(u,
+      '^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?[^/?#]*([^?#]*)', 1)
+      AS path,
+    regexp_extract(u, '\?([^#]*)', 1) AS q,
+    CAST((length(u) - length(regexp_replace(u, '%[0-9a-f]{2}', 'x', 'g'))) / 2
+         AS INTEGER) AS pct_encoded,
+    regexp_matches(chost,
+      '^[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}$') AS is_ip_host,
+    CAST(round(
+            (CASE WHEN contains(u, 'porn') THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'xxx') THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'escort') THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'viagra') THEN 1.0 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'casino') THEN 0.8 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'erotic') THEN 0.8 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'gambl') THEN 0.6 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'poker') THEN 0.6 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'lingerie') THEN 0.5 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'webcam') THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'torrent') THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'adult') THEN 0.4 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'dating') THEN 0.3 ELSE 0.0 END)
+          + (CASE WHEN contains(u, 'sex') THEN 0.25 ELSE 0.0 END), 4)
+      AS DOUBLE) AS soft_word_score
+  FROM f
+), h AS (
+  SELECT *,
+    CAST(length(path) - length(regexp_replace(path, '/', '', 'g'))
+         AS INTEGER) AS path_depth,
+    CAST(CASE WHEN q = '' THEN 0
+         ELSE length(q) - length(regexp_replace(q, '&', '', 'g')) + 1 END
+         AS INTEGER) AS n_params
+  FROM g
+)
+SELECT doc_id, url, url_len, chost AS host, host_digit_frac, host_hyphens,
+       path_depth, n_params, pct_encoded, is_ip_host, soft_word_score,
+       CAST(round(
+               least(soft_word_score, 1.0) * 1.0
+             + (CASE WHEN is_ip_host THEN 1.0 ELSE 0.0 END) * 0.5
+             + least(host_digit_frac * 3.0, 1.0) * 0.5
+             + least(host_hyphens / 4.0, 1.0) * 0.3
+             + least(n_params / 6.0, 1.0) * 0.3
+             + least(pct_encoded / 5.0, 1.0) * 0.2
+             + (CASE WHEN url_len > 200 THEN 0.2 ELSE 0.0 END), 4)
+         AS DOUBLE) AS url_score
+FROM h
+"""
+
+
+# --------------------------------------------------- code-content signal
+def q_code_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Code-vs-prose signal (operators/codesig): indented-line /
+    fenced-block / code-punctuation / keyword densities as pure
+    codegen counts; oracle runs IDENTICAL patterns on the identical
+    CR-normalized text."""
+    from ..operators.codesig import code_stats
+
+    return code_stats(load(spark, sf, "documents"))
+
+
+ORACLE["code_stats"] = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_replace(text, '\r\n?', chr(10), 'g') AS t
+  FROM documents
+), c AS (
+  SELECT doc_id, t,
+    greatest(length(t), 1) AS n_chars,
+    greatest(length(regexp_replace(t, '[^ \t\n]+', 'x', 'g'))
+             - length(regexp_replace(t, '[^ \t\n]+', '', 'g')), 1) AS n_words,
+    CAST(length(regexp_replace(t, '(?m)^(?:\t|    )[ \t]*[^ \t\n][^\n]*',
+                               'x', 'g'))
+         - length(regexp_replace(t, '(?m)^(?:\t|    )[ \t]*[^ \t\n][^\n]*',
+                                  '', 'g')) AS INTEGER) AS n_code_lines,
+    greatest(length(regexp_replace(t, '(?m)^[^\n]*[^ \t\n][^\n]*', 'x', 'g'))
+             - length(regexp_replace(t, '(?m)^[^\n]*[^ \t\n][^\n]*', '', 'g')),
+             1) AS n_text_lines,
+    CAST(floor((length(regexp_replace(t, '```', 'x', 'g'))
+                - length(regexp_replace(t, '```', '', 'g'))) / 2)
+         AS INTEGER) AS n_fenced_blocks,
+    length(regexp_replace(t, '[{}\[\]();=<>]', 'x', 'g'))
+      - length(regexp_replace(t, '[{}\[\]();=<>]', '', 'g')) AS n_punct,
+    CAST(length(regexp_replace(lower(t),
+        '\b(?:def|return|import|include|function|public|static|void|struct|class|const|elif|lambda|printf|endif|typedef|nullptr|println)\b',
+        'x', 'g'))
+      - length(regexp_replace(lower(t),
+        '\b(?:def|return|import|include|function|public|static|void|struct|class|const|elif|lambda|printf|endif|typedef|nullptr|println)\b',
+        '', 'g')) AS INTEGER) AS kw_hits
+  FROM t0
+), r AS (
+  SELECT doc_id, n_code_lines,
+    CAST(n_text_lines AS INTEGER) AS n_text_lines,
+    round(n_code_lines / CAST(n_text_lines AS DOUBLE), 4) AS indent_frac,
+    n_fenced_blocks,
+    round(n_punct / CAST(n_chars AS DOUBLE), 4) AS code_punct_frac,
+    kw_hits,
+    round(kw_hits / CAST(n_words AS DOUBLE), 4) AS kw_density
+  FROM c
+)
+SELECT doc_id, n_code_lines, n_text_lines, indent_frac, n_fenced_blocks,
+       code_punct_frac, kw_hits, kw_density,
+       CAST(round((least(indent_frac * 3.0, 1.0)
+            + least(code_punct_frac * 12.0, 1.0)
+            + least(kw_density * 15.0, 1.0)
+            + least(CAST(n_fenced_blocks AS DOUBLE), 1.0)) / 4.0, 4)
+         AS DOUBLE) AS code_score,
+       CAST(round((least(indent_frac * 3.0, 1.0)
+            + least(code_punct_frac * 12.0, 1.0)
+            + least(kw_density * 15.0, 1.0)
+            + least(CAST(n_fenced_blocks AS DOUBLE), 1.0)) / 4.0, 4)
+         AS DOUBLE) >= 0.5 AS is_code
+FROM r
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -5067,4 +5260,6 @@ QUERIES = {
     "extract_markdown": q_extract_markdown,
     "sentences": q_sentences,
     "readability": q_readability,
+    "url_quality": q_url_quality,
+    "code_stats": q_code_stats,
 }
