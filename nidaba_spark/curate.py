@@ -791,13 +791,15 @@ RECIPES: dict[str, dict] = {
     # Wenzek et al. 2020: paragraph-hash dedup (+ lm_ref /
     # lm_min_logscore via overrides for the perplexity gate)
     "ccnet": dict(unicode_nfc=True, paragraph_dedup=True),
-    # Penedo et al. 2023: URL filtering (blocked_hosts /
-    # blocked_url_patterns via overrides), line corrections, fuzzy
-    # dedup + exact-substring removal, canonical-URL collapse
+    # Penedo et al. 2023: URL filtering — the HARD blocklist side
+    # (blocked_hosts / blocked_url_patterns) via overrides (external
+    # data), the SOFT lexical/keyword url scoring (§3.1) via
+    # max_url_score — plus line corrections, fuzzy dedup +
+    # exact-substring removal, canonical-URL collapse
     "refinedweb": dict(
         unicode_nfc=True, line_dedup=True, canonical_url_dedup=True,
         near_dup_threshold=0.8, dup_span_remove=True,
-        host_boilerplate_min_pages=3,
+        host_boilerplate_min_pages=3, max_url_score=1.0,
     ),
     # Penedo et al. 2024: C4 line rules + Gopher quality/repetition +
     # MinHash dedup + PII redaction

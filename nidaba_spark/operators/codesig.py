@@ -13,17 +13,20 @@ zero shuffles, zero Python, composable into annotate()'s one-scan
 pass. Every regex is in the Java-regex ∩ RE2 subset so the DuckDB
 oracle (plans/trainingdata.q_code_stats) runs IDENTICAL patterns.
 
-Multiline caveat pinned by tests: Java's ``(?m)^`` matches after
-``\\r`` as well as ``\\n`` while RE2's matches only after ``\\n``, so
-every multiline pattern here runs on a CR-normalized copy
-(``\\r\\n?`` -> ``\\n``) — the same class of divergence as the
-sentence splitter's \\x0B rule (textstats._WS_CLASS).
+Multiline caveat pinned by tests: Java's ``(?m)^`` matches after any
+of its five line terminators — ``\\r``, ``\\r\\n``, NEL (U+0085), LS
+(U+2028), PS (U+2029) — while RE2's matches only after ``\\n``, so
+every multiline pattern here runs on a line-normalized copy (all five
+-> ``\\n``) — the same class of divergence as the sentence splitter's
+\\x0B rule (textstats._WS_CLASS).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .textstats import _count_matches as _count
 
 # line starts with a tab or >=4 spaces, then a non-space char: the
 # Markdown indented-code convention. No lookarounds (RE2 has none).
@@ -41,13 +44,9 @@ _KW_RE = f"\\b(?:{_KEYWORDS})\\b"
 _CODE_PUNCT_CLASS = "[{}\\[\\]();=<>]"
 
 
-def _count(s: Column, pat: str) -> Column:
-    """Non-overlapping match count via the replace-length trick
-    (textstats._count_matches rationale). Patterns must not match
-    empty — all of ours require at least one char."""
-    return F.length(F.regexp_replace(s, pat, "x")) - F.length(
-        F.regexp_replace(s, pat, "")
-    )
+# Java (?m)^ line terminators that RE2 does not recognize: CRLF, bare
+# CR, NEL, LS, PS — all folded to \n before any (?m) pattern runs.
+_LINE_NORM_RE = "\r\n|[\r\u0085\u2028\u2029]"
 
 
 def code_signal_cols(text: Column) -> list[Column]:
@@ -60,7 +59,7 @@ def code_signal_cols(text: Column) -> list[Column]:
     density, fenced-block presence — so prose with one stray brace
     can't tip it; ``is_code`` thresholds at 0.5 (two strong signals).
     """
-    t = F.regexp_replace(text, "\r\n?", "\n")
+    t = F.regexp_replace(text, _LINE_NORM_RE, "\n")
     lower = F.lower(t)
     n_chars = F.greatest(F.length(t), F.lit(1))
     n_words = F.greatest(_count(t, "[^ \t\n]+"), F.lit(1))
@@ -79,16 +78,26 @@ def code_signal_cols(text: Column) -> list[Column]:
     kw_density = F.round(
         kw_hits.cast("double") / n_words.cast("double"), 4
     )
-    score = F.round(
-        (
-            F.least(indent_frac * 3.0, F.lit(1.0))
-            + F.least(code_punct_frac * 12.0, F.lit(1.0))
-            + F.least(kw_density * 15.0, F.lit(1.0))
-            + F.least(n_fenced_blocks.cast("double"), F.lit(1.0))
-        )
-        / 4.0,
-        4,
+    # Score in EXACT integer 1/10000 units, one double division at the
+    # end, NO final round: summing four already-rounded doubles and
+    # round()ing the mean diverges across engines near representational
+    # ties (Spark rounds BigDecimal.valueOf's shortest-repr of the
+    # double, DuckDB rounds value*10^4 — 0.42975-vs-0.42974999... gave
+    # 0.4298 vs 0.4297, caught by the planted-feature oracle). Each
+    # frac is a 4-decimal-rounded double, so round(frac*10000) recovers
+    # its exact integer in both engines; everything after is integer
+    # arithmetic and the final /40000.0 is the same IEEE double.
+    iu = F.round(indent_frac * 10000).cast("long")
+    pu = F.round(code_punct_frac * 10000).cast("long")
+    ku = F.round(kw_density * 10000).cast("long")
+    fu = F.least(n_fenced_blocks.cast("long"), F.lit(1)) * 10000
+    units = (
+        F.least(iu * 3, F.lit(10000))
+        + F.least(pu * 12, F.lit(10000))
+        + F.least(ku * 15, F.lit(10000))
+        + fu
     )
+    score = (units / F.lit(40000.0)).alias("code_score")
     return [
         n_code_lines.alias("n_code_lines"),
         n_text_lines.cast("int").alias("n_text_lines"),
@@ -98,7 +107,7 @@ def code_signal_cols(text: Column) -> list[Column]:
         kw_hits.alias("kw_hits"),
         kw_density.alias("kw_density"),
         score.alias("code_score"),
-        (score >= 0.5).alias("is_code"),
+        (units >= 20000).alias("is_code"),
     ]
 
 

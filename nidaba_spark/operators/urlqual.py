@@ -65,18 +65,20 @@ def _count_chars(s: Column, char_class: str) -> Column:
     return F.length(s) - F.length(F.regexp_replace(s, char_class, ""))
 
 
-def url_feature_cols(
+def _features(
     url: Column,
-    soft_words: tuple[tuple[str, float], ...] = DEFAULT_SOFT_WORDS,
-) -> list[Column]:
-    """Codegen feature columns for one url expression.
+    soft_words: tuple[tuple[str, float], ...],
+) -> dict[str, Column]:
+    """Name -> unaliased feature expression (see url_feature_cols).
 
-    Emits: url_len, host, host_digit_frac, host_hyphens, path_depth,
-    n_params, pct_encoded, is_ip_host, soft_word_score, url_score.
-    ``url_score`` is a bounded heuristic (higher = junkier): each
-    component is capped at 1 before weighting so no single feature
-    saturates the score, mirroring doc_quality's clamp convention.
+    A NULL url is treated as NO information, not maximum junk: every
+    feature coalesces to its empty-string value (all zeros, score 0.0)
+    so ``url_quality_filter`` passes such rows — consistent with the
+    hard side (hoststats.filter_blocked's anti-join passes NULL urls).
+    Without the coalesce, Spark's null-skipping least() would saturate
+    four capped components to their caps and score a missing url 1.3.
     """
+    url = F.coalesce(url, F.lit(""))
     u = F.lower(F.trim(url))
     host = canonical_host(url)
     hlen = F.greatest(F.length(host), F.lit(1))
@@ -102,10 +104,13 @@ def url_feature_cols(
         / 2
     ).cast("int")
     is_ip_host = host.rlike(_IP_HOST_RE)
-    soft = None
+    # seed with 0.0 so soft_words=() yields a 0.0 score instead of a
+    # TypeError from F.round(None, 4)
+    soft = F.lit(0.0)
     for w, wt in soft_words:
-        term = F.when(u.contains(w), F.lit(float(wt))).otherwise(F.lit(0.0))
-        soft = term if soft is None else soft + term
+        soft = soft + F.when(u.contains(w), F.lit(float(wt))).otherwise(
+            F.lit(0.0)
+        )
     soft_word_score = F.round(soft, 4)
     url_len = F.length(u).cast("int")
     score = F.round(
@@ -118,17 +123,34 @@ def url_feature_cols(
         + F.when(url_len > 200, F.lit(0.2)).otherwise(F.lit(0.0)),
         4,
     )
+    return {
+        "url_len": url_len,
+        "host": host,
+        "host_digit_frac": host_digit_frac,
+        "host_hyphens": host_hyphens,
+        "path_depth": path_depth,
+        "n_params": n_params,
+        "pct_encoded": pct_encoded,
+        "is_ip_host": is_ip_host,
+        "soft_word_score": soft_word_score,
+        "url_score": score,
+    }
+
+
+def url_feature_cols(
+    url: Column,
+    soft_words: tuple[tuple[str, float], ...] = DEFAULT_SOFT_WORDS,
+) -> list[Column]:
+    """Codegen feature columns for one url expression.
+
+    Emits: url_len, host, host_digit_frac, host_hyphens, path_depth,
+    n_params, pct_encoded, is_ip_host, soft_word_score, url_score.
+    ``url_score`` is a bounded heuristic (higher = junkier): each
+    component is capped at 1 before weighting so no single feature
+    saturates the score, mirroring doc_quality's clamp convention.
+    """
     return [
-        url_len.alias("url_len"),
-        host.alias("host"),
-        host_digit_frac.alias("host_digit_frac"),
-        host_hyphens.alias("host_hyphens"),
-        path_depth.alias("path_depth"),
-        n_params.alias("n_params"),
-        pct_encoded.alias("pct_encoded"),
-        is_ip_host.alias("is_ip_host"),
-        soft_word_score.alias("soft_word_score"),
-        score.alias("url_score"),
+        c.alias(name) for name, c in _features(url, soft_words).items()
     ]
 
 
@@ -154,6 +176,5 @@ def url_quality_filter(
     A pure scan predicate over the original columns — composes with
     hoststats.filter_blocked (hard blocklist) ahead of extraction so
     rejected pages never reach the HTML parse."""
-    cols = url_feature_cols(F.col(url_col), soft_words)
-    score = cols[-1]
+    score = _features(F.col(url_col), soft_words)["url_score"]
     return pages.filter(score < max_score)

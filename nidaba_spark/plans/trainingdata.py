@@ -5095,17 +5095,57 @@ FROM h
 def q_code_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Code-vs-prose signal (operators/codesig): indented-line /
     fenced-block / code-punctuation / keyword densities as pure
-    codegen counts; oracle runs IDENTICAL patterns on the identical
-    CR-normalized text."""
+    codegen counts. The fixture documents are single-line prose (every
+    codesig feature is 0 on them — a vacuous oracle, review r05), so
+    code constructs are synthesized deterministically from doc_id
+    residues, planting every feature: keywords + CRLF + space-indent
+    (%2), a fenced block with bracket/semicolon punctuation (%3), bare
+    CR + tab-indent + braces (%5), and the exotic Java-only line
+    terminators NEL/LS/PS around indented lines (%7) — so the oracle
+    exercises the full line-normalization + counting logic."""
     from ..operators.codesig import code_stats
 
-    return code_stats(load(spark, sf, "documents"))
+    docs = load(spark, sf, "documents")
+    d = F.col("doc_id")
+    synth = F.concat(
+        F.col("text"),
+        F.when(
+            d % 2 == 0, F.lit("\ndef f(a, b):\r\n    return a + b\n")
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0, F.lit("\n```\nx = [1, 2];\n```\n")
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0,
+            F.lit("\r\tstatic void main() { printf(s); }\r"),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 7 == 0,
+            F.lit("\u2028    import x after LS\u2029mid\u0085last"),
+        ).otherwise(F.lit("")),
+    )
+    return code_stats(docs.select("doc_id", synth.alias("text")))
 
 
 ORACLE["code_stats"] = r"""
-WITH t0 AS (
-  SELECT doc_id, regexp_replace(text, '\r\n?', chr(10), 'g') AS t
+WITH p AS (
+  SELECT doc_id, text
+    || (CASE WHEN doc_id % 2 = 0
+        THEN e'\ndef f(a, b):\r\n    return a + b\n' ELSE '' END)
+    || (CASE WHEN doc_id % 3 = 0
+        THEN e'\n```\nx = [1, 2];\n```\n' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+        THEN e'\r\tstatic void main() { printf(s); }\r' ELSE '' END)
+    || (CASE WHEN doc_id % 7 = 0
+        THEN chr(8232) || '    import x after LS' || chr(8233)
+             || 'mid' || chr(133) || 'last'
+        ELSE '' END)
+    AS text
   FROM documents
+), t0 AS (
+  SELECT doc_id,
+    regexp_replace(text, '\r\n|[\r\x{85}\x{2028}\x{2029}]', chr(10), 'g') AS t
+  FROM p
 ), c AS (
   SELECT doc_id, t,
     greatest(length(t), 1) AS n_chars,
@@ -5142,16 +5182,18 @@ WITH t0 AS (
 )
 SELECT doc_id, n_code_lines, n_text_lines, indent_frac, n_fenced_blocks,
        code_punct_frac, kw_hits, kw_density,
-       CAST(round((least(indent_frac * 3.0, 1.0)
-            + least(code_punct_frac * 12.0, 1.0)
-            + least(kw_density * 15.0, 1.0)
-            + least(CAST(n_fenced_blocks AS DOUBLE), 1.0)) / 4.0, 4)
-         AS DOUBLE) AS code_score,
-       CAST(round((least(indent_frac * 3.0, 1.0)
-            + least(code_punct_frac * 12.0, 1.0)
-            + least(kw_density * 15.0, 1.0)
-            + least(CAST(n_fenced_blocks AS DOUBLE), 1.0)) / 4.0, 4)
-         AS DOUBLE) >= 0.5 AS is_code
+       -- exact integer 1/10000 units, single double division, no final
+       -- round (engine round() divergence near ties; see codesig.py)
+       (least(CAST(round(indent_frac * 10000) AS BIGINT) * 3, 10000)
+        + least(CAST(round(code_punct_frac * 10000) AS BIGINT) * 12, 10000)
+        + least(CAST(round(kw_density * 10000) AS BIGINT) * 15, 10000)
+        + least(CAST(n_fenced_blocks AS BIGINT), 1) * 10000
+       ) / 40000.0 AS code_score,
+       (least(CAST(round(indent_frac * 10000) AS BIGINT) * 3, 10000)
+        + least(CAST(round(code_punct_frac * 10000) AS BIGINT) * 12, 10000)
+        + least(CAST(round(kw_density * 10000) AS BIGINT) * 15, 10000)
+        + least(CAST(n_fenced_blocks AS BIGINT), 1) * 10000
+       ) >= 20000 AS is_code
 FROM r
 """
 

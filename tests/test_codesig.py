@@ -8,12 +8,9 @@ from __future__ import annotations
 import os
 import sys
 
-import pytest
-from pyspark.sql import functions as F
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from nidaba_spark.operators.codesig import code_signal_cols, code_stats  # noqa: E402
+from nidaba_spark.operators.codesig import code_stats  # noqa: E402
 
 PY_SNIPPET = (
     "def add(a, b):\n"
@@ -83,3 +80,22 @@ def test_zero_shuffle_zero_python_plan(spark):
     plan = code_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_exotic_java_line_terminators(spark):
+    # Java (?m)^ also matches after NEL (U+0085), LS (U+2028), and PS
+    # (U+2029); RE2's matches only after newline. All five terminators
+    # are folded to newline before any (?m) pattern, so an indented
+    # line following an exotic terminator counts exactly once — and the
+    # DuckDB oracle (same RE2-expressible class) agrees. Equivalent
+    # newline-separated text must produce identical rows.
+    exotic = (
+        "prose line" + chr(0x2028) + "    x = f(1)" + chr(0x85)
+        + "more" + chr(0x2029) + "\tcode()"
+    )
+    plain = "prose line\n    x = f(1)\nmore\n\tcode()"
+    a = _one(spark, exotic)
+    b = _one(spark, plain)
+    assert a == b
+    assert a["n_code_lines"] == 2  # the 4-space and the tab line
+    assert a["n_text_lines"] == 4

@@ -103,3 +103,29 @@ def test_zero_shuffle_plan(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_url_is_no_information(spark):
+    # NULL url must score 0.0 and PASS the filter (missing data is not
+    # junk; consistent with filter_blocked's anti-join passing NULLs).
+    # Before the fix, Spark's null-skipping least() saturated four
+    # capped components and scored NULL urls 1.3 -> silently dropped.
+    df = spark.createDataFrame(
+        [(1, "https://example.com/a"), (2, None)], "id int, url string"
+    )
+    rows = {r["id"]: r for r in df.select("id", *url_feature_cols(F.col("url"))).collect()}
+    assert rows[2]["url_score"] == 0.0
+    assert rows[2]["soft_word_score"] == 0.0
+    assert rows[2]["url_len"] == 0
+    kept = {r["id"] for r in url_quality_filter(df, max_score=1.0, url_col="url").collect()}
+    assert kept == {1, 2}
+
+
+def test_empty_soft_words(spark):
+    # soft_words=() disables keyword scoring: lexical features only,
+    # soft_word_score 0.0 (was a TypeError from F.round(None, 4))
+    df = spark.createDataFrame([("http://xxx-porn.example/casino",)], "url string")
+    r = df.select(*url_feature_cols(F.col("url"), soft_words=())).collect()[0]
+    assert r["soft_word_score"] == 0.0
+    assert r["url_score"] < 1.0
+    assert url_quality_filter(df, max_score=1.0, soft_words=()).count() == 1
