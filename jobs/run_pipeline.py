@@ -74,6 +74,10 @@ def main() -> None:
     spark = tune_session(active) if active else get_spark(app="nidaba-pipeline", cores=args.cores)
 
     if args.stream:
+        if args.markdown_out:
+            # the streaming branch returns below and would silently
+            # ignore the requested markdown dataset
+            ap.error("--markdown-out is not supported with --stream")
         from nidaba_spark.streaming import extract as sx
 
         out = os.path.join(args.output, "stream_extracted")

@@ -416,10 +416,24 @@ def curate(
         .drop("_rn")
     )
     docs = ext1.filter(F.col("text") != "").select(
-        "url", "text", F.col("lang").alias("source")
+        "url", "warc_ts", "text", F.col("lang").alias("source")
     )
     if stitch_pagination and pre_extracted is None:
-        from .operators.pagination import chains_from_links, pagination_links
+        from .operators.pagination import (
+            chains_from_links,
+            ordered_concat,
+            pagination_links,
+        )
+
+        # Lazy localCheckpoint: the stitch references the extraction
+        # subtree in THREE branches (winner timestamps for declaration
+        # alignment, the solo filter, the stitched groupBy). Without
+        # lineage truncation, correctness still holds but the
+        # heavyweight Python parse can execute once per branch when
+        # exchange reuse fails to fire (AQE re-planning one side) —
+        # the NOTES double-execution trap. One materialization, three
+        # cheap re-reads.
+        docs = docs.localCheckpoint(eager=False)
 
         # multi-page articles reassembled into ONE document before any
         # hygiene stage sees them (a 5-page article must not count as
@@ -439,8 +453,22 @@ def curate(
             # design point the undeclared majority must never shuffle
             F.col("next_url").isNotNull() | F.col("prev_url").isNotNull()
         )
+        # declarations must come from the fetch whose TEXT won the
+        # recrawl dedup: semi-join the slim declarer table on the
+        # winner's (url, warc_ts), so a stale fetch's <link> edges can
+        # never stitch a newer fetch's text (a page that dropped its
+        # pagination on redesign stays un-stitched). Residual corner,
+        # deterministic by the tie-breaks on both sides: two DIFFERENT
+        # fetches at the identical winning warc_ts may contribute text
+        # (min xxhash64(text)) and declarations (min next/prev) —
+        # eliminating it would need a shared fetch id carried through
+        # extraction, not worth a schema change for a same-second
+        # same-url double-crawl pathology.
+        lk = lk.join(
+            docs.select("url", "warc_ts"), ["url", "warc_ts"], "left_semi"
+        )
         w_lk = Window.partitionBy("url").orderBy(
-            F.desc("warc_ts"), F.col("next_url"), F.col("prev_url")
+            F.col("next_url"), F.col("prev_url")
         )
         lk1 = (
             lk.withColumn("_rn", F.row_number().over(w_lk))
@@ -452,19 +480,17 @@ def curate(
         ).withColumnRenamed("url", "_u")
         d = docs.join(chains, docs["url"] == chains["_u"], "left").drop("_u")
         solo = d.filter(F.col("chain_id").isNull()).drop("chain_id", "seq")
-        parts = F.array_sort(F.collect_list(F.struct("seq", "text")))
         stitched = (
             d.filter(F.col("chain_id").isNotNull())
             .groupBy("chain_id")
             .agg(
-                F.array_join(
-                    F.transform(parts, lambda s: s["text"]), "\n\n"
-                ).alias("text"),
+                ordered_concat(F.col("seq"), F.col("text")).alias("text"),
                 F.min(F.struct("seq", "source"))["source"].alias("source"),
             )
             .select(F.col("chain_id").alias("url"), "text", "source")
         )
-        docs = solo.unionByName(stitched)
+        docs = solo.select("url", "text", "source").unionByName(stitched)
+    docs = docs.select("url", "text", "source")
     if unicode_nfc:
         from .operators.unicodenorm import unicode_normalize
 

@@ -43,6 +43,19 @@ from pyspark.sql.column import Column
 from .classify import _is_content
 
 
+def _fenced(text: Column) -> Column:
+    """CommonMark-correct fence: one backtick longer than the longest
+    backtick run inside the content (floor 3), so code that documents
+    Markdown itself (text containing ```) cannot close the fence
+    early and leak the rest of the block into paragraphs."""
+    runs = F.split(text, "[^`]+")  # array of the content's ` runs
+    maxrun = F.coalesce(
+        F.array_max(F.transform(runs, lambda r: F.length(r))), F.lit(0)
+    )
+    fence = F.repeat(F.lit("`"), F.greatest(F.lit(3), maxrun + F.lit(1)))
+    return F.concat(fence, F.lit("\n"), text, F.lit("\n"), fence)
+
+
 def _render(s: Column) -> Column:
     tag, text = s["tag"], s["text"]
     lvl = F.substring(tag, 2, 1).cast("int")
@@ -53,7 +66,7 @@ def _render(s: Column) -> Column:
         )
         .when(tag == "li", F.concat(F.lit("- "), text))
         .when(tag == "blockquote", F.concat(F.lit("> "), text))
-        .when(tag == "pre", F.concat(F.lit("```\n"), text, F.lit("\n```")))
+        .when(tag == "pre", _fenced(text))
         .otherwise(text)
     )
 

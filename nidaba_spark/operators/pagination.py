@@ -58,6 +58,15 @@ _LINK_TAG = r"(?is)<link\b[^>]*>"
 _REL_NEXT = r"""(?i)[\s"'/]rel\s*=\s*["']next["']"""
 _REL_PREV = r"""(?i)[\s"'/]rel\s*=\s*["'](?:prev|previous)["']"""
 _HREF = r"""(?i)[\s"'/]href\s*=\s*["']([^"']*)["']"""
+# A false pagination edge REWRITES documents (unlike the annotation
+# carriers), so the scan region is restricted: HTML comments stripped
+# (commented-out template fragments are the classic false positive),
+# then everything from the first <body> tag on discarded — honoring
+# the module contract of head declarations only. split(limit=2)[0]
+# always matches (whole document when no <body>), unlike an
+# extract-with-anchor whose no-match '' would silently drop the head.
+_COMMENT_RE = r"(?s)<!--.*?-->"
+_BODY_CUT_RE = r"(?i)<body[\s>]"
 
 
 def pagination_links(
@@ -70,14 +79,21 @@ def pagination_links(
     neighbors from ``<link rel="next">`` / ``<link rel="prev"|
     "previous">`` head tags, hrefs RESOLVED against the page, null
     when absent or unresolvable. First declaration wins when a page
-    repeats one (malformed markup). ``extra_cols`` ride along
-    untouched (curate's recrawl dedup needs warc_ts). One codegen
-    scan, zero shuffles, zero Python.
+    repeats one (malformed markup). HTML comments are stripped and
+    the scan stops at the first ``<body>`` tag, so a commented-out
+    template fragment or a ``<link>`` echoed inside body content
+    (code sample, noscript) can never mint an edge that merges
+    unrelated pages. ``extra_cols`` ride along untouched (curate's
+    recrawl dedup needs warc_ts). One codegen scan, zero shuffles,
+    zero Python.
     """
     body = F.col(html_col)
     if dict(pages.dtypes)[html_col] == "binary":
         body = html_text(body)
-    tags = F.regexp_extract_all(body, F.lit(_LINK_TAG), F.lit(0))
+    head = F.split(
+        F.regexp_replace(body, _COMMENT_RE, ""), _BODY_CUT_RE, 2
+    )[0]
+    tags = F.regexp_extract_all(head, F.lit(_LINK_TAG), F.lit(0))
 
     def first_href(rel_pat: str):
         t = F.try_element_at(F.filter(tags, lambda x: x.rlike(rel_pat)), F.lit(1))
@@ -187,6 +203,19 @@ def chains_from_links(
     )
 
 
+def ordered_concat(seq, text, sep: str = "\n\n"):
+    """AGGREGATE expression: member ``text`` values joined in
+    ascending ``seq`` order — THE stitch policy, shared by
+    ``stitch_paginated`` and curate's inline stitch so separator,
+    null handling (null text skipped by array_join, the member still
+    counted), and tie ordering (equal seqs order by text — the
+    out-fork/in-tree case) can never diverge between the two."""
+    parts = F.array_sort(
+        F.collect_list(F.struct(seq.alias("seq"), text.alias("t")))
+    )
+    return F.array_join(F.transform(parts, lambda s: s["t"]), sep)
+
+
 def stitch_paginated(
     pages: DataFrame,
     url_col: str = "url",
@@ -218,10 +247,7 @@ def stitch_paginated(
         ),
         "url",
     )
-    parts = F.array_sort(F.collect_list(F.struct("seq", "t")))
     return joined.groupBy("chain_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_pages"),
-        F.array_join(
-            F.transform(parts, lambda s: s["t"]), sep
-        ).alias("text"),
+        ordered_concat(F.col("seq"), F.col("t"), sep).alias("text"),
     )

@@ -872,9 +872,12 @@ _MD_QUOTE = (
     "A reliably quoted passage of exactly seventeen words keeps this "
     "block via the current word count rule"
 )
+# the ```-wrapped token pins the dynamic fence rule (fence grows to
+# one backtick more than the content's longest run — here 4); still
+# exactly seventeen whitespace words for the segmenter's keep rule
 _MD_CODE = (
-    "def synthetic_function(): return the seventeen word code sample that "
-    "survives the current block rule here now today"
+    "def synthetic_function(): return the seventeen word code ```sample``` "
+    "that survives the current block rule here now today"
 )
 
 
@@ -936,7 +939,7 @@ SELECT doc_id,
        || '> {_MD_QUOTE}' || chr(10) || chr(10)
        || '- alpha item ' || doc_id || chr(10) || chr(10)
        || '- beta item ' || doc_id || chr(10) || chr(10)
-       || '```' || chr(10) || '{_MD_CODE}' || chr(10) || '```' AS markdown,
+       || '````' || chr(10) || '{_MD_CODE}' || chr(10) || '````' AS markdown,
        CAST(8 AS INTEGER) AS n_blocks_kept
 FROM documents
 """
@@ -4851,7 +4854,14 @@ def _pagination_pages(spark: SparkSession, sf: str) -> DataFrame:
     namespace. EVERY chain page declares rel=next to p{j+1} — for the
     last page that target does not exist, exercising the existence
     gate; odd pages additionally declare rel=prev ('previous'
-    spelling on j=3), exercising carrier dedup."""
+    spelling on j=3), exercising carrier dedup. POISON plants pin the
+    scan-region hygiene against the arithmetic oracle: every chain
+    page's head carries a COMMENTED-OUT <link rel=next> to the
+    chain's own head (a scan that reads comments would pick it first
+    and corrupt every chain), and every solo page's BODY carries a
+    <link rel=prev> into an existing chain (a scan that reads past
+    <body> would stitch solos into chains) — the oracle's output is
+    computed ignoring both, so any regression mismatches."""
     docs = load(spark, sf, "documents")
     d = F.col("doc_id")
     i_s = d.cast("string")
@@ -4889,10 +4899,28 @@ def _pagination_pages(spark: SparkSession, sf: str) -> DataFrame:
         )
         .otherwise(F.lit(""))
     )
+    poison_comment = F.concat(
+        F.lit('<!-- <link rel="next" href="/a/'), ks, F.lit('/p0"> -->')
+    )
+    poison_body = F.concat(
+        F.lit('s<link rel="prev" href="/a/'), ks, F.lit('/p0">')
+    )
     html = F.when(
         j < L,
-        F.concat(F.lit("<html><head>"), nxt, prv, F.lit("</head><body>b</body></html>")),
-    ).otherwise(F.lit("<html><head></head><body>s</body></html>"))
+        F.concat(
+            F.lit("<html><head>"),
+            poison_comment,
+            nxt,
+            prv,
+            F.lit("</head><body>b</body></html>"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("<html><head></head><body>"),
+            poison_body,
+            F.lit("</body></html>"),
+        )
+    )
     url = F.when(
         j < L, F.concat(site, F.lit("/a/"), ks, F.lit("/p"), js)
     ).otherwise(F.concat(site, F.lit("/solo/"), i_s))

@@ -912,3 +912,46 @@ def test_stitch_pagination_stage_wired(spark):
     assert sorted(tuple(r) for r in out.collect()) == sorted(
         tuple(r) for r in again.collect()
     )
+
+
+def test_stitch_declarations_follow_winning_fetch(spark):
+    # A page redesign that DROPS pagination links must un-stitch the
+    # page: declarations are taken only from the fetch whose text won
+    # the recrawl dedup (latest warc_ts), never from a stale fetch.
+    import datetime
+
+    def para(word):
+        return (
+            f"{word} part one of the guide carries exactly seventeen "
+            "deterministic words so the extractor keeps this block"
+        )
+
+    def page(url, body, links="", ts=1):
+        html = (
+            f"<html><head>{links}</head><body><article><p>{body}</p>"
+            "</article></body></html>"
+        )
+        return (url, datetime.datetime(2024, 1, ts), html.encode(), body, "en")
+
+    s = "https://redesign.example.com"
+    rows = [
+        # old fetch of p0 declared a chain; the NEWER fetch dropped it
+        page(f"{s}/a/p0", para("alpha"), '<link rel="next" href="/a/p1">'),
+        page(f"{s}/a/p0", para("newalpha"), links="", ts=2),
+        page(f"{s}/a/p1", para("bravo")),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=4,
+        stitch_pagination=True,
+    )
+    got = {r["url"]: r["text"] for r in out.collect()}
+    # no stitching happened: both pages stand alone, p0 carries the
+    # winning fetch's text
+    assert got == {
+        f"{s}/a/p0": para("newalpha"),
+        f"{s}/a/p1": para("bravo"),
+    }

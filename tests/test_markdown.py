@@ -114,3 +114,18 @@ def test_pipeline_markdown_byproduct(spark, pages_path, tmp_path):
     plan = p.markdown()._jdf.queryExecution().executedPlan().toString()
     for op in ("Exchange", "ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert op not in plan
+
+
+def test_pre_fence_grows_past_content_backticks(spark):
+    # CommonMark: the fence must be longer than any backtick run in
+    # the content — a pre block documenting Markdown itself (contains
+    # ```) must not close its own fence early
+    blocks = [
+        _block(0, "pre", "use ``` to open and ````raw```` to nest"),
+        _block(1, "pre", "no ticks at all"),
+    ]
+    [r] = markdown_stage(_seg(spark, [_row("u", "html", blocks)])).collect()
+    assert r["markdown"] == (
+        "`````\nuse ``` to open and ````raw```` to nest\n`````"
+        "\n\n```\nno ticks at all\n```"
+    )

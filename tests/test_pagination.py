@@ -187,3 +187,54 @@ def test_chains_out_fork_is_deterministic_tree(spark):
         3,
         "head\n\nalpha branch\n\nbeta branch",
     )
+
+
+def test_comment_and_body_links_ignored(spark):
+    # A commented-out template fragment or a <link> appearing after
+    # <body> (code sample / noscript echo) must never mint an edge —
+    # a false edge REWRITES documents. The real declaration in the
+    # same head still resolves.
+    pages = _pages(
+        spark,
+        [
+            _page(
+                f"{S}/p0",
+                head=(
+                    '<!-- <link rel="next" href="/poison"> -->'
+                    '<link rel="next" href="/p1">'
+                ),
+                text="a",
+            ),
+            _page(
+                f"{S}/p1",
+                body='x<link rel="next" href="/p2">y',
+                text="b",
+            ),
+            _page(f"{S}/p2", text="c"),
+            _page(f"{S}/poison", text="z"),
+        ],
+    )
+    lk = {r["url"]: r for r in pagination_links(pages).collect()}
+    assert lk[f"{S}/p0"]["next_url"] == f"{S}/p1"  # comment skipped
+    assert lk[f"{S}/p1"]["next_url"] is None  # body link skipped
+    got = {
+        (r["url"], r["chain_id"], r["seq"])
+        for r in paginate_chains(pages).collect()
+    }
+    # chain is exactly p0 -> p1; p2 and poison never join
+    assert got == {
+        (f"{S}/p0", f"{S}/p0", 0),
+        (f"{S}/p1", f"{S}/p0", 1),
+    }
+
+
+def test_unclosed_head_still_scanned(spark):
+    # malformed page with no <body> tag at all: split(limit=2)[0] is
+    # the whole document, so head declarations still resolve
+    rows = [
+        (f"{S}/p0", '<html><head><link rel="next" href="/p1">', "a"),
+        (f"{S}/p1", "<html><head>", "b"),
+    ]
+    pages = _pages(spark, rows)
+    lk = {r["url"]: r["next_url"] for r in pagination_links(pages).collect()}
+    assert lk[f"{S}/p0"] == f"{S}/p1"
