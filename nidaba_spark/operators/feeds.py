@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .links import html_text, resolve_href
+from .links import html_text, resolve_href, strip_html_comments
 from .sitemap import _blank_null, _xml_unescape
 
 _ITEM_BLOCK = r"(?is)<item[\s>].*?</item>"
@@ -149,7 +149,9 @@ def page_feed_links(
     if isinstance(pages.schema[html_col].dataType, T.BinaryType):
         body = html_text(body)
     tags = F.filter(
-        F.regexp_extract_all(body, F.lit(_LINK_TAG), F.lit(0)),
+        F.regexp_extract_all(
+            strip_html_comments(body), F.lit(_LINK_TAG), F.lit(0)
+        ),
         lambda t: t.rlike(_REL_ALT) & t.rlike(_TYPE_FEED),
     )
     rows = pages.select(

@@ -70,6 +70,19 @@ def html_text(html_col: Column) -> Column:
     return F.decode(html_col, "ISO-8859-1")
 
 
+_COMMENT_RE = r"(?s)<!--.*?-->"
+
+
+def strip_html_comments(body: Column) -> Column:
+    """Drop ``<!-- ... -->`` regions before a byte-regex scan: a
+    commented-out template fragment is the classic false positive for
+    any tag scanner, and unlike body echoes it is unambiguous to
+    remove with one codegen regexp pass. An unterminated ``<!--``
+    keeps its tail (browsers comment it out to EOF — the scan stays
+    conservative-noisy there, the documented tradeoff)."""
+    return F.regexp_replace(body, _COMMENT_RE, "")
+
+
 def resolve_href(src: Column, href: Column) -> Column:
     """Resolve one href against its source URL; NULL = not an edge
     (empty/fragment-only, pseudo-scheme, or relative with no absolute

@@ -31,8 +31,10 @@ smaller than the corpus.
 Documented subset: head links only (the sitemap ``xhtml:link``
 carrier is a sitemap.py concern); attributes parse in either order
 and either quote style; hreflang values are lowercased (BCP-47 is
-case-insensitive); comments/CDATA matches are the same accepted
-false positive as every byte-regex scan in this repo.
+case-insensitive); HTML comments are STRIPPED before the scan (a
+template-wide commented fragment would otherwise mint mutual false
+pairs — a data product, not just an annotation); CDATA/body echoes
+remain the accepted byte-regex false positive.
 """
 
 from __future__ import annotations
@@ -40,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .links import html_text, resolve_href
+from .links import html_text, resolve_href, strip_html_comments
 
 _LINK_TAG = r"(?is)<link\b[^>]*>"
 _REL_ALT = r"""(?i)[\s"'/]rel\s*=\s*["']alternate["']"""
@@ -70,7 +72,9 @@ def hreflang_alternates(
     if dict(pages.dtypes)[html_col] == "binary":
         body = html_text(body)
     tags = F.filter(
-        F.regexp_extract_all(body, F.lit(_LINK_TAG), F.lit(0)),
+        F.regexp_extract_all(
+            strip_html_comments(body), F.lit(_LINK_TAG), F.lit(0)
+        ),
         lambda t: t.rlike(_REL_ALT) & t.rlike(_HREFLANG),
     )
     rows = pages.select(

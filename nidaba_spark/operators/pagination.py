@@ -52,7 +52,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .links import html_text, resolve_href
+from .links import html_text, resolve_href, strip_html_comments
 
 _LINK_TAG = r"(?is)<link\b[^>]*>"
 _REL_NEXT = r"""(?i)[\s"'/]rel\s*=\s*["']next["']"""
@@ -60,12 +60,11 @@ _REL_PREV = r"""(?i)[\s"'/]rel\s*=\s*["'](?:prev|previous)["']"""
 _HREF = r"""(?i)[\s"'/]href\s*=\s*["']([^"']*)["']"""
 # A false pagination edge REWRITES documents (unlike the annotation
 # carriers), so the scan region is restricted: HTML comments stripped
-# (commented-out template fragments are the classic false positive),
-# then everything from the first <body> tag on discarded — honoring
-# the module contract of head declarations only. split(limit=2)[0]
-# always matches (whole document when no <body>), unlike an
-# extract-with-anchor whose no-match '' would silently drop the head.
-_COMMENT_RE = r"(?s)<!--.*?-->"
+# (links.strip_html_comments), then everything from the first <body>
+# tag on discarded — honoring the module contract of head
+# declarations only. split(limit=2)[0] always matches (whole document
+# when no <body>), unlike an extract-with-anchor whose no-match ''
+# would silently drop the head.
 _BODY_CUT_RE = r"(?i)<body[\s>]"
 
 
@@ -90,9 +89,7 @@ def pagination_links(
     body = F.col(html_col)
     if dict(pages.dtypes)[html_col] == "binary":
         body = html_text(body)
-    head = F.split(
-        F.regexp_replace(body, _COMMENT_RE, ""), _BODY_CUT_RE, 2
-    )[0]
+    head = F.split(strip_html_comments(body), _BODY_CUT_RE, 2)[0]
     tags = F.regexp_extract_all(head, F.lit(_LINK_TAG), F.lit(0))
 
     def first_href(rel_pat: str):

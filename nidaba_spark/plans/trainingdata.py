@@ -4089,8 +4089,10 @@ def q_feed_discovery(spark: SparkSession, sf: str) -> DataFrame:
     RELATIVE href and rel-before-type attribute order; odd docs an
     Atom feed with an absolute href and type-before-rel order; every
     head also carries two decoys (rel=stylesheet, rel=alternate
-    type=text/html) that must not match. Oracle reconstructs the one
-    row per doc from the parity arithmetic."""
+    type=text/html) that must not match, plus a COMMENTED-OUT feed
+    link poison (a scan that reads comments would emit an extra row
+    per page and mismatch the one-row-per-doc oracle). Oracle
+    reconstructs the one row per doc from the parity arithmetic."""
     from ..operators.feeds import page_feed_links
 
     docs = load(spark, sf, "documents")
@@ -4115,7 +4117,11 @@ def q_feed_discovery(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     html = F.concat(
-        F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
+        F.lit(
+            '<html><head><link rel="stylesheet" href="/s.css">'
+            '<!-- <link rel="alternate" type="application/rss+xml"'
+            ' href="/poison.xml"> -->'
+        ),
         feed_link,
         F.lit('<link rel="alternate" type="text/html" href="/en">'
               "</head><body></body></html>"),
@@ -4712,8 +4718,10 @@ def q_hreflang_alternates(spark: SparkSession, sf: str) -> DataFrame:
     heads: every page declares a SELF row (root-relative href — must
     resolve), one translation whose hreflang is UPPERCASE on odd docs
     (must lowercase) with attribute order/quote style flipping, and an
-    x-default; a stylesheet link and a rel=alternate FEED link (no
-    hreflang) are decoys. Oracle reconstructs from the arithmetic."""
+    x-default; a stylesheet link, a rel=alternate FEED link (no
+    hreflang), and a COMMENTED-OUT hreflang alternate poison (a scan
+    that read comments would emit an extra row per page) are decoys.
+    Oracle reconstructs from the arithmetic."""
     from ..operators.multilingual import hreflang_alternates
 
     docs = load(spark, sf, "documents")
@@ -4739,6 +4747,9 @@ def q_hreflang_alternates(spark: SparkSession, sf: str) -> DataFrame:
     html = F.concat(
         F.lit('<html><head><link rel="stylesheet" href="/s.css">'),
         F.lit('<link rel="alternate" type="application/rss+xml" href="/feed">'),
+        F.lit(
+            '<!-- <link rel="alternate" hreflang="zz" href="/zz/x"> -->'
+        ),
         F.lit('<link rel="alternate" hreflang="en" href="/en/'),
         ds,
         F.lit('">'),
