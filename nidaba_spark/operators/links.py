@@ -30,10 +30,14 @@ canonicalizer belongs in hoststats.canonicalize if a use case needs
 it. javascript:/mailto:/tel:/data: pseudo-links and fragment-only
 hrefs are dropped; fragments are stripped before resolution.
 
-Known, accepted false positives of a regex (vs DOM) scanner: <a> tags
-inside HTML comments or CDATA still match. tests/test_links.py pins
-the regex path against an html.parser-driven reference over the
-synthetic corpus to bound the divergence on realistic markup.
+Known, accepted false positives of a regex (vs DOM) scanner: HTML
+comments are STRIPPED before every scan in this module (a commented
+template fragment would otherwise mint false link edges into the
+frontier/PageRank and a false canonical could collapse the wrong
+pages), but <a> tags inside CDATA or script strings still match.
+tests/test_links.py pins the regex path against an html.parser-driven
+reference over the synthetic corpus to bound the divergence on
+realistic markup.
 """
 
 from __future__ import annotations
@@ -129,7 +133,7 @@ def page_links(
     consumer's choice (host_edges counts them; a dedup is one
     distinct() away).
     """
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     hrefs = F.concat(
         F.regexp_extract_all(body, F.lit(_HREF_DQ), F.lit(1)),
         F.regexp_extract_all(body, F.lit(_HREF_SQ), F.lit(1)),
@@ -149,7 +153,7 @@ def anchor_texts(
     resolved link, for the double-quoted tag-free-anchor subset (the
     dominant well-formed case; see _HREF_ANCHOR). Anchor-text
     aggregation per dst is then a plain groupBy."""
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     pairs = F.arrays_zip(
         F.regexp_extract_all(body, F.lit(_HREF_ANCHOR), F.lit(1)).alias("href"),
         F.regexp_extract_all(body, F.lit(_HREF_ANCHOR), F.lit(2)).alias("anchor"),
@@ -198,7 +202,7 @@ def page_meta(
     ``noindex``/``nofollow`` are token matches inside the robots meta
     content (comma/space separated per the robots spec). One narrow
     map over the crawl table; nothing shuffles."""
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     robots = F.lower(_first_nonempty(body, _ROBOTS_NC, _ROBOTS_CN))
     canon_href = _first_nonempty(body, _CANON_RH, _CANON_HR)
     return pages.select(
@@ -244,7 +248,7 @@ def og_meta(
     RESOLVED against the page url; text fields are
     whitespace-collapsed; absent fields null. Same scale shape as
     page_meta: one narrow whole-stage-codegen scan, zero shuffles."""
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     src = F.col(url_col)
 
     def txt(prop: str) -> Column:
@@ -407,7 +411,7 @@ def page_wat(
     re-touch the body, so the HOF quadratic-eval trap (NOTES) does not
     apply."""
     src = F.col(url_col)
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     hrefs = F.concat(
         F.regexp_extract_all(body, F.lit(_HREF_DQ), F.lit(1)),
         F.regexp_extract_all(body, F.lit(_HREF_SQ), F.lit(1)),

@@ -1383,6 +1383,12 @@ def _synth_pages(docs: DataFrame) -> DataFrame:
       sq quoting), absolute, protocol-relative, dot-relative,
       word-relative (doc-dependent), plus a fragment-only and a
       mailto: link that must be DROPPED;
+    * a COMMENTED-OUT poison block right after <title> carrying an
+      <a href>, a rel=canonical, and a robots noindex — a scan that
+      read comments would emit an extra edge on every page, pick the
+      poison canonical first, and flag every page noindex; every
+      oracle derives independently from documents columns, so any
+      scan-region regression mismatches here;
     * a <title> carrying the doc's first word;
     * doc_id % 13 == 0  -> <meta name=robots content="noindex, follow">
       (content-before-name attribute order on doc_id % 2 == 0);
@@ -1417,6 +1423,11 @@ def _synth_pages(docs: DataFrame) -> DataFrame:
         F.lit(" "),
         w,
         F.lit("</title>"),
+        F.lit(
+            '<!-- <a href="https://poison.example.net/q">stale</a>'
+            '<link rel="canonical" href="/poison">'
+            '<meta name="robots" content="noindex"> -->'
+        ),
         robots,
         canonical,
         F.lit(
