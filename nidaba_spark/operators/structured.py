@@ -37,8 +37,11 @@ Documented subset (regex-over-bytes, the standard large-crawl trade):
     unquoted attribute values (src=/x.png) are skipped like
     links.py's href scan skips them; width/height keep only plain
     integer values ("640" yes, "640px" no — try_cast, never a throw).
-    Images inside comments/CDATA still match (same accepted false
-    positive as the href scan). data:/javascript: sources drop via
+    HTML comments are stripped before every scan in this module
+    (links.strip_html_comments — image-text pairs are a training data
+    product and page_dates drives freshness DROPS, so a commented
+    template fragment must not contribute); CDATA/script-string
+    echoes remain the accepted residual. data:/javascript: sources drop via
     links.resolve_href; an <img> with no resolvable src (lazy-load
     data-src patterns) emits no row, but ``img_idx`` still counts it,
     so surviving rows keep their true on-page position.
@@ -62,7 +65,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .links import html_text, resolve_href
+from .links import html_text, resolve_href, strip_html_comments
 
 _IMG_TAG = r"(?i)<img[\s/][^>]*>"
 _LD_BLOCK = (
@@ -131,7 +134,7 @@ def image_candidates(
     ``height`` are the declared integer attributes (null otherwise).
     One codegen scan + one posexplode generator; zero shuffles.
     """
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     tags = pages.select(
         F.col(url_col).alias("url"),
         F.posexplode(F.regexp_extract_all(body, F.lit(_IMG_TAG), 0)).alias(
@@ -203,7 +206,7 @@ def av_candidates(
     Same scale shape as image_candidates: one codegen scan + one
     posexplode generator, zero shuffles, zero Python (plan-asserted).
     """
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     tags = pages.select(
         F.col(url_col).alias("url"),
         F.posexplode(F.regexp_extract_all(body, F.lit(_AV_TAG), 0)).alias(
@@ -247,7 +250,7 @@ def page_lang_declared(
     short-text pages n-gram detection is weakest on. One narrow
     codegen scan, zero shuffles, zero Python (plan-asserted).
     """
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     # first <html …> tag's lang attr; _attr's separator rule via the
     # unanchored search inside the extracted tag string
     html_tag = F.regexp_extract(body, r"(?i)<html[\s/][^>]*>", 0)
@@ -292,7 +295,7 @@ def jsonld_blocks(
     """(url, block_idx, json) — raw JSON-LD payload strings, one row
     per ``<script type="application/ld+json">`` block, trimmed. The
     generic consumer surface: downstream picks its own schema."""
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     return pages.select(
         F.col(url_col).alias("url"),
         F.posexplode(F.regexp_extract_all(body, F.lit(_LD_BLOCK), 1)).alias(
@@ -324,7 +327,7 @@ def jsonld_article_meta(
     row in, one row out); json_tuple parses the chosen block ONCE for
     the five flat fields. Zero shuffles, zero Python.
     """
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     blocks = F.regexp_extract_all(body, F.lit(_LD_BLOCK), 1)
     arts = F.filter(
         blocks,
@@ -404,7 +407,7 @@ def page_dates(
     (plan-asserted in tests/test_structured.py).
     """
     date, raw_win, source = _date_exprs(
-        F.col(url_col), html_text(F.col(html_col)), article_types
+        F.col(url_col), strip_html_comments(html_text(F.col(html_col))), article_types
     )
     return pages.select(
         F.col(url_col).alias("url"),
@@ -427,7 +430,7 @@ def published_on_or_after(
     expression, so ``pages.filter(...)`` adds zero shuffles — this is
     the curate(min_published_date=) form."""
     date, _, _ = _date_exprs(
-        F.col(url_col), html_text(F.col(html_col)), article_types
+        F.col(url_col), strip_html_comments(html_text(F.col(html_col))), article_types
     )
     return date.isNull() | (date >= F.lit(min_date).cast("date"))
 
@@ -507,7 +510,7 @@ def html_tables(
     cell transform is computed once per row; n_cells reads the
     materialized array, not a re-parse.
     """
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     tbls = pages.select(
         F.col(url_col).alias("url"),
         F.posexplode(F.regexp_extract_all(body, F.lit(_TABLE_BLOCK), 1)).alias(
@@ -576,7 +579,7 @@ def microdata_meta(
     generator; zero shuffles, zero Python, page bytes never leave the
     map stage (plan-asserted in tests/test_structured.py).
     """
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     tags = pages.select(
         F.col(url_col).alias("url"),
         F.posexplode(F.regexp_extract_all(body, F.lit(_META_TAG), 0)).alias(
@@ -614,7 +617,7 @@ def microdata_types(
     the left by a ``[\\s"'/]`` delimiter so data-itemtype never
     matches. Single codegen scan + posexplode; zero shuffles.
     """
-    body = html_text(F.col(html_col))
+    body = strip_html_comments(html_text(F.col(html_col)))
     vals = pages.select(
         F.col(url_col).alias("url"),
         F.posexplode(

@@ -4166,8 +4166,10 @@ def q_image_candidates(spark: SparkSession, sf: str) -> DataFrame:
     internal whitespace to collapse; src is ROOT-RELATIVE and must
     resolve against the page url; width/height only on doc_id%3==0),
     and a data:-URI tracking pixel at slot 2 (dropped by
-    resolve_href). Oracle reconstructs the single surviving row per
-    doc from the arithmetic."""
+    resolve_href); a COMMENTED-OUT img poison precedes everything — a
+    scan that read comments would emit an extra pair row AND shift
+    every img_idx, so the arithmetic oracle pins the comment strip.
+    Oracle reconstructs the single surviving row per doc."""
     from ..operators.structured import image_candidates
 
     docs = load(spark, sf, "documents")
@@ -4203,7 +4205,11 @@ def q_image_candidates(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     html = F.concat(
-        F.lit('<html><body><img data-src="/lazy.png" alt="decoy">'),
+        F.lit(
+            "<html><body>"
+            '<!-- <img src="/poison.png" alt="commented-out"> -->'
+            '<img data-src="/lazy.png" alt="decoy">'
+        ),
         real_img,
         F.lit('<img src="data:image/gif;base64,R0lGOD" alt="pixel">'
               "</body></html>"),
