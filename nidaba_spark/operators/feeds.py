@@ -92,6 +92,7 @@ def feed_entries(
     xml = F.col(xml_col)
     if isinstance(pages.schema[xml_col].dataType, T.BinaryType):
         xml = html_text(xml)
+    xml = strip_html_comments(xml)
     blocks = F.concat(
         F.transform(
             F.regexp_extract_all(xml, F.lit(_ITEM_BLOCK), F.lit(0)),

@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .links import html_text
+from .links import html_text, strip_html_comments
 
 _URL_BLOCK = r"(?is)<url>(.*?)</url>"
 _SM_BLOCK = r"(?is)<sitemap>(.*?)</sitemap>"
@@ -90,6 +90,7 @@ def sitemap_entries(
     xml = F.col(xml_col)
     if isinstance(pages.schema[xml_col].dataType, T.BinaryType):
         xml = html_text(xml)
+    xml = strip_html_comments(xml)
     blocks = F.concat(
         F.transform(
             F.regexp_extract_all(xml, F.lit(_URL_BLOCK), F.lit(1)),

@@ -3790,7 +3790,9 @@ def q_sitemap_entries(spark: SparkSession, sf: str) -> DataFrame:
     xml = F.concat(
         F.lit(
             '<?xml version="1.0" encoding="UTF-8"?>\n'
-            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n<url>'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            "<!-- <url><loc>https://poison.example.net/x</loc></url> -->\n"
+            "<url>"
         ),
         loc1_tag,
         F.lit("<lastmod>2026-01-0"),
@@ -3944,7 +3946,9 @@ def q_feed_entries(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("<link><![CDATA["), link1, F.lit("]]></link>")),
     ).otherwise(F.concat(F.lit("<link> "), link1, F.lit(" </link>")))
     rss_xml = F.concat(
-        F.lit('<?xml version="1.0"?><rss version="2.0"><channel><item>'
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+              "<!-- <item><link>https://poison.example.net/i</link>"
+              "</item> --><item>"
               "<title>Post "),
         d.cast("string"),
         F.lit(" &amp; more</title>"),
