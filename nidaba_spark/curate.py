@@ -258,9 +258,11 @@ def curate(
                               not 5 short docs to Gopher rules or
                               dedup); pagination_max_pages bounds the
                               doubling horizon. Costs one url-keyed
-                              shuffle of the slim declaration table +
-                              one chain-keyed groupBy over
-                              participants only;
+                              shuffle of the slim declaration table,
+                              one map-side-combined (url, max ts)
+                              aggregate over the two-column raw scan
+                              (winner alignment), and one chain-keyed
+                              groupBy over participants only;
       lm_ref +
       lm_min_logscore       — Stupid-Backoff bigram-LM floor (the
                               CCNet perplexity-filter shape,
@@ -416,7 +418,7 @@ def curate(
         .drop("_rn")
     )
     docs = ext1.filter(F.col("text") != "").select(
-        "url", "warc_ts", "text", F.col("lang").alias("source")
+        "url", "text", F.col("lang").alias("source")
     )
     if stitch_pagination and pre_extracted is None:
         from .operators.pagination import (
@@ -426,8 +428,8 @@ def curate(
         )
 
         # Lazy localCheckpoint: the stitch references the extraction
-        # subtree in THREE branches (winner timestamps for declaration
-        # alignment, the solo filter, the stitched groupBy). Without
+        # subtree in THREE branches (the crawled-url existence gate,
+        # the solo filter, the stitched groupBy). Without
         # lineage truncation, correctness still holds but the
         # heavyweight Python parse can execute once per branch when
         # exchange reuse fails to fire (AQE re-planning one side) —
@@ -454,21 +456,42 @@ def curate(
             F.col("next_url").isNotNull() | F.col("prev_url").isNotNull()
         )
         # declarations must come from the fetch whose TEXT won the
-        # recrawl dedup: semi-join the slim declarer table on the
-        # winner's (url, warc_ts), so a stale fetch's <link> edges can
-        # never stitch a newer fetch's text (a page that dropped its
-        # pagination on redesign stays un-stitched). Residual corner,
-        # deterministic by the tie-breaks on both sides: two DIFFERENT
-        # fetches at the identical winning warc_ts may contribute text
-        # (min xxhash64(text)) and declarations (min next/prev) —
+        # recrawl dedup (max warc_ts — w_url's leading key), so a
+        # stale fetch's <link> edges can never stitch a newer fetch's
+        # text (a page that dropped its pagination on redesign stays
+        # un-stitched). The winning timestamp comes from a MAP-SIDE-
+        # COMBINED (url, max(warc_ts)) aggregate over the RAW pages
+        # scan (column-pruned to two columns), NOT a join against the
+        # checkpointed extraction output: its shuffle carries ~70-byte
+        # rows beside the text dedup's full-text url shuffle, and the
+        # semi-join's other side is the slim declarer table. eqNullSafe
+        # keeps timestamp-less corpora stitching (all-NULL group max is
+        # NULL; null-unsafe equality would silently drop every
+        # declaration there). Residual corner, deterministic by the
+        # tie-breaks on both sides: two DIFFERENT fetches at the
+        # identical winning warc_ts may contribute text (min
+        # xxhash64(text)) and declarations (informative-first below) —
         # eliminating it would need a shared fetch id carried through
         # extraction, not worth a schema change for a same-second
         # same-url double-crawl pathology.
-        lk = lk.join(
-            docs.select("url", "warc_ts"), ["url", "warc_ts"], "left_semi"
+        wins = (
+            pages.select("url", "warc_ts")
+            .groupBy("url")
+            .agg(F.max("warc_ts").alias("_wt"))
+            .withColumnRenamed("url", "_wu")
         )
+        lk = lk.join(
+            wins,
+            (F.col("url") == F.col("_wu"))
+            & F.col("warc_ts").eqNullSafe(F.col("_wt")),
+            "left_semi",
+        )
+        # informative-first among same-winning-ts ties: a declaration
+        # carrying a real next/prev edge outranks one whose carrier is
+        # NULL (plain ascending would sort NULLS FIRST and keep the
+        # least informative row, discarding a real edge)
         w_lk = Window.partitionBy("url").orderBy(
-            F.col("next_url"), F.col("prev_url")
+            F.asc_nulls_last("next_url"), F.asc_nulls_last("prev_url")
         )
         lk1 = (
             lk.withColumn("_rn", F.row_number().over(w_lk))
@@ -489,8 +512,7 @@ def curate(
             )
             .select(F.col("chain_id").alias("url"), "text", "source")
         )
-        docs = solo.select("url", "text", "source").unionByName(stitched)
-    docs = docs.select("url", "text", "source")
+        docs = solo.unionByName(stitched)
     if unicode_nfc:
         from .operators.unicodenorm import unicode_normalize
 

@@ -955,3 +955,88 @@ def test_stitch_declarations_follow_winning_fetch(spark):
         f"{s}/a/p0": para("newalpha"),
         f"{s}/a/p1": para("bravo"),
     }
+
+
+def test_stitch_null_warc_ts_corpus(spark):
+    # A single-crawl corpus without timestamps (warc_ts all NULL) must
+    # still stitch: winner alignment uses eqNullSafe against the
+    # per-url max ts (NULL for an all-NULL group), where null-unsafe
+    # equality would silently drop every declaration.
+    def para(word):
+        return (
+            f"{word} part one of the guide carries exactly seventeen "
+            "deterministic words so the extractor keeps this block"
+        )
+
+    def page(url, body, links=""):
+        html = (
+            f"<html><head>{links}</head><body><article><p>{body}</p>"
+            "</article></body></html>"
+        )
+        return (url, None, html.encode(), body, "en")
+
+    s = "https://nots.example.com"
+    rows = [
+        page(f"{s}/a/p0", para("alpha"), '<link rel="next" href="/a/p1">'),
+        page(f"{s}/a/p1", para("bravo"), '<link rel="prev" href="/a/p0">'),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=4,
+        stitch_pagination=True,
+    )
+    got = {r["url"]: r["text"] for r in out.collect()}
+    assert got == {f"{s}/a/p0": "\n\n".join([para("alpha"), para("bravo")])}
+
+
+def test_stitch_tie_prefers_informative_declaration(spark):
+    # Two fetches of one url at the identical winning warc_ts: the
+    # declaration carrying a real next edge must win the dedup over
+    # one whose carriers are less informative (NULLS FIRST ordering
+    # would keep the empty-carrier row and split the chain).
+    import datetime
+
+    def para(word):
+        return (
+            f"{word} part one of the guide carries exactly seventeen "
+            "deterministic words so the extractor keeps this block"
+        )
+
+    def page(url, body, links=""):
+        html = (
+            f"<html><head>{links}</head><body><article><p>{body}</p>"
+            "</article></body></html>"
+        )
+        return (url, datetime.datetime(2024, 1, 1), html.encode(), body, "en")
+
+    s = "https://tie.example.com"
+    rows = [
+        # same url, same ts: one fetch declares only prev (next NULL),
+        # the other declares the forward edge too
+        page(f"{s}/a/p1", para("bravo"), '<link rel="prev" href="/a/p0">'),
+        page(
+            f"{s}/a/p1",
+            para("bravo"),
+            '<link rel="next" href="/a/p2"><link rel="prev" href="/a/p0">',
+        ),
+        page(f"{s}/a/p0", para("alpha"), '<link rel="next" href="/a/p1">'),
+        page(f"{s}/a/p2", para("charlie")),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    out = curate.curate(
+        pages, min_quality=0.0, pack_budget=512, npartitions=4,
+        stitch_pagination=True,
+    )
+    got = {r["url"]: r["text"] for r in out.collect()}
+    # the informative declaration won: p2 joined the chain
+    assert got == {
+        f"{s}/a/p0": "\n\n".join(
+            [para("alpha"), para("bravo"), para("charlie")]
+        )
+    }
