@@ -48,9 +48,19 @@ def annotate_docs_stream(
     # readers (the sink's _spark_metadata log becomes the listing
     # authority) — fail loudly instead (review r05). Local-fs check
     # only; remote stores skip it.
+    def _has_parquet(d: str) -> bool:
+        # walk, not listdir: batch output partitioned by key=value
+        # nests its part files one level down and would evade a
+        # top-level-only scan — the exact hazard this guard exists
+        # for (review r05)
+        for _root, _dirs, files in _os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     if _os.path.isdir(out_dir) and not _os.path.isdir(
         _os.path.join(out_dir, "_spark_metadata")
-    ) and any(f.endswith(".parquet") for f in _os.listdir(out_dir)):
+    ) and _has_parquet(out_dir):
         raise ValueError(
             f"{out_dir} already contains batch-written parquet; a "
             "streaming sink's _spark_metadata log would hide those "

@@ -27,10 +27,10 @@ Scale notes:
     own arrival order (a real crawl frontier delivers per-url
     revisits in order; for out-of-order sources put a watermark +
     sort upstream).
-  * Production would add a state TTL (GroupStateTimeout) to expire
-    urls not recrawled within the retention window; the operator
-    takes ``timeout`` for that seam (NoTimeout default keeps the
-    sandbox test deterministic).
+  * State TTL: passing ``timeout=ProcessingTimeTimeout`` arms a real
+    per-url TTL (``ttl_ms``, default 30 days) — timed-out urls drop
+    their state, bounding the store to recently-recrawled urls
+    (NoTimeout default keeps the sandbox test deterministic).
 """
 
 from __future__ import annotations
@@ -60,53 +60,77 @@ _STATE = T.StructType(
 )
 
 
-def _detect(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (url,) = key
-    if state.exists:
-        last_hash, seq = state.get
-    else:
-        last_hash, seq = None, -1
-    out_ts, out_hash, out_seq = [], [], []
-    # Drain the whole group before sorting: a url's rows can span
-    # multiple chunks of the iterator, and per-chunk sorting would
-    # mis-order cross-chunk revisits. Per-url-per-batch row counts
-    # are recrawl counts — tiny — so this buffers bytes, not pages.
-    rows = [
-        pair
-        for pdf in pdfs
-        for pair in zip(pdf["warc_ts"], pdf["content_hash"])
-    ]
-    for ts, h in sorted(rows, key=lambda p: p[0]):
-        h = int(h)
-        if last_hash is None or h != last_hash:
-            seq += 1
-            last_hash = h
-            out_ts.append(ts)
-            out_hash.append(h)
-            out_seq.append(seq)
-    state.update((last_hash, seq))
-    if out_ts:
-        yield pd.DataFrame(
-            {
-                "url": url,
-                "warc_ts": out_ts,
-                "content_hash": out_hash,
-                "change_seq": out_seq,
-            }
-        )
+def _make_detect(ttl_ms: int | None):
+    """Handler factory: with ``ttl_ms`` set (ProcessingTimeTimeout
+    mode) every state update arms a TTL and a timed-out url's state is
+    REMOVED — bounding the state store to recently-seen urls. A url
+    revisited after expiry re-emits a first-sighting row with
+    change_seq restarting at 0 (the documented cost of bounded
+    state). With ttl_ms None the state lives forever (NoTimeout)."""
+
+    def _detect(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (url,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            last_hash, seq = state.get
+        else:
+            last_hash, seq = None, -1
+        out_ts, out_hash, out_seq = [], [], []
+        # Drain the whole group before sorting: a url's rows can span
+        # multiple chunks of the iterator, and per-chunk sorting would
+        # mis-order cross-chunk revisits. Per-url-per-batch row counts
+        # are recrawl counts — tiny — so this buffers bytes, not pages.
+        rows = [
+            pair
+            for pdf in pdfs
+            for pair in zip(pdf["warc_ts"], pdf["content_hash"])
+        ]
+        for ts, h in sorted(rows, key=lambda p: p[0]):
+            h = int(h)
+            if last_hash is None or h != last_hash:
+                seq += 1
+                last_hash = h
+                out_ts.append(ts)
+                out_hash.append(h)
+                out_seq.append(seq)
+        state.update((last_hash, seq))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "url": url,
+                    "warc_ts": out_ts,
+                    "content_hash": out_hash,
+                    "change_seq": out_seq,
+                }
+            )
+
+    return _detect
 
 
 def detect_changes(
     pages_stream: DataFrame,
     timeout: str = GroupStateTimeout.NoTimeout,
+    ttl_ms: int = 30 * 24 * 3600 * 1000,
 ) -> DataFrame:
     """pages stream -> append stream of (url, warc_ts, content_hash,
     change_seq): one row per first sighting or content change.
 
     The hash is computed JVM-side (xxhash64 over html bytes + crawler
     text) so the stateful python stage never touches page payloads.
+
+    ``timeout=GroupStateTimeout.ProcessingTimeTimeout`` ARMS a real
+    state TTL of ``ttl_ms`` per url (default 30 days): the handler
+    sets the duration on every update and removes timed-out state, so
+    the store is bounded by recently-recrawled urls instead of the
+    whole url universe (the parameter used to be accepted but never
+    wired — silently identical to NoTimeout, review r05). A url
+    revisited after expiry re-emits a first-sighting row.
     """
     hashed = pages_stream.select(
         "url",
@@ -115,8 +139,13 @@ def detect_changes(
             "content_hash"
         ),
     )
+    arm_ttl = timeout == GroupStateTimeout.ProcessingTimeTimeout
     return hashed.groupBy("url").applyInPandasWithState(
-        _detect, CHANGES, _STATE, "append", timeout
+        _make_detect(ttl_ms if arm_ttl else None),
+        CHANGES,
+        _STATE,
+        "append",
+        timeout,
     )
 
 

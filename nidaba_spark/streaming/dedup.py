@@ -35,7 +35,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import minhash_index, minhash_lsh_pairs_incremental
+from ..operators.dedup import _pairs_from_indexes, minhash_index
 
 _INDEX_COLS = ["id", "band", "bucket", "sig"]
 
@@ -55,6 +55,21 @@ def _read_dir(spark: SparkSession, path: str, cols: list[str] | None = None):
     jpath = sc._jvm.org.apache.hadoop.fs.Path(path)
     fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
     if not fs.exists(jpath):
+        return None
+    # a crash DURING the first batch's index write leaves the dir with
+    # only _temporary content; treating that as "index exists" would
+    # fail schema inference on every checkpoint replay — an unhealable
+    # poison, since the overwrite that would fix it sits after this
+    # read. Committed-data probe: any .parquet file outside
+    # _temporary. Genuine FS errors still raise out of listFiles.
+    it = fs.listFiles(jpath, True)
+    has_data = False
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if "/_temporary/" not in p and p.endswith(".parquet"):
+            has_data = True
+            break
+    if not has_data:
         return None
     df = spark.read.parquet(path)
     return df.select(*cols) if cols else df
@@ -87,17 +102,18 @@ def dedup_docs_stream(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         ss = batch_df.sparkSession
         batch_df = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=False)
+        # signatures are computed ONCE per batch: the same index rows
+        # feed the candidate join here AND (semi-joined to the
+        # survivors) the index write below — going through
+        # minhash_lsh_pairs_incremental plus a second minhash_index
+        # call would shingle+hash every document's text twice, nearly
+        # doubling the dominant per-batch cost (review r05)
+        new_idx = minhash_index(
+            batch_df, num_hashes, bands, shingle_k, text_col, id_col
+        ).localCheckpoint(eager=False)
         hist = _read_dir(ss, index_dir, _INDEX_COLS)
-        idx = (
-            hist
-            if hist is not None
-            else minhash_index(
-                batch_df.limit(0), num_hashes, bands, shingle_k, text_col, id_col
-            )
-        )
-        pairs = minhash_lsh_pairs_incremental(
-            batch_df, idx, num_hashes, bands, shingle_k, threshold, text_col, id_col
-        )
+        idx = hist if hist is not None else new_idx.limit(0)
+        pairs = _pairs_from_indexes(new_idx, idx, num_hashes, threshold)
         bids = batch_df.select(F.col(id_col).alias("_bid"))
         flagged = (
             pairs.join(
@@ -127,8 +143,10 @@ def dedup_docs_stream(
         kept.write.mode("overwrite").parquet(
             os.path.join(kept_dir, f"batch={batch_id}")
         )
-        minhash_index(
-            kept, num_hashes, bands, shingle_k, text_col, id_col
+        new_idx.join(
+            kept.select(F.col(id_col).alias("_kid")),
+            F.col("id") == F.col("_kid"),
+            "left_semi",
         ).write.mode("overwrite").parquet(
             os.path.join(index_dir, f"batch={batch_id}")
         )

@@ -23,8 +23,27 @@ def _as_stream_dir(source_path: str, work_dir: str) -> str:
         return source_path
     src = os.path.join(work_dir, "src")
     os.makedirs(src, exist_ok=True)
-    os.symlink(os.path.abspath(source_path), os.path.join(src, os.path.basename(source_path)))
+    dst = os.path.join(src, os.path.basename(source_path))
+    # lexists guard: resuming a stream on the same work_dir (the
+    # documented checkpoint-resume pattern) re-stages the same file —
+    # an unconditional symlink would crash with FileExistsError
+    if not os.path.lexists(dst):
+        os.symlink(os.path.abspath(source_path), dst)
     return src
+
+
+def _raise_progress_retention(spark: SparkSession, n: int = 10000) -> None:
+    """recentProgress is capped (spark.sql.streaming.
+    numRecentProgressUpdates, default 100), so an availableNow
+    catch-up drain with >100 micro-batches would silently lose the
+    oldest batches' lineage rows. Raise the cap BEFORE the query
+    starts; each retained entry is one small progress dict on the
+    driver."""
+    cur = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    )
+    if cur < n:
+        spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", str(n))
 
 
 def append_stream_lineage(
@@ -49,8 +68,19 @@ def append_stream_lineage(
 
     if not lineage_dir:
         return 0
+    cap = int(
+        spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    )
+    progress = query.recentProgress
+    if len(progress) >= cap:
+        print(
+            f"WARNING: recentProgress hit its retention cap ({cap}); "
+            "lineage rows for the oldest micro-batches were dropped — "
+            "raise spark.sql.streaming.numRecentProgressUpdates before "
+            "starting the query (_raise_progress_retention)."
+        )
     rows = []
-    for p in query.recentProgress:
+    for p in progress:
         started = dt.datetime.fromisoformat(p["timestamp"].replace("Z", "+00:00"))
         dur_ms = (p.get("durationMs") or {}).get("triggerExecution", 0) or 0
         finished = started + dt.timedelta(milliseconds=int(dur_ms))
@@ -88,6 +118,7 @@ def ingest_events_stream(
     out_dir = os.path.join(work_dir, "out")
     ckpt = os.path.join(work_dir, "ckpt")
     source_path = _as_stream_dir(source_path, work_dir)
+    _raise_progress_retention(spark)
     stream = (
         spark.readStream.schema(schema)
         .parquet(source_path)
@@ -128,17 +159,32 @@ def foreach_batch_upsert(
     source_path = _as_stream_dir(source_path, work_dir)
 
     def upsert(batch_df, batch_id: int) -> None:
+        # rename-aside install, NOT delete-then-rename: a crash
+        # between rmtree(target) and rename(tmp) would lose the whole
+        # upsert history with no replay recovery (the batch replays,
+        # sees no target, and rebuilds from the current batch alone) —
+        # the same crash window links.compact_edges closed. Here the
+        # old table is renamed aside before the install and restored
+        # at entry if a previous attempt died mid-swap.
         batch_df = batch_df.dropDuplicates([key])  # within-batch
+        old = target + ".old"
+        if not os.path.isdir(target) and os.path.isdir(old):
+            os.rename(old, target)  # recover a died-mid-swap attempt
         if os.path.isdir(target):
             existing = batch_df.sparkSession.read.schema(schema).parquet(target)
             merged = existing.join(batch_df, key, "left_anti").unionByName(batch_df)
         else:
             merged = batch_df
         tmp = target + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(target, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(tmp)  # reads target HERE
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(target):
+            os.rename(target, old)
         os.rename(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
 
+    _raise_progress_retention(spark)
     q = (
         spark.readStream.schema(schema)
         .parquet(source_path)

@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import schemas
 from ..pipeline import prepare
-from .events import append_stream_lineage
+from .events import _raise_progress_retention, append_stream_lineage
 
 
 def extract_pages_stream(
@@ -129,6 +129,7 @@ def extract_pages_stream(
         )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    _raise_progress_retention(spark)
     q = writer.start()
     if available_now:
         q.awaitTermination()
@@ -142,8 +143,14 @@ def read_extracted(spark: SparkSession, out_dir: str) -> DataFrame:
     """The extracted table the stream maintains (empty-safe; handles
     both the flat inline-sink layout and the pruned mode's batch=N
     partition subdirectories, whose discovered partition column is
-    projected away)."""
-    if not os.path.isdir(out_dir):
+    projected away). Existence is probed through Spark's Hadoop FS
+    layer — driver-local os.path.isdir is False for any hdfs://-or-
+    s3a:// out_dir and would silently return an EMPTY corpus where
+    the real table has data (review r05)."""
+    sc = spark.sparkContext
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
         return spark.createDataFrame([], schemas.EXTRACTED)
     cols = [f.name for f in schemas.EXTRACTED.fields]
     return spark.read.parquet(out_dir).select(*cols)

@@ -85,19 +85,33 @@ def compact_edges(spark: SparkSession, work_dir: str) -> dict:
     deleted the partials before installing the replacement, so a
     crash in that window lost the live graph), the new one renamed
     in, and only then is the old copy dropped. A crash mid-swap
-    leaves ``_edges_compact_old`` intact for manual restore."""
+    leaves ``_edges_compact_old`` intact for manual restore.
+
+    Safe against a CONCURRENT drain: the merge reads EXACTLY the
+    batch=* partials listed at entry (explicit paths, not the
+    directory), and any batch dir that appeared after the snapshot —
+    a micro-batch committed while the merge ran — is moved back into
+    the compacted table before the old copy is dropped, instead of
+    being swept into it and deleted while its batch sits committed in
+    the checkpoint (silent undercount, review r05)."""
     edges_dir = os.path.join(work_dir, "edges")
-    merged = read_edges(spark, work_dir)
-    if merged is None:
-        return {"batches_before": 0, "batches_after": 0}
     sc = spark.sparkContext
     Path = sc._jvm.org.apache.hadoop.fs.Path
     fs = Path(edges_dir).getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(Path(edges_dir)):
+        return {"batches_before": 0, "batches_after": 0}
     before = [
         f.getPath().getName()
         for f in fs.listStatus(Path(edges_dir))
         if f.getPath().getName().startswith("batch=")
     ]
+    if not before:
+        return {"batches_before": 0, "batches_after": 0}
+    merged = (
+        spark.read.parquet(*[os.path.join(edges_dir, b) for b in before])
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").alias("n_links"))
+    )
     tmp = os.path.join(work_dir, "_edges_compact_tmp")
     fs.delete(Path(tmp), True)  # clear any crashed previous attempt
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -111,5 +125,13 @@ def compact_edges(spark: SparkSession, work_dir: str) -> dict:
             f"edge compaction swap failed installing batch=0; "
             f"originals preserved under {old}"
         )
+    snapshot = set(before)
+    for f in fs.listStatus(Path(old)):
+        name = f.getPath().getName()
+        if name.startswith("batch=") and name not in snapshot:
+            fs.rename(
+                Path(os.path.join(old, name)),
+                Path(os.path.join(edges_dir, name)),
+            )
     fs.delete(Path(old), True)
     return {"batches_before": len(before), "batches_after": 1}

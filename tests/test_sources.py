@@ -540,3 +540,53 @@ def test_fetch_validators_latest_capture_wins(spark, tmp_path):
         "https://v.example/p": ('"new"', None),
         "https://v.example/q": (None, "Fri, 02 Jan 2026 00:00:00 GMT"),
     }
+
+
+def test_upsert_recovers_died_mid_swap(spark, tmp_path):
+    # rename-aside crash consistency: if a previous upsert attempt
+    # renamed target aside (.old) and died before installing the
+    # replacement, the next batch must restore the history — the old
+    # delete-then-rename protocol rebuilt the table from the current
+    # batch alone, silently losing every previously upserted row.
+    import shutil
+
+    from nidaba_spark.sources.tables import load
+    from nidaba_spark.streaming.events import foreach_batch_upsert
+
+    sf = "/root/testdata/sf0.001"
+    schema = load(spark, sf, "events").schema
+    wd = str(tmp_path)
+    target = foreach_batch_upsert(
+        spark, os.path.join(sf, "events.parquet"), schema, wd
+    )
+    n = spark.read.schema(schema).parquet(target).count()
+    assert n > 0
+    # simulate the crash window: target moved aside, install never ran
+    os.rename(target, target + ".old")
+    # drop a fresh copy of the source so the resumed stream has a new
+    # micro-batch to process (same ids -> pure upsert, no growth)
+    redrop = os.path.join(wd, "src", "events_redrop.parquet")
+    shutil.copy(os.path.join(sf, "events.parquet"), redrop)
+    target2 = foreach_batch_upsert(spark, redrop, schema, wd)
+    assert target2 == target
+    # history fully recovered, no duplicates
+    out = spark.read.schema(schema).parquet(target)
+    assert out.count() == n
+    assert not os.path.isdir(target + ".old")
+
+
+def test_read_dir_ignores_uncommitted_temporary(spark, tmp_path):
+    # a crash DURING the first index write leaves batch=0/_temporary
+    # only; _read_dir must treat that as "no index yet" (None), not
+    # fail schema inference on every checkpoint replay forever
+    from nidaba_spark.streaming.dedup import _read_dir
+
+    idx = tmp_path / "index"
+    (idx / "batch=0" / "_temporary" / "0").mkdir(parents=True)
+    (idx / "batch=0" / "_temporary" / "0" / "part-0.parquet").write_bytes(b"junk")
+    assert _read_dir(spark, str(idx)) is None
+    assert _read_dir(spark, str(tmp_path / "absent")) is None
+    # once committed data exists the read proceeds
+    spark.range(3).write.mode("overwrite").parquet(str(idx / "batch=1"))
+    got = _read_dir(spark, str(idx))
+    assert got is not None and got.count() == 3
