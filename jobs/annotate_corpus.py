@@ -98,7 +98,14 @@ def main() -> None:
             gopher_min_words=args.gopher_min_words,
             gopher_max_words=args.gopher_max_words,
         )
-        n = spark.read.parquet(args.output).count()
+        # empty-safe report: a drain that committed ZERO batches (the
+        # advertised start-the-watcher-before-the-first-drop flow)
+        # never creates the sink dir; a bare read would crash the job
+        # after a successful no-op drain (review r05)
+        sc = spark.sparkContext
+        jpath = sc._jvm.org.apache.hadoop.fs.Path(args.output)
+        fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+        n = spark.read.parquet(args.output).count() if fs.exists(jpath) else 0
         print(f"stream drained; signal table now {n} rows -> {args.output}")
         return
     docs = spark.read.parquet(args.input)

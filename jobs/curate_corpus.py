@@ -26,18 +26,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _parse_rates(pairs: list[str]) -> dict[str, float] | None:
-    if not pairs:
-        return None
-    out: dict[str, float] = {}
-    for p in pairs:
-        k, _, v = p.partition("=")
-        if not _ or not k:
-            raise SystemExit(f"--rate expects lang=frac, got {p!r}")
-        out[k] = float(v)
-    return out
-
-
 def main() -> None:
     ap = argparse.ArgumentParser(description="nidaba-spark corpus curation")
     ap.add_argument("--input", required=True, help="pages parquet path or catalog table")
@@ -223,6 +211,12 @@ def main() -> None:
         "adds a 'split' column, does not filter)",
     )
     args = ap.parse_args()
+    from nidaba_spark.cliutil import parse_hosts_arg, parse_rates, read_pages
+
+    if args.cdx_out and not args.wet_out:
+        # the CDX index is derived FROM the written WET segments; a
+        # nested-only branch silently ignored the flag (review r05)
+        ap.error("--cdx-out requires --wet-out")
     if (args.lm_ref is None) != (args.lm_min_logscore is None):
         ap.error("--lm-ref and --lm-min-logscore must be given together")
     if args.decontam_bloom_fpp is not None and not args.decontam_eval:
@@ -238,20 +232,11 @@ def main() -> None:
     active = SparkSession.getActiveSession()
     spark = tune_session(active) if active else get_spark(app="nidaba-curate", cores=args.cores)
 
-    # catalog table iff it looks like db.table: dotted AND path-free —
-    # a bare "." test misroutes remote URIs (s3a://my.bucket/x,
-    # hdfs://nn.prod/y), which always fail os.path.exists (review r05)
-    pages = (
-        spark.read.table(args.input)
-        if "." in args.input
-        and "/" not in args.input
-        and not os.path.exists(args.input)
-        else spark.read.parquet(args.input)
-    )
+    pages = read_pages(spark, args.input)
     eval_df = spark.read.parquet(args.decontam_eval) if args.decontam_eval else None
     kwargs = dict(
         min_quality=args.min_quality,
-        source_rates=_parse_rates(args.rate),
+        source_rates=parse_rates(args.rate, "--rate"),
         default_rate=args.default_rate,
         pack_budget=args.pack_budget,
         nsalt=args.nsalt,
@@ -283,7 +268,7 @@ def main() -> None:
             if args.compression_band
             else None
         ),
-        splits=_parse_rates(args.split),
+        splits=parse_rates(args.split, "--split"),
         canonical_url_dedup=args.canonical_url_dedup,
         lm_ref=(
             spark.read.parquet(args.lm_ref).select("text")
@@ -297,19 +282,7 @@ def main() -> None:
             else None
         ),
         min_host_authority=args.min_host_authority,
-        blocked_hosts=(
-            [
-                h.strip()
-                for h in (
-                    open(args.blocked_hosts[1:]).read().splitlines()
-                    if args.blocked_hosts.startswith("@")
-                    else args.blocked_hosts.split(",")
-                )
-                if h.strip()
-            ]
-            if args.blocked_hosts
-            else None
-        ),
+        blocked_hosts=parse_hosts_arg(args.blocked_hosts),
         blocked_url_patterns=args.blocked_url_pattern,
         max_url_score=args.max_url_score,
         unicode_nfc=args.unicode_nfc,
@@ -361,23 +334,9 @@ def main() -> None:
         segs = manifest.count()
         print(f"wrote {segs} WET segments -> {args.wet_out}")
         if args.cdx_out:
-            from nidaba_spark.operators.cdx import build_cdx, write_cdx
-            from nidaba_spark.sources.rawfiles import read_warc_captures
+            from nidaba_spark.cliutil import export_wet_cdx
 
-            caps = read_warc_captures(
-                spark, args.wet_out, glob="*.warc.wet*"
-            ).select(
-                "url", "warc_ts", "text", "warc_file", "offset",
-                F.col("length").alias("warc_len"),
-            )
-            cdx_df = build_cdx(
-                caps,
-                payload_col="text",
-                mime="text/plain",
-                carry=("warc_file", "offset", "warc_len"),
-            )
-            write_cdx(cdx_df, args.cdx_out)
-            n_caps = spark.read.parquet(args.cdx_out).count()
+            n_caps = export_wet_cdx(spark, args.wet_out, args.cdx_out)
             print(f"wrote CDX index ({n_caps} captures) -> {args.cdx_out}")
 
 

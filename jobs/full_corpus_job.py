@@ -100,6 +100,7 @@ def main() -> None:
         "that SURVIVED curation — the fetch-stage work list",
     )
     args = ap.parse_args()
+    from nidaba_spark.cliutil import parse_hosts_arg
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -166,19 +167,7 @@ def main() -> None:
             max_docs_per_host=args.max_docs_per_host,
             gopher_rules=args.gopher_rules,
             c4_clean=args.c4_clean,
-            blocked_hosts=(
-                [
-                    h.strip()
-                    for h in (
-                        open(args.blocked_hosts[1:]).read().splitlines()
-                        if args.blocked_hosts.startswith("@")
-                        else args.blocked_hosts.split(",")
-                    )
-                    if h.strip()
-                ]
-                if args.blocked_hosts
-                else None
-            ),
+            blocked_hosts=parse_hosts_arg(args.blocked_hosts),
             paragraph_dedup=True,
             min_model_score=args.min_model_score,
             splits={"train": 0.98, "val": 0.01, "test": 0.01},
@@ -261,24 +250,12 @@ def main() -> None:
         # serveable CDX (surt-sorted, carrying each record's gzip
         # member range for fetch_capture point reads)
         with phase("cdx_index"):
-            from nidaba_spark.operators.cdx import build_cdx, write_cdx
-            from nidaba_spark.sources.rawfiles import read_warc_captures
+            from nidaba_spark.cliutil import export_wet_cdx
 
-            caps = read_warc_captures(
-                spark, args.wet_out, glob="*.warc.wet*"
-            ).select(
-                "url", "warc_ts", "text", "warc_file", "offset",
-                F.col("length").alias("warc_len"),
-            )
             cdx_path = os.path.join(args.workdir, "indexes", "cdx")
-            write_cdx(
-                build_cdx(
-                    caps, payload_col="text", mime="text/plain",
-                    carry=("warc_file", "offset", "warc_len"),
-                ),
-                cdx_path,
+            metrics["cdx_captures"] = export_wet_cdx(
+                spark, args.wet_out, cdx_path
             )
-            metrics["cdx_captures"] = spark.read.parquet(cdx_path).count()
 
     # ---- phase 6 (optional): WAT egress — head metadata + resolved
     # outlinks per RAW page as JSON metadata records (the crawl-graph

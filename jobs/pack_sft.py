@@ -38,15 +38,23 @@ def build(spark: SparkSession, args: argparse.Namespace):
     from nidaba_spark.operators.packing import bin_stats, pack_bins_ffd
 
     docs = spark.read.parquet(args.input)
+    # the curated parquet already carries curate()'s own packing
+    # columns (tokens_before/pack_id/pack_pos) — drop them before
+    # joining this job's fresh assignment or every reference to
+    # pack_id/bin below is AMBIGUOUS and the job crashes on its own
+    # documented input (review r05). drop() ignores absent names.
+    docs = docs.drop("tokens_before", "pack_id", "pack_pos", "bin", "bin_pos")
     n_tokens = F.col(args.token_col)
     if args.mode == "ffd":
+        # lazy localCheckpoint: the stats collect below and the final
+        # write would otherwise each execute the full packing plan
         packed = pack_bins_ffd(
             docs,
             n_tokens,
             args.capacity,
             id_col=args.id_col,
             num_groups=args.num_groups,
-        )
+        ).localCheckpoint(eager=False)
         stats = bin_stats(packed, args.capacity).collect()[0].asDict()
         out = (
             docs.join(packed.drop("n_tokens"), args.id_col)
@@ -58,7 +66,15 @@ def build(spark: SparkSession, args: argparse.Namespace):
     from nidaba_spark.operators.iclm import iclm_pack
 
     if "embedding" in docs.columns:
-        vecs, dim = docs, args.dim
+        # derive the dimension from the data: --dim describes the
+        # hashed-TF bridge, not a pre-embedded column, and a mismatch
+        # crashes deep inside the k-means pandas UDF (review r05)
+        row = (
+            docs.select(F.size(F.col("embedding")).alias("d"))
+            .filter(F.col("d") > 0)
+            .first()
+        )
+        vecs, dim = docs, (int(row["d"]) if row is not None else args.dim)
     else:
         vecs = hashed_tf_embedding(
             docs, dim=args.dim, text_col=args.text_col, id_col=args.id_col
@@ -73,7 +89,7 @@ def build(spark: SparkSession, args: argparse.Namespace):
         dim=dim,
         id_col=args.id_col,
         vec_id_col=args.id_col,
-    )
+    ).localCheckpoint(eager=False)
     stats = (
         packed.agg(
             F.countDistinct("pack_id").alias("n_packs"),

@@ -101,15 +101,9 @@ def main() -> None:
 
         pages = read_warc_pages(spark, args.input)
     else:
-        # catalog table iff dotted AND path-free — a bare "." test
-        # misroutes remote URIs like s3a://my.bucket/x (review r05)
-        pages = (
-            spark.read.table(args.input)
-            if "." in args.input
-            and "/" not in args.input
-            and not os.path.exists(args.input)
-            else spark.read.parquet(args.input)
-        )
+        from nidaba_spark.cliutil import read_pages
+
+        pages = read_pages(spark, args.input)
     p = Pipeline(spark, args.output, run_id=args.run_id, nsalt=args.nsalt, npartitions=args.npartitions)
     if args.invalidate_from:
         p.invalidate_from(args.invalidate_from)

@@ -82,3 +82,52 @@ def test_iclm_mode_string_ids_end_to_end(spark, tmp_path):
             assert r["cell"] not in seen
             seen.add(r["cell"])
             prev = r["cell"]
+
+
+def test_iclm_on_real_curate_schema(spark, tmp_path):
+    # the curated parquet carries curate()'s OWN packing columns
+    # (tokens_before/pack_id/pack_pos) — joining this job's fresh
+    # assignment used to leave duplicate pack_id/pack_pos columns and
+    # crash with AMBIGUOUS_REFERENCE on the documented input shape
+    src = str(tmp_path / "curated_full")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (
+        docs.select(
+            F.concat(F.lit("https://ex.com/"), F.col("doc_id")).alias("url"),
+            (F.col("n_chars") / 4).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("tokens_before"),
+            F.lit(0).cast("long").alias("pack_id"),
+            F.lit(0).cast("long").alias("pack_pos"),
+            F.lit(0.5).alias("quality"),
+            "text",
+        ).write.mode("overwrite").parquet(src)
+    )
+    out, stats = build(spark, _args(input=src, mode="iclm"))
+    got = out.limit(5).collect()
+    assert got and stats["n_packs"] > 0
+    # exactly ONE pack_id/pack_pos survive (the fresh assignment)
+    assert out.columns.count("pack_id") == 1
+    assert out.columns.count("pack_pos") == 1
+
+
+def test_iclm_derives_dim_from_embedding_column(spark, tmp_path):
+    # a pre-embedded corpus whose vector width differs from --dim's
+    # default must pack by the DATA's dimension, not crash in the
+    # k-means pandas UDF
+    src = str(tmp_path / "embedded")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    (
+        docs.select(
+            F.concat(F.lit("https://ex.com/"), F.col("doc_id")).alias("url"),
+            (F.col("n_chars") / 4).cast("long").alias("n_tokens"),
+            "text",
+            F.array(
+                *[
+                    (F.col("doc_id") % (i + 3)).cast("float")
+                    for i in range(24)  # 24 != the _args default dim 16
+                ]
+            ).alias("embedding"),
+        ).write.mode("overwrite").parquet(src)
+    )
+    out, stats = build(spark, _args(input=src, mode="iclm"))
+    assert out.limit(3).collect() and stats["n_packs"] > 0
