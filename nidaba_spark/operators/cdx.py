@@ -25,13 +25,17 @@ summary — first key + capture count per shard — as a tiny driver-side
 manifest (P rows for P shards, like the packing offsets).
 
 SURT subset implemented (documented deviations from the full IA
-canonicalizer, each irrelevant to key locality): leading ``www.`` is
-stripped once; a non-default port is kept as ``:port`` after the
-reversed host; path+query are lowercased; query params are
-ampersand-split, empties dropped, sorted, rejoined; fragments drop;
-IPv6 literal hosts and percent-encoding normalization are out of
-scope. Scheme and userinfo never reach the key (captures of
-http/https variants of one URL sort adjacent, as in real CDX).
+canonicalizer, each irrelevant to key locality): leading ``www.`` and
+leading/trailing host dots are stripped (``example.com.`` — the FQDN
+trailing-dot form — keys identically to ``example.com``); a
+NON-default port is kept as ``:port`` after the reversed host while
+the scheme's default (http:80 / https:443) is dropped so explicit-
+default captures sort with their plain siblings; path+query are
+lowercased; query params are ampersand-split, empties dropped,
+sorted, rejoined; fragments drop; IPv6 literal hosts and
+percent-encoding normalization are out of scope. Scheme and userinfo
+never reach the key (captures of http/https variants of one URL sort
+adjacent, as in real CDX).
 """
 
 from __future__ import annotations
@@ -45,24 +49,29 @@ _HOSTPORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/?#]+)"
 # scheme://authority prefix (for stripping down to path?query#frag)
 _ORIGIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
 
-CDX_SCHEMA = (
-    "surt string, ts string, url string, digest string, "
-    "mime string, length bigint"
-)
-
-
 def surt_key(url: Column) -> Column:
     """SURT key of an absolute URL as one codegen expression tree
     (see module docstring for the exact subset). Non-absolute inputs
     (no ``scheme://host``) yield NULL — callers filter them."""
     u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     hostport = F.regexp_extract(u, _HOSTPORT_RE, 1)
     host = F.lower(F.substring_index(hostport, ":", 1))
+    # FQDN trailing dot (and any stray leading dot) first, so
+    # 'example.com.' keys with 'example.com' instead of minting a
+    # malformed ',com,example)' key outside every lookup prefix
+    host = F.regexp_replace(host, r"^\.+|\.+$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     rhost = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    portval = F.substring_index(hostport, ":", -1)
+    # the scheme's default port is identity, not information: an
+    # explicit :80/:443 capture must sort WITH its plain sibling
+    is_default = (
+        (scheme == F.lit("http")) & (portval == F.lit("80"))
+    ) | ((scheme == F.lit("https")) & (portval == F.lit("443")))
     port = F.when(
-        hostport.contains(":"),
-        F.concat(F.lit(":"), F.substring_index(hostport, ":", -1)),
+        hostport.contains(":") & ~is_default,
+        F.concat(F.lit(":"), portval),
     ).otherwise(F.lit(""))
     # path?query with scheme/authority and fragment stripped, lowered
     rest = F.lower(F.substring_index(F.regexp_replace(u, _ORIGIN_RE, ""), "#", 1))
@@ -111,7 +120,11 @@ def build_cdx(
     spark = pages.sparkSession
     n = npartitions or spark.sparkContext.defaultParallelism * 2
     ts_field = pages.schema[ts_col].dataType
-    if isinstance(ts_field, T.TimestampType):
+    # TimestampNTZType is NOT a subclass of TimestampType — and NTZ is
+    # what parquet-loaded corpora read as in this sandbox (NOTES), so
+    # missing it silently emitted '2024-01-01 12:34:56'-style keys
+    # instead of the 14-digit CDX ts (review r05)
+    if isinstance(ts_field, (T.TimestampType, T.TimestampNTZType)):
         ts = F.date_format(F.col(ts_col), "yyyyMMddHHmmss")
     else:
         ts = F.col(ts_col).cast("string")
@@ -207,16 +220,21 @@ def cdx_lookup(
 
 
 def cdx_domain_lookup(spark, path: str, host: str) -> DataFrame:
-    """All captures of ``host`` AND its subdomains: the reversed-host
-    key space puts them under two prefixes — ``com,example)`` (the
-    host itself) and ``com,example,`` (every subdomain) — which are
-    adjacent in the sort order (no other byte can follow the last
-    label: ``)`` is 0x29, ``,`` is 0x2C, and label text never contains
-    either), so the OR of two pushed StartsWith filters still reads
-    one contiguous shard range."""
-    h = host.lower().lstrip(".")
+    """All captures of ``host`` AND its subdomains, on any port: the
+    reversed-host key space puts them under three prefixes —
+    ``com,example)`` (the host itself), ``com,example,`` (every
+    subdomain), and ``com,example:`` (the host on an explicit
+    non-default port; subdomain ports fall under the ``,`` prefix).
+    The ``)``/``,`` pair is adjacent in the sort order; the ``:``
+    prefix sits a short range away (bytes 0x2D–0x39 — e.g. an
+    ``example-x.com`` host — can sort between), so the OR of three
+    pushed StartsWith filters reads at most two contiguous shard
+    ranges."""
+    h = host.lower().strip(".")
     h = h[4:] if h.startswith("www.") else h  # match surt_key's strip
     rh = ",".join(reversed(h.split(".")))
     return spark.read.parquet(path).filter(
-        F.col("surt").startswith(rh + ")") | F.col("surt").startswith(rh + ",")
+        F.col("surt").startswith(rh + ")")
+        | F.col("surt").startswith(rh + ",")
+        | F.col("surt").startswith(rh + ":")
     )

@@ -3604,8 +3604,9 @@ JOIN rd USING (doc_id)
 def q_cdx_index(spark: SparkSession, sf: str) -> DataFrame:
     """CDX capture index (operators/cdx.build_cdx) over synthesized
     crawl URLs that exercise every SURT rule: uppercase scheme/host,
-    www-strip, non-default port, fragment strip, empty path → '/',
-    query-param sort with empty-param drop. ts is a pre-formatted
+    www-strip, non-default port KEPT, default :80/:443 DROPPED, FQDN
+    trailing-dot strip, fragment strip, empty path → '/', query-param
+    sort with empty-param drop. ts is a pre-formatted
     14-digit string (timestamp formatting is session-tz-dependent;
     the string path keeps the oracle engine-neutral). The global
     (surt, ts) range sort is exercised but not compared — the driver
@@ -3618,22 +3619,39 @@ def q_cdx_index(spark: SparkSession, sf: str) -> DataFrame:
     h = (d % 37).cast("string")
     url = (
         F.when(
-            d % 4 == 0,
+            d % 6 == 0,
             F.concat(
                 F.lit("HTTPS://WWW.Site"), h, F.lit(".Example.COM/Articles/"),
                 d.cast("string"), F.lit("?b=2&a=1&"),
             ),
         )
         .when(
-            d % 4 == 1,
+            d % 6 == 1,
             F.concat(
                 F.lit("http://site"), h, F.lit(".example.com:8080/"),
                 d.cast("string"), F.lit("#frag"),
             ),
         )
         .when(
-            d % 4 == 2,
+            d % 6 == 2,
             F.concat(F.lit("https://www.site"), h, F.lit(".example.com")),
+        )
+        .when(
+            # FQDN trailing dot + explicit default http port: both
+            # strip, keying with the plain-host captures
+            d % 6 == 3,
+            F.concat(
+                F.lit("http://Site"), h, F.lit(".example.com.:80/p/"),
+                d.cast("string"),
+            ),
+        )
+        .when(
+            # explicit default https port drops too
+            d % 6 == 4,
+            F.concat(
+                F.lit("HTTPS://site"), h, F.lit(".example.com:443/q/"),
+                d.cast("string"), F.lit("?x=1"),
+            ),
         )
         .otherwise(
             F.concat(
@@ -3655,12 +3673,16 @@ def q_cdx_index(spark: SparkSession, sf: str) -> DataFrame:
 ORACLE["cdx_index"] = r"""
 WITH pages AS (
   SELECT CASE
-           WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.Site' || (doc_id % 37)
+           WHEN doc_id % 6 = 0 THEN 'HTTPS://WWW.Site' || (doc_id % 37)
                 || '.Example.COM/Articles/' || doc_id || '?b=2&a=1&'
-           WHEN doc_id % 4 = 1 THEN 'http://site' || (doc_id % 37)
+           WHEN doc_id % 6 = 1 THEN 'http://site' || (doc_id % 37)
                 || '.example.com:8080/' || doc_id || '#frag'
-           WHEN doc_id % 4 = 2 THEN 'https://www.site' || (doc_id % 37)
+           WHEN doc_id % 6 = 2 THEN 'https://www.site' || (doc_id % 37)
                 || '.example.com'
+           WHEN doc_id % 6 = 3 THEN 'http://Site' || (doc_id % 37)
+                || '.example.com.:80/p/' || doc_id
+           WHEN doc_id % 6 = 4 THEN 'HTTPS://site' || (doc_id % 37)
+                || '.example.com:443/q/' || doc_id || '?x=1'
            ELSE 'http://site' || (doc_id % 37) || '.example.com/x/Y/'
                 || doc_id || '?z='
          END AS url,
@@ -3679,9 +3701,16 @@ WITH pages AS (
 ), surt AS (
   SELECT url, ts, text, rest,
          array_to_string(list_reverse(string_split(
-           regexp_replace(lower(split_part(hostport, ':', 1)),
-                          '^www\.', ''), '.')), ',')
+           regexp_replace(regexp_replace(
+             lower(split_part(hostport, ':', 1)),
+             '^\.+|\.+$', '', 'g'), '^www\.', ''), '.')), ',')
          || CASE WHEN contains(hostport, ':')
+                  AND NOT (lower(regexp_extract(url,
+                        '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'http'
+                      AND split_part(hostport, ':', 2) = '80')
+                  AND NOT (lower(regexp_extract(url,
+                        '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) = 'https'
+                      AND split_part(hostport, ':', 2) = '443')
                  THEN ':' || split_part(hostport, ':', 2) ELSE '' END
          || ')'
          || CASE WHEN split_part(rest, '?', 1) = '' THEN '/'

@@ -189,9 +189,34 @@ def parse_warc_records_located(data: bytes):
     record span for plain WARCs. A nonstandard multi-record member
     yields that member's whole range for each of its records."""
     if data[:2] == b"\x1f\x8b":
-        for moff, mlen, raw in _iter_gzip_members(data):
-            for headers, payload, _o, _l in _parse_plain_located(raw):
-                yield headers, payload, moff, mlen
+        # a member whose bytes start mid-record means the archive is
+        # NOT member-aligned — its per-member offsets would be
+        # meaningless and silently yielding nothing loses every
+        # record (review r05). A non-aligned LAST member is the
+        # truncated-tail case the whole parser family tolerates; a
+        # non-aligned MIDDLE member is structural and fails loudly.
+        pending = None
+        for m in _iter_gzip_members(data):
+            if pending is not None:
+                moff, mlen, raw = pending
+                if not raw.startswith(b"WARC/"):
+                    raise ValueError(
+                        "gzip member at offset %d does not start a WARC "
+                        "record: the archive is not member-aligned, so "
+                        "per-member byte ranges are meaningless — read "
+                        "it with parse_warc_records/read_warc_pages "
+                        "instead" % moff
+                    )
+                for headers, payload, _o, _l in _parse_plain_located(raw):
+                    yield headers, payload, moff, mlen
+            pending = m
+        if pending is not None:
+            moff, mlen, raw = pending
+            if raw.startswith(b"WARC/"):
+                for headers, payload, _o, _l in _parse_plain_located(raw):
+                    yield headers, payload, moff, mlen
+            # else: truncated/corrupt tail member — tolerated, like
+            # the non-located parsers
     else:
         yield from _parse_plain_located(data)
 
@@ -482,6 +507,15 @@ def _write_warc_segments(
     from ..operators.packing import shard_assign
 
     os.makedirs(out_dir, exist_ok=True)
+    # overwrite semantics, like write_cdx: stale segment files from a
+    # previous run with more segments (or leftover .inprogress tmps
+    # from a killed task) would otherwise survive and be ingested by
+    # the readers' globs alongside the fresh export (review r05)
+    for stale in os.listdir(out_dir):
+        if (
+            stale.startswith(f"{prefix}-") and stale.endswith(suffix)
+        ) or ".inprogress." in stale:
+            os.remove(os.path.join(out_dir, stale))
     payload_cols = list(record_cols)
     assigned = shard_assign(slim, num_segments, id_col="url", salt=salt)
 
@@ -500,7 +534,11 @@ def _write_warc_segments(
         # contended step, and it is atomic (review r05)
         ctx = TaskContext.get()
         attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
-        tmp = f"{final}.inprogress.{attempt}"
+        # dot-prefixed tmp: a leftover from a killed attempt must stay
+        # invisible to the readers' globs and Spark's hidden-file
+        # filter — '<final>.inprogress.N' matched '*.warc*' and was
+        # ingested as a torn duplicate segment (review r05)
+        tmp = os.path.join(out_dir, f".{name}.inprogress.{attempt}")
         # Duplicate url values share a uniform-hash key, so their
         # individual shard_pos assignments are arbitrary per run; the
         # BLOCK of positions they occupy is deterministic (contiguous
@@ -513,16 +551,21 @@ def _write_warc_segments(
         h = hashlib.sha256()
         n_bytes = 0
         with open(tmp, "wb") as f:
-            chunks = [_wet_warcinfo_bytes(name)]
-            for tup in zip(*(pdf[c] for c in payload_cols)):
-                chunks.append(record_fn(*(v or "" for v in tup)))
-            for c in chunks:
-                # mtime=0: gzip's default header stamps wall-clock
-                # time, which would break byte-determinism
+            # frame→compress→write one record at a time: buffering
+            # every framed record first doubled per-task peak memory
+            # on top of the pandas group (review r05). mtime=0: gzip's
+            # default header stamps wall-clock time, which would
+            # break byte-determinism.
+            def _emit(c: bytes) -> None:
+                nonlocal n_bytes
                 data = gzmod.compress(c, 6, mtime=0) if gz else c
                 f.write(data)
                 h.update(data)
                 n_bytes += len(data)
+
+            _emit(_wet_warcinfo_bytes(name))
+            for tup in zip(*(pdf[c] for c in payload_cols)):
+                _emit(record_fn(*(v or "" for v in tup)))
         os.replace(tmp, final)
         return pd.DataFrame(
             {

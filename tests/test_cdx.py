@@ -25,6 +25,13 @@ SURT_CASES = [
     ("http://example.com/a?b=2&a=1&", "com,example)/a?a=1&b=2"),
     ("http://www.www2.example.com/", "com,example,www2)/"),  # one www strip
     ("ftp://example.org/pub", "org,example)/pub"),
+    # FQDN trailing dot strips; the scheme's default port drops while
+    # a non-default port survives both
+    ("http://example.com./a", "com,example)/a"),
+    ("http://example.com.:80/x", "com,example)/x"),
+    ("https://example.com:443/x", "com,example)/x"),
+    ("https://example.com.:8443/", "com,example:8443)/"),
+    ("http://example.com:443/x", "com,example:443)/x"),  # not http's default
     ("/relative/path", None),
     ("", None),
 ]

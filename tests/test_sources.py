@@ -590,3 +590,52 @@ def test_read_dir_ignores_uncommitted_temporary(spark, tmp_path):
     spark.range(3).write.mode("overwrite").parquet(str(idx / "batch=1"))
     got = _read_dir(spark, str(idx))
     assert got is not None and got.count() == 3
+
+
+def test_wet_writer_overwrite_cleans_stale_segments(spark, tmp_path):
+    # re-exporting into the same dir with FEWER segments must not
+    # leave the old run's higher-numbered segments (or a killed
+    # attempt's tmp file) for the readers' globs to ingest
+    from nidaba_spark.sources.rawfiles import read_warc_pages, write_wet
+
+    docs = spark.createDataFrame(
+        [(f"https://s{i}.org/p", f"t {i}") for i in range(20)],
+        "url string, text string",
+    ).select(
+        "url",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        "text",
+    )
+    out = str(tmp_path / "wet")
+    write_wet(docs, out, num_segments=6)
+    # simulate a killed attempt's leftover tmp (old, non-dotted form)
+    open(os.path.join(out, "wet-00002.warc.wet.gz.inprogress.7"), "wb").write(
+        b"torn"
+    )
+    write_wet(docs.limit(8), out, num_segments=2)
+    names = sorted(os.listdir(out))
+    assert names == ["wet-00000.warc.wet.gz", "wet-00001.warc.wet.gz"]
+    assert read_warc_pages(spark, out, glob="*.warc.wet*").count() == 8
+
+
+def test_located_parser_rejects_unaligned_members():
+    # a MIDDLE gzip member starting mid-record = not member-aligned:
+    # per-member offsets are meaningless and the old code silently
+    # yielded nothing; a truncated LAST member stays tolerated
+    import gzip
+
+    import pytest as _pytest
+
+    from nidaba_spark.sources.rawfiles import (
+        parse_warc_records_located,
+        wet_record_bytes,
+    )
+
+    rec = wet_record_bytes("https://a.org/x", "2024-01-01T00:00:00Z", "hello")
+    good = gzip.compress(rec, 6, mtime=0)
+    misaligned = gzip.compress(rec[10:], 6, mtime=0)  # starts mid-record
+    with _pytest.raises(ValueError, match="member-aligned"):
+        list(parse_warc_records_located(good + misaligned + good))
+    # same bad bytes as the LAST member: tolerated as a truncated tail
+    got = list(parse_warc_records_located(good + misaligned))
+    assert len(got) == 1
