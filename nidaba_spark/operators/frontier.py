@@ -91,6 +91,17 @@ def crawl_frontier(
         al = redirect_aliases.groupBy(
             F.col("src").alias("_asrc")
         ).agg(F.min("final").alias("_afinal"))
+        # the SEEN set must speak the same (post-redirect) namespace
+        # as the remapped candidates: a fetch log keyed by requested
+        # urls holds /old, the candidate became /new, and an
+        # unmapped anti-join would re-admit the already-delivered
+        # landing page (review r05). Keep both forms — the requested
+        # url itself stays excluded too.
+        seen = seen.unionByName(
+            seen.join(al, seen["url"] == al["_asrc"]).select(
+                F.col("_afinal").alias("url")
+            )
+        )
     links = page_links(pages, url_col=url_col, html_col=html_col)
     if distinct_referrers:
         pairs = links.select("src", "dst").distinct()

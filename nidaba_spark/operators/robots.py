@@ -73,7 +73,16 @@ def _robots_fields(
         F.posexplode(
             F.split(
                 F.regexp_replace(
-                    F.regexp_replace(F.col("_txt"), "^﻿", ""), "\r", ""
+                    F.regexp_replace(
+                        # decoded U+FEFF BOM or its latin-1
+                        # mojibake (this repo decodes crawl
+                        # bytes as ISO-8859-1): either form
+                        # would kill the first directive and
+                        # orphan the whole group (review r05)
+                        F.col("_txt"),
+                        "^(?:\ufeff|\u00ef\u00bb\u00bf)",
+                        "",
+                    ), "\r", ""
                 ),
                 "\n",
             )
@@ -186,9 +195,19 @@ def url_path(url: Column) -> Column:
     """Path+query of an absolute URL ('/' when the URL has none).
     Scheme match is case-insensitive, like links.host_of — otherwise
     an uppercase-scheme URL would bind its host's rules but evaluate
-    with path '/'."""
-    p = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]+(/.*)?$", 1)
-    return F.when(p == "", F.lit("/")).otherwise(p)
+    with path '/'. The authority stops at '/', '?' or '#': the old
+    ``[^/]+`` swallowed a no-path query ('https://h?id=1' evaluated
+    as '/', escaping 'Disallow: /?sessionid=' rules) and misread a
+    query containing '/' as the path (review r05). A query with no
+    path gets the RFC 9309 effective form '/?...'."""
+    p = F.regexp_extract(
+        url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([/?].*)?$", 1
+    )
+    return (
+        F.when(p == "", F.lit("/"))
+        .when(p.startswith("?"), F.concat(F.lit("/"), p))
+        .otherwise(p)
+    )
 
 
 def robots_filter(

@@ -42,6 +42,50 @@ from pyspark.sql import functions as F
 from .filters import _WORD_SPLIT  # noqa: F401  (re-exported for callers)
 from .filters import _words as _words_col
 
+import re as _re
+
+
+def _query_terms(query: list[str]) -> list[str]:
+    """Tokenize query strings with the SAME word rule the index used
+    (_WORD_SPLIT over the lowercased text). A punctuated or
+    multi-word query ('state-of-the-art', 'U.S.') previously compared
+    WHOLE via isin() against single-token postings and silently
+    matched nothing — violating this module's own index≡query
+    tokenization invariant (review r05)."""
+    toks = {
+        t
+        for q in query
+        if q
+        for t in _re.split(_WORD_SPLIT, q.lower())
+        if t
+    }
+    if not toks:
+        raise ValueError("query must contain at least one term")
+    return sorted(toks)
+
+
+def _doc_terms(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term) token stream — THE tokenized-corpus definition,
+    shared by the one-shot and postings paths so they can never
+    desynchronize."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_words_col(F.col(text_col))).alias("term"),
+    )
+
+
+def _stored_bucket_count(spark, path: str):
+    """(stats_df, bucket count) recorded in a postings index; raises
+    on a mixed-layout index."""
+    stats_raw = spark.read.parquet(path + "/stats")
+    stored = {
+        r["buckets"] for r in stats_raw.select("buckets").distinct().collect()
+    }
+    if len(stored) != 1:
+        raise ValueError(f"index at {path} has mixed bucket counts: {stored}")
+    (buckets,) = stored
+    return stats_raw, int(buckets)
+
 
 def bm25_topk(
     docs: DataFrame,
@@ -54,14 +98,10 @@ def bm25_topk(
     round_to: int = 4,
 ) -> DataFrame:
     """(doc_id, score) — top-``k`` BM25 matches for ``query`` terms
-    (terms are lowercased; docs containing none score nothing)."""
-    terms = sorted({t.lower() for t in query if t})
-    if not terms:
-        raise ValueError("query must contain at least one term")
-    words = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_words_col(F.col(text_col))).alias("term"),
-    )
+    (tokenized with the index's own word rule; docs containing none
+    score nothing)."""
+    terms = _query_terms(query)
+    words = _doc_terms(docs, id_col, text_col)
     doclen = words.groupBy("doc_id").agg(F.count("*").alias("dl"))
     stats = doclen.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
@@ -153,10 +193,16 @@ def append_postings(
     stored value back instead of trusting its caller. The exploded
     words are pinned with a lazy localCheckpoint so the corpus is
     tokenized ONCE for all three writes, not three times."""
-    words = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_words_col(F.col(text_col))).alias("term"),
-    ).localCheckpoint(eager=False)
+    sc = docs.sparkSession.sparkContext
+    jp = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jp(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(jp(path + "/stats")):
+        # write-side contract: appending into an EXISTING index uses
+        # the stored bucket count, never the caller's — one append
+        # hashed with a different modulus poisons every read with
+        # 'mixed bucket counts' until a manual rewrite (review r05)
+        _, buckets = _stored_bucket_count(docs.sparkSession, path)
+    words = _doc_terms(docs, id_col, text_col).localCheckpoint(eager=False)
     tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     tf.withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(buckets))).write.mode(
         "overwrite"
@@ -179,7 +225,15 @@ def build_postings(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> None:
-    """Build the index from scratch = append batch 0."""
+    """Build the index from scratch: any existing postings/doclen/
+    stats batches are REMOVED first — overwriting only batch=0 left a
+    previous run's appended batches live, double-counting shared doc
+    ids and corrupting scores with no error (review r05)."""
+    sc = docs.sparkSession.sparkContext
+    jp = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jp(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    for table in ("postings", "doclen", "stats"):
+        fs.delete(jp(f"{path}/{table}"), True)
     append_postings(docs, path, 0, buckets, text_col, id_col)
 
 
@@ -197,14 +251,8 @@ def bm25_topk_postings(
     the postings scan carries a PartitionFilter on the query terms'
     hash buckets, so only |query| of the ``buckets`` partitions are
     read — the corpus text is never touched."""
-    terms = sorted({t.lower() for t in query if t})
-    if not terms:
-        raise ValueError("query must contain at least one term")
-    stats_raw = spark.read.parquet(path + "/stats")
-    stored = {r["buckets"] for r in stats_raw.select("buckets").distinct().collect()}
-    if len(stored) != 1:
-        raise ValueError(f"index at {path} has mixed bucket counts: {stored}")
-    (stored_buckets,) = stored
+    terms = _query_terms(query)
+    stats_raw, stored_buckets = _stored_bucket_count(spark, path)
     if buckets is not None and buckets != stored_buckets:
         raise ValueError(
             f"bucket count mismatch: index built with {stored_buckets}, "
@@ -275,22 +323,29 @@ def compact_postings(spark, path: str) -> dict:
             n += it.next().getPath().getName().endswith(".parquet")
         return n
 
-    stats_raw = spark.read.parquet(path + "/stats")
-    stored = {r["buckets"] for r in stats_raw.select("buckets").distinct().collect()}
-    if len(stored) != 1:
-        raise ValueError(f"index at {path} has mixed bucket counts: {stored}")
-    (buckets,) = stored
-    batches = [
+    _, buckets = _stored_bucket_count(spark, path)
+    # snapshot the batch list ONCE and read exactly those paths: the
+    # directory-level read would list at execution time, so a batch
+    # appended mid-compaction could be half-included — and the final
+    # delete of the old copy would destroy any batch committed after
+    # the snapshot while its id sits committed in the appender's
+    # bookkeeping (the compact_edges race, review r05). Post-snapshot
+    # batches are moved back into the installed tables instead.
+    batches = sorted(
         s.getPath().getName()
         for s in fs.listStatus(jp(path + "/postings"))
         if s.getPath().getName().startswith("batch=")
-    ]
+    )
     files_before = count_files("postings")
+    stats_raw = spark.read.option("basePath", f"{path}/stats").parquet(
+        *[f"{path}/stats/{b}" for b in batches]
+    )
 
     tmp = f"{path}/.compacting"
     fs.delete(jp(tmp), True)  # clear any crashed previous attempt
     (
-        spark.read.parquet(path + "/postings")
+        spark.read.option("basePath", f"{path}/postings")
+        .parquet(*[f"{path}/postings/{b}" for b in batches])
         .groupBy("bucket", "term", "doc_id")
         .agg(F.sum("tf").cast("long").alias("tf"))
         .repartition(int(buckets), "bucket")
@@ -298,7 +353,8 @@ def compact_postings(spark, path: str) -> dict:
         .parquet(f"{tmp}/postings/batch=0")
     )
     (
-        spark.read.parquet(path + "/doclen")
+        spark.read.option("basePath", f"{path}/doclen")
+        .parquet(*[f"{path}/doclen/{b}" for b in batches])
         .select("doc_id", "dl")
         .repartition(spark.sparkContext.defaultParallelism)
         .write.parquet(f"{tmp}/doclen/batch=0")
@@ -316,6 +372,7 @@ def compact_postings(spark, path: str) -> dict:
     old = f"{path}/.compact_old"
     fs.delete(jp(old), True)
     fs.mkdirs(jp(old))
+    snapshot = set(batches)
     for table in ("postings", "doclen", "stats"):
         if not fs.rename(jp(f"{path}/{table}"), jp(f"{old}/{table}")):
             raise OSError(f"compaction swap failed moving {table} aside")
@@ -324,6 +381,14 @@ def compact_postings(spark, path: str) -> dict:
                 f"compaction swap failed installing {table}; originals "
                 f"preserved under {old}"
             )
+        # batches appended between the snapshot and the swap survive:
+        # move them into the installed table before the old copy drops
+        for s in fs.listStatus(jp(f"{old}/{table}")):
+            name = s.getPath().getName()
+            if name.startswith("batch=") and name not in snapshot:
+                fs.rename(
+                    jp(f"{old}/{table}/{name}"), jp(f"{path}/{table}/{name}")
+                )
     fs.delete(jp(old), True)
     fs.delete(jp(tmp), True)
     return {

@@ -178,11 +178,14 @@ def fetch_validators(
             F.col("last_modified").alias("last_modified"),
         )
     ).alias("_v")
+    # key column name preserved (every sibling here does): hardcoding
+    # 'url' broke the documented join onto recrawl_priority's schedule
+    # for any non-default key_col (review r05)
     return (
-        responses.groupBy(F.col(key_col).alias("url"))
+        responses.groupBy(F.col(key_col).alias(key_col))
         .agg(picked)
         .select(
-            "url",
+            key_col,
             F.col("_v.ts").alias(ts_col),
             F.col("_v.etag").alias("etag"),
             F.col("_v.last_modified").alias("last_modified"),

@@ -160,3 +160,31 @@ def test_frontier_aliases_respect_distinct_referrers(spark):
         for r in crawl_frontier(pages, redirect_aliases=aliases).collect()
     }
     assert occ == {"https://t.com/new": 3}
+
+
+def test_frontier_aliases_exclude_crawled_landing_pages(spark):
+    # the fetch log records REQUESTED urls: crawled /old (which 301s
+    # to /new) means /new's content was already delivered, so a link
+    # to /old (remapped to /new) must NOT re-enter the frontier
+    s = "https://al.example.com"
+    pages = spark.createDataFrame(
+        [
+            (
+                f"{s}/page",
+                f'<html><body><a href="{s}/old">x</a>'
+                f'<a href="{s}/fresh">y</a></body></html>'.encode(),
+            )
+        ],
+        "url string, html binary",
+    )
+    crawled = spark.createDataFrame([(f"{s}/old",)], "url string")
+    aliases = spark.createDataFrame(
+        [(f"{s}/old", f"{s}/new")], "src string, final string"
+    )
+    got = {
+        r["url"]
+        for r in crawl_frontier(
+            pages, crawled=crawled, redirect_aliases=aliases
+        ).collect()
+    }
+    assert got == {f"{s}/fresh"}  # /new excluded: already delivered

@@ -10,6 +10,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from nidaba_spark.operators.robots import robots_filter, robots_rules  # noqa: E402
 
 FIXTURE = [
@@ -160,3 +162,35 @@ def test_robots_filter_page_side_plan(spark):
     )
     nplan = nb._jdf.queryExecution().executedPlan().toString()
     assert re.findall(r"(?:SortMerge|ShuffledHash)Join", nplan), nplan[:1500]
+
+
+def test_url_path_query_forms(spark):
+    # authority must stop at '?': a no-path query evaluates as the
+    # RFC 9309 effective form '/?...' (so 'Disallow: /?sessionid='
+    # actually blocks it), and a query containing '/' is never
+    # misread as the path
+    from nidaba_spark.operators.robots import url_path
+
+    cases = [
+        ("https://h.example/a/b?x=1", "/a/b?x=1"),
+        ("https://h.example?id=1", "/?id=1"),
+        ("https://h.example?x/y", "/?x/y"),
+        ("HTTPS://h.example", "/"),
+        ("https://h.example/", "/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["p"] for r in df.select(url_path(F.col("url")).alias("p")).collect()]
+    assert got == [p for _, p in cases]
+
+
+def test_bom_mojibake_stripped(spark):
+    # crawl bytes decoded as ISO-8859-1 turn a UTF-8 BOM into the
+    # printable mojibake prefix; either form must not orphan the
+    # first directive's whole group
+    moji = b"\xef\xbb\xbf".decode("ISO-8859-1")
+    txt = moji + "User-agent: *\nDisallow: /private\n"
+    robots = spark.createDataFrame(
+        [("h.example", txt)], "host string, robots_txt string"
+    )
+    rules = {r["host"]: r["rules"] for r in robots_rules(robots).collect()}
+    assert rules and rules["h.example"][0]["path"] == "/private"

@@ -255,3 +255,20 @@ def test_postings_bucket_contract_enforced(spark, docs, tmp_path):
     assert len(auto) > 0  # buckets auto-read from the index
     with pytest.raises(ValueError, match="mismatch"):
         bm25_topk_postings(spark, path, ["apple"], k=5, buckets=16)
+
+
+def test_query_terms_tokenized_like_index(spark):
+    # a punctuated/multi-word query must search its sub-tokens (the
+    # index's own word rule), not compare whole via isin() and
+    # silently match nothing
+    docs = spark.createDataFrame(
+        [
+            (1, "state of the art systems"),
+            (2, "banana banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    whole = {r["doc_id"] for r in bm25_topk(docs, ["State-of-the-Art"], k=5).collect()}
+    subtok = {r["doc_id"] for r in bm25_topk(docs, ["state", "of", "the", "art"], k=5).collect()}
+    assert whole == subtok == {1, 2} or whole == subtok  # identical result sets
+    assert 1 in whole  # and the intended doc actually matches
