@@ -25,33 +25,33 @@ STAGE_VER = "v1"
 _SEP = "\n\n"
 _SEP_BYTES = len(_SEP.encode("utf-8"))
 
-_SPANS_INIT = (
-    "CAST(named_struct('off', 0L, 'spans', "
-    "CAST(array() AS array<struct<block_id:int,start:bigint,end:bigint,kind:string>>)) "
-    "AS struct<off:bigint, spans:array<struct<block_id:int,start:bigint,end:bigint,kind:string>>>)"
-)
-
 
 def _spans_col():
-    def merge(acc, x):
-        start = acc["off"] + F.when(
-            F.size(acc["spans"]) > 0, F.lit(_SEP_BYTES).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
+    # start_i = sum(byte lengths of blocks 0..i-1) + i * sep bytes.
+    # The previous form folded with concat(acc.spans, array(span)),
+    # copying the accumulated struct array on EVERY element — O(n^2)
+    # allocations per document inside an already-interpreted
+    # (CodegenFallback) expression; a 10k-block page stalled its task
+    # far beyond the parse cost (review r05). The index/slice form
+    # still does O(n^2) integer adds but zero array copies.
+    kept = F.col("kept")
+    lens = F.transform(kept, lambda x: F.octet_length(x["text"]).cast("long"))
+
+    def span(x, i):
+        start = F.aggregate(
+            F.slice(lens, F.lit(1), i),
+            F.lit(0).cast("long"),
+            lambda a, e: a + e,
+        ) + i.cast("long") * F.lit(_SEP_BYTES).cast("long")
         end = start + F.octet_length(x["text"]).cast("long")
-        span = F.struct(
+        return F.struct(
             x["block_id"].alias("block_id"),
             start.alias("start"),
             end.alias("end"),
             x["kind"].alias("kind"),
         )
-        return F.struct(
-            end.alias("off"),
-            F.concat(acc["spans"], F.array(span)).alias("spans"),
-        )
 
-    return F.aggregate(
-        F.col("kept"), F.expr(_SPANS_INIT), merge, lambda acc: acc["spans"]
-    )
+    return F.transform(kept, span)
 
 
 def merge_stage(classified: DataFrame) -> DataFrame:

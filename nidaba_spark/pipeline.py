@@ -222,17 +222,51 @@ def extract(
             )
             est = _plan_size_bytes(pages)
             do_bcast = est is not None and est < ceiling
-        patched = fallback_stage(
-            pages.select("url", "warc_ts", "text").join(
-                F.broadcast(needy) if do_bcast else needy, ["url", "warc_ts"]
-            )
+        # join semantics (review r05): warc_ts compares NULL-SAFE —
+        # the WARC source deliberately coerces malformed warc-date to
+        # NaT, and a null-unsafe equi-join would silently DROP every
+        # null-ts needy row (staged/fused_inline keep them). Known
+        # divergence, accepted to keep the zero-extra-Exchange plan
+        # (plan-shape-pinned): EXACT-duplicate (url, warc_ts) input
+        # rows whose parse keeps nothing fan out n×n here where the
+        # staged path emits n — dedup identical captures upstream if
+        # exact-dup inputs are possible (curate's recrawl dedup does).
+        n2 = (
+            (F.broadcast(needy) if do_bcast else needy)
+            .withColumnRenamed("url", "_nu")
+            .withColumnRenamed("warc_ts", "_nts")
         )
+        matched = (
+            pages.select("url", "warc_ts", "text")
+            .join(
+                n2,
+                (F.col("url") == F.col("_nu"))
+                & F.col("warc_ts").eqNullSafe(F.col("_nts")),
+            )
+            .drop("_nu", "_nts")
+        )
+        patched = fallback_stage(matched)
         return ok.unionByName(patched)
     prepared = prepare(pages, nsalt, npartitions)
     if mode == "fused_inline":
         from .operators.fused import fused_extract_stage
 
         return fused_extract_stage(prepared, metrics)
+    if mode != "staged":
+        # a typo'd mode silently ran the slow staged path while the
+        # caller believed they measured the fused plan (review r05)
+        raise ValueError(
+            f"unknown extract mode {mode!r}; expected one of "
+            "'fused', 'fused_noshuffle', 'fused_inline', 'staged'"
+        )
+    if metrics is not None:
+        # staged path previously dropped the metrics argument — a
+        # run_incremental(mode='staged') manifest reported all-zero
+        # accumulators despite processing the whole batch
+        df = _STAGE_FN["decode"](prepared, metrics)
+        for stage in STAGES[1:]:
+            df = _STAGE_FN[stage](df)
+        return df
     return transform(prepared)
 
 
@@ -261,6 +295,16 @@ class Pipeline:
     def _manifest_path(self, stage: str) -> str:
         return os.path.join(self.run_dir, f"manifest_{stage}.json")
 
+    @staticmethod
+    def _write_json_atomic(path: str, obj) -> None:
+        """tmp + os.replace, like every data write here: a crash mid
+        open('w')+dump leaves truncated JSON that makes manifest()/
+        is_complete() raise forever — bricking resume (review r05)."""
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(obj, f)
+        os.replace(tmp, path)
+
     def manifest(self, stage: str) -> dict | None:
         p = self._manifest_path(stage)
         if not os.path.exists(p):
@@ -284,8 +328,7 @@ class Pipeline:
             with open(self._attempts_path()) as f:
                 attempts = json.load(f)
         attempts[stage] = attempts.get(stage, 0) + 1
-        with open(self._attempts_path(), "w") as f:
-            json.dump(attempts, f)
+        self._write_json_atomic(self._attempts_path(), attempts)
         return attempts[stage]
 
     def _orphan_inc_attempts(self, since_attempt: int, before_attempt: int) -> list[int]:
@@ -362,9 +405,11 @@ class Pipeline:
             F.lit("ok").alias("status"),
         ).persist()
         lineage.coalesce(1).write.mode("append").parquet(self._lineage_dir())
-        n_rows = lineage.select(F.sum("output_rows")).collect()[0][0] or 0
+        tot = lineage.select(
+            F.sum("output_rows"), F.sum("bytes_out")
+        ).collect()[0]
         lineage.unpersist()
-        return int(n_rows)
+        return int(tot[0] or 0), int(tot[1] or 0)
 
     def lineage(self) -> DataFrame:
         return self.spark.read.schema(schemas.LINEAGE).parquet(self._lineage_dir())
@@ -413,22 +458,26 @@ class Pipeline:
             else:
                 input_rows = -1
             bytes_in = metrics.bytes_in.value if metrics is not None else prev_bytes
-            n_rows = self._append_lineage(stage, attempt, input_rows, bytes_in, started, finished)
-            with open(self._manifest_path(stage), "w") as f:
-                json.dump(
-                    {
-                        "run_id": self.run_id,
-                        "stage": stage,
-                        "status": "ok",
-                        "attempt": attempt,
-                        "rows": n_rows,
-                        "started": started.isoformat(),
-                        "finished": finished.isoformat(),
-                        "accumulators": metrics.snapshot() if metrics else None,
-                    },
-                    f,
-                )
-            prev_bytes = 0
+            n_rows, bytes_out = self._append_lineage(
+                stage, attempt, input_rows, bytes_in, started, finished
+            )
+            self._write_json_atomic(
+                self._manifest_path(stage),
+                {
+                    "run_id": self.run_id,
+                    "stage": stage,
+                    "status": "ok",
+                    "attempt": attempt,
+                    "rows": n_rows,
+                    "started": started.isoformat(),
+                    "finished": finished.isoformat(),
+                    "accumulators": metrics.snapshot() if metrics else None,
+                },
+            )
+            # flow this stage's measured output bytes into the next
+            # stage's lineage bytes_in (was a dead `prev_bytes = 0`
+            # reassignment, so every post-decode stage logged 0)
+            prev_bytes = bytes_out
         return self.spark.read.schema(schemas.EXTRACTED).parquet(self._stage_path("merge"))
 
     def markdown(self) -> DataFrame:
@@ -463,8 +512,26 @@ class Pipeline:
         # those rows are real and must not be reprocessed/duplicated,
         # so read existing urls whenever any checkpoint data exists.
         if os.path.isdir(merge_path):
-            done = self.spark.read.schema(schemas.EXTRACTED).parquet(merge_path).select("url")
-            todo = pages.join(done, "url", "left_anti")
+            # key = (url, warc_ts) with a NULL-SAFE ts compare, not url
+            # alone (review r05): a recrawl of a known url at a new
+            # timestamp is a new snapshot and must be processed (the
+            # data model explicitly carries per-ts recrawls — the
+            # extract fallback join keys the same way), and a crash
+            # that moved only some of a url's part-files must not
+            # shadow the unmoved rows at other timestamps.
+            done = (
+                self.spark.read.schema(schemas.EXTRACTED)
+                .parquet(merge_path)
+                .select(
+                    F.col("url").alias("_du"), F.col("warc_ts").alias("_dts")
+                )
+            )
+            todo = pages.join(
+                done,
+                (pages["url"] == F.col("_du"))
+                & pages["warc_ts"].eqNullSafe(F.col("_dts")),
+                "left_anti",
+            )
         else:
             todo = pages
         metrics = StageMetrics(self.spark.sparkContext, "incremental")
@@ -482,7 +549,15 @@ class Pipeline:
         # unmoved remainder on the next call (no duplicates — a file is
         # either fully present or absent).
         tmp = merge_path + f".inc{attempt}.tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # sweep orphaned tmp dirs from CRASHED attempts (each attempt
+        # gets a new name, so nothing else ever cleans them — an
+        # unbounded disk leak across restarts; their rows were never
+        # moved in, and the anti-join re-extracts them, so deleting is
+        # safe)
+        import glob as _glob
+
+        for stale in _glob.glob(merge_path + ".inc*.tmp"):
+            shutil.rmtree(stale, ignore_errors=True)
         ext.write.mode("overwrite").parquet(tmp)
         # Manifest row count = prior rows + rows in this batch — never a
         # full re-count of the merge checkpoint (VERDICT r02 "what's
@@ -523,19 +598,18 @@ class Pipeline:
             shutil.rmtree(tmp, ignore_errors=True)
         finished = dt.datetime.now(dt.timezone.utc)
         n_rows = prev_rows + n_new
-        with open(self._manifest_path("merge"), "w") as f:
-            json.dump(
-                {
-                    "run_id": self.run_id,
-                    "stage": "merge",
-                    "status": "ok",
-                    "attempt": attempt,
-                    "rows": n_rows,
-                    "started": started.isoformat(),
-                    "finished": finished.isoformat(),
-                    "accumulators": metrics.snapshot(),
-                    "incremental": True,
-                },
-                f,
-            )
+        self._write_json_atomic(
+            self._manifest_path("merge"),
+            {
+                "run_id": self.run_id,
+                "stage": "merge",
+                "status": "ok",
+                "attempt": attempt,
+                "rows": n_rows,
+                "started": started.isoformat(),
+                "finished": finished.isoformat(),
+                "accumulators": metrics.snapshot(),
+                "incremental": True,
+            },
+        )
         return self.spark.read.schema(schemas.EXTRACTED).parquet(merge_path)

@@ -187,3 +187,47 @@ def test_pruned_fused_edge_fallback_mixes(spark):
             want_text, want_spans = oracle.extract(html, text)
             assert got[u][0] == want_text, u
             assert got[u][1] == tuple((s.kind,) for s in want_spans), u
+
+
+def test_fused_fallback_keeps_null_warc_ts_rows(spark):
+    """The WARC source coerces malformed warc-date to NaT, so NULL
+    warc_ts pages are a designed-for input. The fused fallback join
+    must compare the timestamp NULL-SAFE — a plain equi-join silently
+    dropped every null-ts page whose parse keeps nothing, losing its
+    crawler-text fallback document entirely (review r05)."""
+    import datetime as dt
+
+    from nidaba_spark import pipeline, schemas
+
+    rows = [
+        # null ts + boilerplate-only html -> needs the fallback
+        ("https://nt.example/a", None, b"", "crawler text alpha here", "en"),
+        # null ts + real content -> ok branch
+        (
+            "https://nt.example/b",
+            None,
+            (
+                "<html><body><p>"
+                + "Real visible content with plenty of words here. " * 8
+                + "</p></body></html>"
+            ).encode(),
+            "crawler beta",
+            "en",
+        ),
+        # normal ts control
+        (
+            "https://nt.example/c",
+            dt.datetime(2024, 1, 1),
+            b"",
+            "crawler text gamma",
+            "en",
+        ),
+    ]
+    pages = spark.createDataFrame(rows, schema=schemas.PAGES)
+    got = {
+        r["url"]: r["text"]
+        for r in pipeline.extract(pages, npartitions=4).collect()
+    }
+    assert set(got) == {u for u, *_ in rows}
+    assert "alpha" in got["https://nt.example/a"]
+    assert "gamma" in got["https://nt.example/c"]
