@@ -214,6 +214,14 @@ def keep_best(
         .select(
             rep_col,
             F.col("_m.n").alias("keep_node"),
-            (-F.col("_m.ns")).alias("keep_score"),
+            # a cluster with NO scored member would otherwise emit the
+            # -inf coalesce sentinel as its keep_score (review r05) —
+            # surface null, which is what "no score existed" means
+            F.when(
+                F.col("_m.ns") == F.lit(float("inf")),
+                F.lit(None).cast("double"),
+            )
+            .otherwise(-F.col("_m.ns"))
+            .alias("keep_score"),
         )
     )

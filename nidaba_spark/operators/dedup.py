@@ -29,11 +29,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-def _shl(col, n):
-    """shiftleft with a Column bit count (the pyspark wrapper only takes int)."""
-    return F.call_function("shiftleft", col, n if isinstance(n, Column) else F.lit(n))
-
-
 def _shr(col, n):
     return F.call_function("shiftright", col, n if isinstance(n, Column) else F.lit(n))
 
@@ -49,9 +44,17 @@ def tokens_col(text: Column) -> Column:
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup: keep the lowest id per identical text (hash-groupBy)."""
+    """Exact dedup: keep the lowest id per identical text (hash-groupBy
+    on xxhash64 PLUS byte length — a 64-bit hash alone false-merges
+    ~n^2/2^65 distinct texts at the 10^12-doc design point (birthday),
+    the exact scheme paragraph_dedup's analysis rejects; the length
+    key catches virtually all such collisions for 8 extra shuffle
+    bytes, review r05)."""
     return (
-        docs.groupBy(F.xxhash64(F.col(text_col)).alias("text_hash"))
+        docs.groupBy(
+            F.xxhash64(F.col(text_col)).alias("text_hash"),
+            F.length(F.col(text_col)).alias("_len"),
+        )
         .agg(
             F.min(id_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_dupes"),
@@ -156,6 +159,11 @@ def ngram_jaccard_pairs(
     """
     toks = (
         docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("tok"))
+        # lazy pin: the prefix path references toks three times (df
+        # counts, the ranked join, the verify sets) and Spark has no
+        # common-subplan reuse — without this the corpus tokenization
+        # executes 3x per call (review r05; the semdedup pattern)
+        .localCheckpoint(eager=False)
     )
     if not prefix_filter:
         sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
@@ -181,8 +189,6 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b", "jaccard")
         )
     # prefix-filter path: df-ranked prefixes -> candidates -> exact verify
-    from pyspark.sql import Window
-
     df_tok = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = toks.join(df_tok, "tok")
     w_id = Window.partitionBy("id")
@@ -431,7 +437,25 @@ def write_lsh_index(
     """Append one ingest batch's LSH rows to the partitioned index at
     ``path``: batch=N/band=B/pb=H directories (idempotent per-batch
     OVERWRITE — replays converge) plus a one-row _meta table recording
-    the layout contract (num_hashes, bands, pbuckets)."""
+    the layout contract (num_hashes, bands, pbuckets, shingle_k —
+    shingle_k included because it determines signature COMPARABILITY:
+    a 5-gram index probed with 3-gram signatures estimates near-random
+    jaccard and silently misses true near-dups, review r05). Appending
+    into an existing index validates against the stored contract
+    FIRST — a mismatched batch used to be detected only batches
+    later, at read time, far from its cause."""
+    spark = docs.sparkSession
+    sc = spark.sparkContext
+    jp = sc._jvm.org.apache.hadoop.fs.Path
+    fs = jp(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    params = (num_hashes, bands, pbuckets, shingle_k)
+    if fs.exists(jp(f"{path}/_meta")):
+        stored = _lsh_meta(spark, path)
+        if stored != params:
+            raise ValueError(
+                f"LSH index at {path} uses (num_hashes, bands, pbuckets, "
+                f"shingle_k)={stored}; this append passed {params}"
+            )
     idx = minhash_index(docs, num_hashes, bands, shingle_k, text_col, id_col)
     (
         idx.withColumn("pb", F.pmod(F.col("bucket"), F.lit(pbuckets)))
@@ -439,22 +463,25 @@ def write_lsh_index(
         .partitionBy("band", "pb")
         .parquet(f"{path}/rows/batch={batch_id}")
     )
-    spark = docs.sparkSession
     spark.createDataFrame(
-        [(num_hashes, bands, pbuckets)], "num_hashes int, bands int, pbuckets int"
+        [params],
+        "num_hashes int, bands int, pbuckets int, shingle_k int",
     ).write.mode("overwrite").parquet(f"{path}/_meta/batch={batch_id}")
 
 
-def _lsh_meta(spark, path: str) -> tuple[int, int, int]:
-    metas = {
-        (r["num_hashes"], r["bands"], r["pbuckets"])
-        for r in spark.read.parquet(path + "/_meta").select(
-            "num_hashes", "bands", "pbuckets"
-        ).distinct().collect()
-    }
+def _lsh_meta(spark, path: str) -> tuple[int, int, int, int]:
+    """(num_hashes, bands, pbuckets, shingle_k) stored contract; a
+    legacy index written before shingle_k was recorded reads back the
+    then-hardwired default 3."""
+    df = spark.read.parquet(path + "/_meta")
+    cols = ["num_hashes", "bands", "pbuckets"]
+    if "shingle_k" in df.columns:
+        cols.append("shingle_k")
+    metas = {tuple(r) for r in df.select(*cols).distinct().collect()}
     if len(metas) != 1:
         raise ValueError(f"LSH index at {path} has mixed layouts: {metas}")
-    return next(iter(metas))
+    m = next(iter(metas))
+    return m if len(m) == 4 else (*m, 3)
 
 
 def read_lsh_index(spark, path: str) -> DataFrame:
@@ -476,9 +503,13 @@ def minhash_lsh_pairs_vs_stored(
     batch's own index (≤ bands×pbuckets values, a bounded collect)
     become IN-list partition filters on the scan, so the job touches
     only the collision neighborhood's files — the 10^12-row shape.
-    Layout parameters come from the stored _meta contract."""
+    ALL layout parameters — including shingle_k, which determines
+    signature comparability — come from the stored _meta contract;
+    the ``shingle_k`` argument is only the fallback for legacy
+    indexes whose _meta predates the column."""
     spark = new_docs.sparkSession
-    num_hashes, bands, pbuckets = _lsh_meta(spark, path)
+    num_hashes, bands, pbuckets, stored_k = _lsh_meta(spark, path)
+    shingle_k = stored_k if stored_k is not None else shingle_k
     new_idx = minhash_index(
         new_docs, num_hashes, bands, shingle_k, text_col, id_col
     ).localCheckpoint(eager=False)
@@ -522,7 +553,7 @@ def compact_lsh_index(spark, path: str) -> dict:
             n += it.next().getPath().getName().endswith(".parquet")
         return n
 
-    num_hashes, bands, pbuckets = _lsh_meta(spark, path)
+    num_hashes, bands, pbuckets, _sk = _lsh_meta(spark, path)
     files_before = count_files("rows")
     tmp = f"{path}/.compacting"
     fs.delete(jp(tmp), True)
@@ -580,7 +611,20 @@ def _pairs_from_indexes(
             .otherwise(F.col("x.sig"))
             .alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # deterministic pick, NOT dropDuplicates: a re-crawled id can
+        # sit in hist and new with DIFFERENT sigs, and an arbitrary
+        # row would make est_jaccard vary run to run (review r05) —
+        # max(struct(sig_a, sig_b)) is a stable function of the pair
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.max(F.struct("sig_a", "sig_b")).alias("_sg"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_sg.sig_a").alias("sig_a"),
+            F.col("_sg.sig_b").alias("sig_b"),
+        )
     )
     agree = F.size(
         F.filter(
@@ -639,7 +683,16 @@ def simhash_pairs(
     Blocking: 4 x 16-bit chunks — by pigeonhole, any pair within
     hamming distance 3 shares at least one exact chunk, so the join is
     on chunk equality (linear-ish), then verified with bit_count(xor).
+    The pigeonhole argument needs MORE chunks than the distance, so
+    this blocking is complete only for max_hamming <= 3; a larger
+    value would silently lose pairs differing in one bit per chunk
+    (review r05) — rejected loudly instead.
     """
+    if max_hamming > 3:
+        raise ValueError(
+            "simhash_pairs' 4-chunk blocking is complete only for "
+            f"max_hamming <= 3 (pigeonhole); got {max_hamming}"
+        )
     sh = simhash_table(docs, 64, text_col, id_col)
     chunks = sh.select(
         "id",

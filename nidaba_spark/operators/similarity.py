@@ -25,11 +25,6 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _shl(col, n):
-    """shiftleft with a Column bit count (the pyspark wrapper only takes int)."""
-    return F.call_function("shiftleft", col, n if isinstance(n, Column) else F.lit(n))
-
-
 def _shr(col, n):
     return F.call_function("shiftright", col, n if isinstance(n, Column) else F.lit(n))
 
@@ -49,8 +44,12 @@ def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
         for t in terms[1:]:
             out = out + t
         return out
+    # cast BEFORE multiplying: float*float stays FloatType (24-bit
+    # rounding per product) while the unrolled dim path and the DuckDB
+    # oracles multiply in double — the same function must not return
+    # different values depending on whether dim was passed (review r05)
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -61,7 +60,15 @@ def _norm(a: Column, dim: int | None = None) -> Column:
 
 
 def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
-    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+    """Cosine similarity; a ZERO-norm side scores 0.0 against
+    everything — 0/0 would be NaN, which Spark orders ABOVE every
+    real number, so one failed/padded all-zero embedding would rank
+    #1 for every query in the top-k windows (review r05; same
+    contract as pq.py's null-embedding rule)."""
+    denom = _norm(a, dim) * _norm(b, dim)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(
+        _dot(a, b, dim) / denom
+    )
 
 
 def _cosine_prenorm(a: Column, b: Column, na: Column, nb: Column, dim: int | None) -> Column:
@@ -72,7 +79,8 @@ def _cosine_prenorm(a: Column, b: Column, na: Column, nb: Column, dim: int | Non
     whole stage silently drops to interpreted eval (observed in the
     r02 verify run). Computing each norm in its own pre-join
     projection keeps every codegen method small."""
-    return _dot(a, b, dim) / (na * nb)
+    denom = na * nb
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(_dot(a, b, dim) / denom)
 
 
 def brute_force_topk(
@@ -370,8 +378,6 @@ def lsh_topk(
     ).select(
         query_id_col, "_q", "_nq", F.col("bk.band").alias("band"), F.col("bk.key").alias("bucket")
     )
-    from pyspark.sql import Window
-
     scored = vb.join(F.broadcast(qb), ["band", "bucket"]).select(
         query_id_col,
         id_col,

@@ -155,10 +155,17 @@ def test_partitioned_store_prunes_and_matches(split, tmp_path, spark):
     )
     assert again == want
 
-    # layout contract: a batch written with a different modulus fails loudly
-    write_lsh_index(h1, path, batch_id=9, pbuckets=32)
-    with pytest.raises(ValueError, match="mixed layouts"):
-        minhash_lsh_pairs_vs_stored(new, path, threshold=THRESHOLD)
+    # layout contract: a mismatched append is rejected AT WRITE TIME
+    # (it used to succeed and poison every later read, detected
+    # batches away from its cause); the read-side "mixed layouts"
+    # guard still backstops an index corrupted by other means
+    with pytest.raises(ValueError, match="this append passed"):
+        write_lsh_index(h1, path, batch_id=9, pbuckets=32)
+    again2 = sorted(
+        tuple(r)
+        for r in minhash_lsh_pairs_vs_stored(new, path, threshold=THRESHOLD).collect()
+    )
+    assert again2 == want  # the rejected append left the index intact
 
 
 def test_incremental_determinism(split):

@@ -271,3 +271,55 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     ]
     mean_recall = sum(recalls) / len(recalls)
     assert mean_recall >= ANN_RECALL_FLOOR, f"ann mean recall@5 {mean_recall:.3f}"
+
+
+def test_zero_norm_vector_never_ranks(spark):
+    # an all-zero embedding (failed/padded) used to score NaN (0/0),
+    # and Spark orders NaN above every real double — so it ranked #1
+    # for EVERY query; the zero-norm guard scores it 0.0 instead
+    from nidaba_spark.operators.similarity import brute_force_topk
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero norm
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = spark.createDataFrame([(100, [1.0, 0.0, 0.0, 0.0])],
+                               "query_id long, embedding array<float>")
+    for dim in (None, 4):  # both _dot paths
+        got = brute_force_topk(vecs, qs, k=2, dim=dim).collect()
+        ranked = [(r["vec_id"], r["rank"]) for r in got]
+        assert (3, 1) not in ranked and (3, 2) not in ranked
+        assert ranked[0][0] == 1
+
+
+def test_simhash_rejects_incomplete_distance(spark):
+    # 4x16-bit chunk blocking is pigeonhole-complete only for
+    # hamming <= 3; larger distances would silently lose pairs
+    import pytest as _pytest
+
+    from nidaba_spark.operators.dedup import simhash_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=4)
+
+
+def test_lsh_store_records_shingle_k(spark, tmp_path):
+    # shingle_k determines signature comparability: it must persist in
+    # _meta and come back from the store, so a probe cannot silently
+    # compare 3-gram signatures against a 5-gram index
+    from nidaba_spark.operators.dedup import _lsh_meta, write_lsh_index
+
+    docs = spark.createDataFrame(
+        [(i, f"one two three four five six seven {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "store5")
+    write_lsh_index(docs, path, shingle_k=5)
+    assert _lsh_meta(spark, path) == (64, 16, 64, 5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="this append passed"):
+        write_lsh_index(docs, path, batch_id=1, shingle_k=3)
