@@ -52,19 +52,28 @@ def hashed_tf_embedding(
     sign = (
         F.conv(F.substring(h, 5, 1), 16, 10).cast("long") % 2 * 2 - 1
     ).cast("long")
+    # explode_OUTER keeps one null-word row for token-less documents,
+    # so every doc survives the single aggregate — the previous
+    # re-attach join re-scanned the full docs source and added a
+    # second doc-keyed shuffle purely to restore empty docs,
+    # contradicting the ONE-shuffle scale claim above (review r05).
+    # The null row's slot/sign are null, so it contributes nothing
+    # (a bare concat_ws would have hashed NULL to the constant
+    # md5(salt) slot instead).
     w = docs.select(
-        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_w")
-    ).select(id_col, slot.alias("_slot"), sign.alias("_sign"))
+        F.col(id_col), F.explode_outer(tokens_col(F.col(text_col))).alias("_w")
+    ).select(
+        id_col,
+        F.when(F.col("_w").isNotNull(), slot).alias("_slot"),
+        F.when(F.col("_w").isNotNull(), sign).alias("_sign"),
+    )
     aggs = [
         F.sum(
             F.when(F.col("_slot") == i, F.col("_sign")).otherwise(F.lit(0))
         ).alias(f"_v{i}")
         for i in range(dim)
     ]
-    per = w.groupBy(id_col).agg(*aggs)
-    # docs whose token array is empty produce no exploded rows —
-    # re-attach them with the zero vector
-    base = docs.select(id_col).join(per, id_col, "left")
+    base = w.groupBy(id_col).agg(*aggs)
     vals = [F.coalesce(F.col(f"_v{i}"), F.lit(0)).cast("double") for i in range(dim)]
     if not normalize:
         return base.select(id_col, F.array(*vals).alias("embedding"))

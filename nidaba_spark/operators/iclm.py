@@ -68,12 +68,19 @@ def iclm_pack(
     so each pack's documents share a neighborhood (coherence and
     pack-arithmetic gates in tests/test_iclm.py).
 
-    ``vectors`` holds the embeddings (defaults to ``docs`` itself);
-    pass precomputed ``centroids`` to reuse a trained index. Docs
-    with no/null embedding land in the overflow cell ``nlist`` (they
-    pack together at the tail rather than polluting topical packs).
+    ``vectors`` holds the embeddings (defaults to ``docs`` itself —
+    in which case ``vec_id_col`` follows ``id_col``, so the
+    documented default works on a plain (doc_id, embedding) frame
+    instead of demanding a 'vec_id' column that isn't there, review
+    r05); pass precomputed ``centroids`` to reuse a trained index.
+    Docs with no/null embedding land in the overflow cell ``nlist``
+    (they pack together at the tail rather than polluting topical
+    packs).
     """
-    vecs = vectors if vectors is not None else docs
+    if vectors is None:
+        vecs, vec_id_col = docs, id_col
+    else:
+        vecs = vectors
     if centroids is None:
         centroids = train_centroids(
             vecs, nlist=nlist, dim=dim, iters=iters, seed=seed,

@@ -33,16 +33,60 @@ _U32 = float(1 << 32)
 def uniform_hash(id_col: Column, salt: str = "mix") -> Column:
     """Deterministic u ∈ [0, 1): the first 8 hex chars of
     md5(id || ':' || salt) as a 32-bit integer, scaled. Pure codegen
-    (md5/substring/conv), no state, same value in DuckDB."""
+    (md5/substring/conv), no state, same value in DuckDB.
+
+    Contract: ids must be NON-NULL and unique. concat_ws skips NULL
+    args, so every null id hashes to the identical u — they are
+    sampled all-or-none, land in one split/shard, and tie-break
+    nondeterministically. The formula is pinned by the DuckDB oracles
+    and cannot change; enforce id hygiene upstream."""
     h = F.substring(F.md5(F.concat_ws(":", id_col.cast("string"), F.lit(salt))), 1, 8)
     return F.conv(h, 16, 10).cast("long") / F.lit(_U32)
 
 
 def _rate_expr(key: Column, rates: dict[str, float], default: float) -> Column:
+    """A NULL key (temperature_mix over a corpus with a null source
+    emits one) is matched with isNull — plain equality is never true
+    for NULL, silently dropping the whole group at default=0.0, and
+    sorted() over mixed None/str keys raised TypeError (review r05)."""
     expr = F.lit(float(default))
-    for k, r in sorted(rates.items()):
-        expr = F.when(key == F.lit(k), F.lit(float(r))).otherwise(expr)
+    ordered = sorted(
+        rates.items(), key=lambda kv: (kv[0] is not None, kv[0] or "")
+    )
+    for k, r in ordered:
+        cond = key.isNull() if k is None else (key == F.lit(k))
+        expr = F.when(cond, F.lit(float(r))).otherwise(expr)
     return expr
+
+
+_ID_BITS = 36
+
+
+def _score_okey(score_col: str, id_col: str) -> Column:
+    """Composite ordering key: 6-dp-quantized (1 - score) in the high
+    bits, id in the low 36 — shared by budget_select and
+    budget_select_grouped so the quantization can never diverge. A
+    NULL score coalesces to 0.0 (the repo's no-information
+    convention): it used to produce a NULL key that sorted FIRST and
+    decoded to a NULL id, silently spending budget on unscored rows
+    (review r05)."""
+    q = F.round(F.coalesce(F.col(score_col).cast("double"), F.lit(0.0)), 6)
+    return (
+        F.round((F.lit(1.0) - q) * 1_000_000).cast("long") * (1 << _ID_BITS)
+    ) + F.col(id_col).cast("long")
+
+
+def _okey_score() -> Column:
+    """Decode the quantized score back out of ``_okey``."""
+    return F.round(
+        F.lit(1.0)
+        - F.shiftright(F.col("_okey"), _ID_BITS).cast("double") / 1_000_000,
+        6,
+    )
+
+
+def _okey_id(id_col: str) -> Column:
+    return F.col("_okey").bitwiseAND(F.lit((1 << _ID_BITS) - 1)).alias(id_col)
 
 
 def weighted_sample(
@@ -259,31 +303,26 @@ def budget_select(
     """
     from .packing import pack_assignments
 
-    _ID_BITS = 36
-    q = F.round(F.col(score_col).cast("double"), 6)
     # (1 - q) ascending == q descending; 6-dp quantization makes the
-    # integer key exact, deterministic, and invertible
-    okey = (
-        (F.round((F.lit(1.0) - q) * 1_000_000).cast("long") * (1 << _ID_BITS))
-        + F.col(id_col).cast("long")
+    # integer key exact, deterministic, and invertible (_score_okey)
+    slim = df.select(
+        _score_okey(score_col, id_col).alias("_okey"),
+        n_tokens.cast("long").alias("_n"),
     )
-    slim = df.select(okey.alias("_okey"), n_tokens.cast("long").alias("_n"))
     packed = pack_assignments(
         slim,
         F.col("_n"),
         max(int(token_budget), 1),
         order_col="_okey",
         npartitions=npartitions,
-    )
-    score = F.round(
-        F.lit(1.0)
-        - F.shiftright(F.col("_okey"), _ID_BITS).cast("double") / 1_000_000,
-        6,
+        # only the prefix sum is consumed — skip the pack_pos window
+        # (a second full exchange whose output was discarded)
+        with_positions=False,
     )
     return packed.select(
-        F.col("_okey").bitwiseAND(F.lit((1 << _ID_BITS) - 1)).alias(id_col),
+        _okey_id(id_col),
         "n_tokens",
-        score.alias(score_col),
+        _okey_score().alias(score_col),
         F.col("tokens_before").alias("cum_before"),
         (F.col("tokens_before") < F.lit(int(token_budget))).alias("selected"),
     )
@@ -348,14 +387,10 @@ def budget_select_grouped(
     """
     from .packing import grouped_prefix_sum
 
-    _ID_BITS = 36
-    q = F.round(F.col(score_col).cast("double"), 6)
-    okey = (
-        (F.round((F.lit(1.0) - q) * 1_000_000).cast("long") * (1 << _ID_BITS))
-        + F.col(id_col).cast("long")
-    )
     slim = df.select(
-        group_col, okey.alias("_okey"), n_tokens.cast("long").alias("_n")
+        group_col,
+        _score_okey(score_col, id_col).alias("_okey"),
+        n_tokens.cast("long").alias("_n"),
     )
     ps = grouped_prefix_sum(
         slim, F.col("_n"), group_col, "_okey", npartitions=npartitions
@@ -374,16 +409,11 @@ def budget_select_grouped(
         )
     else:
         budget = F.lit(int(budgets)).cast("long")
-    score = F.round(
-        F.lit(1.0)
-        - F.shiftright(F.col("_okey"), _ID_BITS).cast("double") / 1_000_000,
-        6,
-    )
     return ps.select(
         group_col,
-        F.col("_okey").bitwiseAND(F.lit((1 << _ID_BITS) - 1)).alias(id_col),
+        _okey_id(id_col),
         F.col("n_tokens"),
-        score.alias(score_col),
+        _okey_score().alias(score_col),
         F.col("tokens_before").alias("cum_before"),
         (F.col("tokens_before") < budget).alias("selected"),
     )

@@ -44,10 +44,15 @@ def pack_assignments(
     budget: int,
     order_col: str | list[str] = "doc_id",
     npartitions: int | None = None,
+    with_positions: bool = True,
 ) -> DataFrame:
     """docs + token counts → (order_col..., n_tokens, tokens_before,
     pack_id, pack_pos) with pack_id = floor(tokens_before / budget)
-    over the global order_col ordering. ``order_col`` may be a LIST
+    over the global order_col ordering. ``with_positions=False``
+    skips the pack_pos window — a full hash shuffle + sort by pack_id
+    — for consumers that only need the prefix sum (budget_select
+    discards pack_id/pack_pos entirely; paying that second exchange
+    at 10^12 rows for dropped columns was the review-r05 finding). ``order_col`` may be a LIST
     of columns for a lexicographic composite ordering (e.g.
     (cell, id) for ICLM semantic packing — no bit-packed key needed,
     so ids of any type and range work); the combination must be
@@ -102,6 +107,8 @@ def pack_assignments(
         .withColumn("pack_id", F.floor(F.col("tokens_before") / F.lit(budget)))
         .drop("_pid", "_offset")
     )
+    if not with_positions:
+        return out.select(*ocols, "n_tokens", "tokens_before", "pack_id")
     wpack = Window.partitionBy("pack_id").orderBy(*ocols)
     return out.withColumn(
         "pack_pos", F.row_number().over(wpack) - F.lit(1)
@@ -159,16 +166,19 @@ def write_shards(
     deterministic global permutation back without any shuffle of its
     own.
 
-    Plan: repartition(num_shards, shard_id) co-locates each shard in
-    one task (uniform by construction — see shard_assign), then
-    sortWithinPartitions(shard_id, shard_pos) writes each shard's
-    rows in reading order. ``maxRecordsPerFile`` bounds file size for
-    HDFS/object-store friendliness without changing order (Spark
-    splits the sorted stream into consecutive files).
+    Plan: repartitionByRange(num_shards, shard_id) maps each of the
+    S consecutive shard ids to its own task — a HASH repartition of S
+    distinct keys into S partitions leaves ~1/e of tasks empty by
+    birthday collision while the heaviest task writes 4-5 shards
+    sequentially (review r05). sortWithinPartitions(shard_id,
+    shard_pos) then writes each shard's rows in reading order.
+    ``maxRecordsPerFile`` bounds file size for HDFS/object-store
+    friendliness without changing order (Spark splits the sorted
+    stream into consecutive files).
     """
     out = shard_assign(df, num_shards, id_col=id_col, salt=salt)
     writer = (
-        out.repartition(num_shards, "shard_id")
+        out.repartitionByRange(num_shards, "shard_id")
         .sortWithinPartitions("shard_id", "shard_pos")
         .write.mode("overwrite")
         .partitionBy("shard_id")

@@ -155,3 +155,19 @@ def test_null_embeddings_go_to_overflow_cell(spark, emb):
     nulls = out.filter(F.col("vec_id") % 10 == 0)
     assert nulls.filter(F.col("cell") != 8).count() == 0
     assert nulls.count() == with_null.filter(F.col("vec_id") % 10 == 0).count()
+
+
+def test_iclm_pack_default_vectors_uses_id_col(spark):
+    # the documented default (vectors = docs itself) used to raise
+    # AnalysisException demanding a 'vec_id' column; with vectors
+    # omitted, vec_id_col now follows id_col
+    docs = spark.createDataFrame(
+        [
+            (i, 50, [float(i % 4 == j) for j in range(8)])
+            for i in range(24)
+        ],
+        "doc_id long, n_tokens long, embedding array<float>",
+    )
+    out = iclm_pack(docs, F.col("n_tokens"), 200, nlist=4, dim=8)
+    assert out.count() == 24
+    assert out.filter(F.col("pack_id").isNull()).count() == 0

@@ -373,3 +373,37 @@ def test_budget_select_grouped_null_group_kept(spark):
     assert not out[2]["selected"] and not out[3]["selected"]
     assert out[2]["cum_before"] == 0 and out[3]["cum_before"] == 10
     assert out[1]["selected"] and out[4]["selected"]
+
+
+def test_budget_select_null_score_is_no_information(spark):
+    # a NULL quality used to produce a NULL ordering key that sorted
+    # FIRST (spending budget on unscored docs) and decoded to a NULL
+    # doc_id; it now coalesces to score 0.0 — ranked worst, id intact
+    df = spark.createDataFrame(
+        [(1, 10, 0.9), (2, 10, None), (3, 10, 0.5)],
+        "doc_id long, n_tokens long, quality double",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in mixing.budget_select(
+            df, F.col("n_tokens"), token_budget=20, npartitions=2
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}  # no NULL ids
+    assert out[2]["quality"] == 0.0 and out[2]["selected"] is False
+    assert out[1]["selected"] and out[3]["selected"]
+
+
+def test_temperature_mix_null_source(spark):
+    # a NULL source used to raise TypeError (sorting None vs str
+    # rate keys) or silently drop the whole null group via == NULL
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else None, 10) for i in range(40)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = mixing.temperature_mix(
+        df, token_budget=200, temperature=0.5,
+        key_col="source", token_col="n_tokens",
+    )
+    got = {r["source"] for r in out.select("source").distinct().collect()}
+    assert None in got and "en" in got  # both groups represented
