@@ -156,13 +156,20 @@ def dsir_weights(
     )
 
 
+_LOG10_E = 0.4342944819032518
+
+
 def gumbel_micro(id_col: Column, salt: str = "dsir") -> Column:
-    """Deterministic Gumbel(0,1) noise in integer millionths:
-    g = -ln(-ln(u)) with u = (md5_32(id:salt) + 0.5) / 2^32 — the +0.5
-    keeps u strictly inside (0,1) so neither log can blow up."""
+    """Deterministic Gumbel(0,1) noise in integer millionths, SCALED
+    to the log10 domain: the importance weights are log10 ratios, and
+    Gumbel-max sampling proportional to w needs the noise on the SAME
+    log scale as ln(w) — adding raw -ln(-ln u) to a log10 weight
+    samples w^(1/ln 10) ≈ w^0.434, i.e. temperature ~2.3 (review
+    r05). g = -ln(-ln(u)) * log10(e), u = (md5_32(id:salt) + 0.5) /
+    2^32 — the +0.5 keeps u strictly inside (0,1)."""
     h = _hash32(F.concat_ws(":", id_col.cast("string"), F.lit(salt)))
     u = (h + F.lit(0.5)) / F.lit(_U32)
-    return F.round(-F.log(-F.log(u)) * 1e6).cast("long")
+    return F.round(-F.log(-F.log(u)) * F.lit(_LOG10_E) * 1e6).cast("long")
 
 
 def dsir_resample(
@@ -172,9 +179,12 @@ def dsir_resample(
     adds score_micro = logw_micro + gumbel and keep = rank <= k under
     (score desc, doc_id asc) — WITHOUT a global sort: the k-th pair is
     a TakeOrdered(k) scalar pair, the flag a row-local comparison."""
+    # lazy pin: the k-th-threshold collect below executes the whole
+    # weights lineage (broadcast join + aggregations); without it the
+    # returned frame re-runs the same plan on first use (review r05)
     w = weights.withColumn(
         "score_micro", F.col("logw_micro") + gumbel_micro(F.col("doc_id"), salt)
-    )
+    ).localCheckpoint(eager=False)
     if k <= 0:  # distinct from the empty-INPUT case below, which keeps all
         return w.withColumn("keep", F.lit(False))
     kth = (

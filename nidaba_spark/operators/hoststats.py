@@ -31,8 +31,14 @@ from pyspark.sql import functions as F
 
 # host = the authority component up to the first ':' (port), '/', '?'
 # or '#', after an optional scheme and userinfo. Accepts scheme-less
-# and protocol-relative ('//host/x') urls.
-_HOST_RE = r"^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?([^:/?#]+)"
+# and protocol-relative ('//host/x') urls. The scheme is only
+# stripped when FOLLOWED BY '//': the old bare '[a-z][...]*:' scheme
+# group also matched 'example.com:' in the scheme-less-with-port
+# form, so every such page got the PORT DIGITS as its host —
+# unrelated sites collapsed into shared '8080'/'443' host groups for
+# capping/stats/blocklists (review r05). A bracketed IPv6 literal is
+# captured whole instead of truncating at its first ':'.
+_HOST_RE = r"^(?:[a-z][a-z0-9+.-]*://|//)?(?:[^@/?#]*@)?(\[[^\]]*\]|[^:/?#]+)"
 
 
 def canonical_host(url: Column) -> Column:
@@ -100,7 +106,13 @@ def filter_blocked(
     out = pages
     if url_patterns:
         combined = "(" + ")|(".join(url_patterns) + ")"
-        out = out.filter(~F.lower(F.col(url_col)).rlike(combined))
+        # NULL url passes through (matches no pattern), like the
+        # blocklist anti-join branch — filter(~NULL) is NULL and would
+        # silently drop such rows only when patterns are enabled
+        out = out.filter(
+            F.col(url_col).isNull()
+            | ~F.lower(F.col(url_col)).rlike(combined)
+        )
     if blocked_hosts is not None:
         if not isinstance(blocked_hosts, DataFrame):
             blocked_hosts = (

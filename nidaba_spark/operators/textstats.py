@@ -139,8 +139,15 @@ def _quality_feature_exprs(c: dict[str, Column]) -> list[Column]:
 
 
 def _quality_score_expr(c: dict[str, Column]) -> Column:
+    # NULL text must score like EMPTY text (0.3333), not 0.6667:
+    # least() skips a null len_term, silently ranking decode-failure
+    # rows above real low-quality pages and letting garbage hosts
+    # evade the mined blocklist (review r05)
     n_chars, n_words, n_stop, n_punct = (
-        c["_qc"], c["_qw"], c["_qs"], c["_qp"],
+        F.coalesce(c["_qc"], F.lit(0)),
+        F.coalesce(c["_qw"], F.lit(0)),
+        F.coalesce(c["_qs"], F.lit(0)),
+        F.coalesce(c["_qp"], F.lit(0)),
     )
     len_term = F.least(n_words.cast("double") / 100.0, F.lit(1.0))
     stop_term = F.least(
@@ -215,7 +222,13 @@ def fingerprint(text: Column) -> Column:
     """
     words = F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != F.lit(""))
     m = F.lit(2147483647).cast("long")
-    return F.aggregate(
+    # word-less/null text fingerprints as 0, NOT null: the sequence
+    # pad fed zip_with a null word whose md5 poisoned the whole
+    # aggregate, lumping every empty doc into the null join key
+    # (review r05)
+    return F.when(
+        F.size(words) <= 0, F.lit(0).cast("long")
+    ).otherwise(F.aggregate(
         F.zip_with(
             words,
             F.sequence(F.lit(1), F.greatest(F.size(words), F.lit(1))),
@@ -225,7 +238,7 @@ def fingerprint(text: Column) -> Column:
         ),
         F.lit(0).cast("long"),
         lambda acc, v: F.pmod(acc + v, m),
-    )
+    ))
 
 
 _LANG_SCHEMA = T.StructType(
@@ -310,8 +323,20 @@ def unigram_logprob(
         F.col(id_col).cast("long").alias("doc_id"),
         F.explode(tokens_col(F.col(text_col))).alias("word"),
     )
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("k"))
-    counts = tf.groupBy("word").agg(F.sum("k").alias("c"))
+    # lazy pins: tf feeds BOTH union branches and counts feeds the
+    # total collect + hot + cold — Spark has no common-subplan reuse,
+    # so unmaterialized this plan re-tokenized the corpus ~5x per call
+    # (review r05; the stupid_backoff/dsir_weights idiom)
+    tf = (
+        words.groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    counts = (
+        tf.groupBy("word")
+        .agg(F.sum("k").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     total = counts.agg(F.sum("c")).collect()[0][0] or 0
     hot = counts.orderBy(F.desc("c"), "word").limit(n_hot)
     cold = counts.join(F.broadcast(hot.select("word")), "word", "left_anti")
@@ -535,7 +560,14 @@ def dominant_script_col() -> Column:
 # the text before the pattern's \s runs — review r05 found the
 # divergence live ('\x0b.' → 0 sentences in Spark, 1 in DuckDB).
 _WS_CLASS = "[ \t\r\n\f\x0b]"
-_SENT_RE = "[^.!?。！？]*[^.!?。！？\\s][.!?。！？]+|[^.!?。！？]*[^.!?。！？\\s]$"
+# \s* before the terminator run: typographically-spaced text
+# ('bonjour !') previously matched NEITHER alternative and the
+# whole clause vanished from sentence_rows/readability (review
+# r05) — not mis-split, LOST.
+_SENT_RE = (
+    "[^.!?。！？]*[^.!?。！？\\s]\\s*[.!?。！？]+"
+    "|[^.!?。！？]*[^.!?。！？\\s]$"
+)
 
 
 def sentence_split(text: Column) -> Column:

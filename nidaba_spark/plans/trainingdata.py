@@ -964,7 +964,7 @@ c AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(s, '[^ ]+')) AS INTEGER) AS n_words,
          CAST(len(regexp_extract_all(
-           s, '[^.!?。！？]*[^.!?。！？\s][.!?。！？]+|[^.!?。！？]*[^.!?。！？\s]$'
+           s, '[^.!?。！？]*[^.!?。！？\s]\s*[.!?。！？]+|[^.!?。！？]*[^.!?。！？\s]$'
          )) AS INTEGER) AS n_sentences,
          CAST(len(regexp_extract_all(lower(s), '[aeiouy]+')) AS INTEGER)
            AS n_syllables
@@ -996,7 +996,7 @@ WITH w AS (
   SELECT doc_id,
          regexp_extract_all(
            trim(regexp_replace(text, '[ \t\r\n\f\x0B]+', ' ', 'g')),
-           '[^.!?。！？]*[^.!?。！？\s][.!?。！？]+|[^.!?。！？]*[^.!?。！？\s]$'
+           '[^.!?。！？]*[^.!?。！？\s]\s*[.!?。！？]+|[^.!?。！？]*[^.!?。！？\s]$'
          ) AS sents
   FROM documents)
 SELECT doc_id,
@@ -1909,6 +1909,8 @@ w AS (
          CAST(sum(k * d) AS BIGINT) AS logw_micro
   FROM dc JOIN delta USING (bucket) GROUP BY doc_id),
 gu AS (
+  -- Gumbel noise scaled by log10(e): the weights are log10 ratios,
+  -- so the noise must live on the same log base (see dsir.py)
   SELECT doc_id,
          CAST(round(-ln(-ln(
            (list_sum(list_transform(range(1, 9), j ->
@@ -1916,7 +1918,7 @@ gu AS (
                    substr(md5(CAST(doc_id AS VARCHAR) || ':dsir'), j, 1)) - 1
                    AS BIGINT)
               * (CAST(1 AS BIGINT) << (4 * (8 - j))))) + 0.5) / 4294967296.0
-         )) * 1e6) AS BIGINT) AS g
+         )) * 0.4342944819032518 * 1e6) AS BIGINT) AS g
   FROM t),
 s AS (
   SELECT doc_id, n_feats, logw_micro, logw_micro + g AS score_micro
@@ -2117,7 +2119,7 @@ WITH p AS (
 ), c AS (
   SELECT doc_id, url,
          regexp_replace(regexp_extract(lower(trim(url)),
-             '^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?([^:/?#]+)', 1),
+             '^(?:[a-z][a-z0-9+.-]*://|//)?(?:[^@/?#]*@)?(\[[^\]]*\]|[^:/?#]+)', 1),
              '^www\.', '') AS chost
   FROM p
 )
@@ -2228,7 +2230,7 @@ u AS (
   FROM q),
 h AS (
   SELECT regexp_replace(regexp_extract(lower(trim(url)),
-             '^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?([^:/?#]+)', 1),
+             '^(?:[a-z][a-z0-9+.-]*://|//)?(?:[^@/?#]*@)?(\[[^\]]*\]|[^:/?#]+)', 1),
              '^www\\.', '') AS host,
          quality
   FROM u),
@@ -3214,7 +3216,7 @@ WITH p AS (
 ), c AS (
   SELECT url, t,
          regexp_replace(regexp_extract(lower(trim(url)),
-             '^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?([^:/?#]+)', 1),
+             '^(?:[a-z][a-z0-9+.-]*://|//)?(?:[^@/?#]*@)?(\[[^\]]*\]|[^:/?#]+)', 1),
              '^www\.', '') AS h,
          string_split(t, chr(10)) AS ls
   FROM p
@@ -3521,7 +3523,7 @@ WITH a AS (
   SELECT doc_id,
          CAST(len(regexp_extract_all(s, '[^ ]+')) AS INTEGER) AS rd_n_words,
          CAST(len(regexp_extract_all(
-           s, '[^.!?。！？]*[^.!?。！？\s][.!?。！？]+|[^.!?。！？]*[^.!?。！？\s]$'
+           s, '[^.!?。！？]*[^.!?。！？\s]\s*[.!?。！？]+|[^.!?。！？]*[^.!?。！？\s]$'
          )) AS INTEGER) AS rd_n_sentences,
          CAST(len(regexp_extract_all(lower(s), '[aeiouy]+')) AS INTEGER)
            AS n_syllables
@@ -5121,7 +5123,7 @@ WITH p AS (
 ), f AS (
   SELECT doc_id, url, lower(trim(url)) AS u,
     regexp_replace(regexp_extract(lower(trim(url)),
-      '^(?:[a-z][a-z0-9+.-]*:)?(?://)?(?:[^@/?#]*@)?([^:/?#]+)', 1),
+      '^(?:[a-z][a-z0-9+.-]*://|//)?(?:[^@/?#]*@)?(\[[^\]]*\]|[^:/?#]+)', 1),
       '^www\.', '') AS chost
   FROM p
 ), g AS (

@@ -71,8 +71,13 @@ def test_weights_invariant_under_partitioning(spark):
 
 def test_plan_shape(spark):
     docs = _docs(spark, [(i, "a b c") for i in range(4)])
+    # the broadcast delta join lives in the WEIGHTS plan; resample
+    # pins its input behind a lazy localCheckpoint (so the threshold
+    # collect and the returned frame share one execution), which
+    # hides upstream operators from the final plan string
+    wplan = dsir_weights(docs, docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in wplan or "BroadcastNestedLoop" in wplan
     df = dsir_resample(dsir_weights(docs, docs), k=2)
     plan = df._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"):
         assert marker not in plan, marker
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan

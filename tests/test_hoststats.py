@@ -230,3 +230,42 @@ def test_mine_blocklist_feeds_filter_blocked(spark):
     kept = filter_blocked(docs, blocked_hosts=blk)
     hosts = {r["url"].split("/")[2] for r in kept.collect()}
     assert hosts == {"h1.example", "h2.example"}
+
+
+def test_canonical_host_schemeless_port_and_ipv6(spark):
+    # 'example.com:8080/x' used to return '8080' as the host (the
+    # bare scheme group matched 'example.com:'), collapsing unrelated
+    # sites into shared port-digit host groups; bracketed IPv6
+    # literals truncated at the first ':'
+    from nidaba_spark.operators.hoststats import canonical_host
+
+    cases = [
+        ("https://www.Example.COM/x", "example.com"),
+        ("example.com/other", "example.com"),
+        ("example.com:8080/other", "example.com"),
+        ("//cdn.example.net/lib", "cdn.example.net"),
+        ("http://example.com:443/x", "example.com"),
+        ("http://[2001:db8::1]/x", "[2001:db8::1]"),
+        ("http://user@example.org/x", "example.org"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["h"] for r in df.select(canonical_host(F.col("url")).alias("h")).collect()
+    ]
+    assert got == [h for _, h in cases]
+
+
+def test_filter_blocked_patterns_pass_null_urls(spark):
+    # rlike(NULL) is NULL and filter(~NULL) dropped the row — a null
+    # url matches no pattern and must pass through, like the
+    # blocklist anti-join branch
+    from nidaba_spark.operators.hoststats import filter_blocked
+
+    pages = spark.createDataFrame(
+        [(1, "https://ok.example/x"), (2, None), (3, "https://bad.example/porn")],
+        "id long, url string",
+    )
+    kept = {
+        r["id"] for r in filter_blocked(pages, url_patterns=["porn"]).collect()
+    }
+    assert kept == {1, 2}

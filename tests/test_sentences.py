@@ -66,3 +66,21 @@ def test_readability_hand_cases(spark):
     assert got[0] == (w, s, y, flesch, fk)
     assert got[1] == (0, 0, 0, 206.835, -15.59)
     assert got[2][:3] == (3, 1, 0)
+
+
+def test_space_before_terminator_keeps_clause(spark):
+    # French typographic spacing: 'bonjour !' previously matched
+    # NEITHER alternative of the sentence pattern and the whole
+    # clause vanished (0 sentences), not merely mis-split
+    from nidaba_spark.operators.textstats import sentence_rows
+
+    docs = spark.createDataFrame(
+        [(1, "Bonjour ! Ca va ?"), (2, "Plain one. And two.")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in sentence_rows(docs).collect():
+        got.setdefault(r["doc_id"], []).append(r["sentence"])
+    assert len(got[1]) == 2
+    assert got[1][0].lower().startswith("bonjour")
+    assert len(got[2]) == 2
