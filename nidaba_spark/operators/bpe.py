@@ -94,6 +94,7 @@ def train_bpe(
     # the first 300 merges IDENTICAL — the 32k-merge / 1e7-word
     # production run stays driver-feasible.
     import heapq
+    from collections import Counter
 
     pair_counts: dict[tuple[str, str], int] = {}
     pair_words: dict[tuple[str, str], set[int]] = {}
@@ -123,19 +124,26 @@ def train_bpe(
         for wi in list(pair_words.get(best, ())):
             symbols, cnt = words[wi]
             new_symbols = _merge_word(symbols, best)
-            for p in zip(symbols, symbols[1:]):
-                _bump(p, -cnt)
-                # a pair can occur twice in one word (e.g. j k … j k):
-                # the first occurrence may already have discarded wi
-                # and deleted the emptied set — guard the second.
-                s = pair_words.get(p)
-                if s is not None:
-                    s.discard(wi)
-                    if not s:
-                        del pair_words[p]
-            for p in zip(new_symbols, new_symbols[1:]):
-                _bump(p, cnt)
-                pair_words.setdefault(p, set()).add(wi)
+            # NET deltas per pair, not -cnt/+cnt per occurrence: a
+            # 20-symbol word with one merge leaves ~17 pairs
+            # unchanged, and bumping each down then up pushed two
+            # net-zero heap entries per untouched pair — pure churn
+            # the pop loop later skips as stale (review r05). Only
+            # pairs whose count actually changed touch the heap.
+            old_pairs = Counter(zip(symbols, symbols[1:]))
+            new_pairs = Counter(zip(new_symbols, new_symbols[1:]))
+            for p in set(old_pairs) | set(new_pairs):
+                delta = (new_pairs.get(p, 0) - old_pairs.get(p, 0)) * cnt
+                if delta:
+                    _bump(p, delta)
+                if new_pairs.get(p, 0):
+                    pair_words.setdefault(p, set()).add(wi)
+                else:
+                    s = pair_words.get(p)
+                    if s is not None:
+                        s.discard(wi)
+                        if not s:
+                            del pair_words[p]
             words[wi][0] = new_symbols
     return merges
 

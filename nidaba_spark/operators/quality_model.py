@@ -84,7 +84,14 @@ def featurize(df: DataFrame, text_col: str = "text") -> DataFrame:
     feature — the model must score the text it sees, not a stale
     upstream stat.
     """
-    base_names = {"n_chars", "n_words", "stop_ratio", "punct_ratio", "mean_word_len"}
+    # strip the DERIVED outputs too: re-featurizing a previously
+    # featurized table otherwise emits duplicate log_chars/log_words
+    # columns and score_expr fails with AMBIGUOUS_REFERENCE (review
+    # r05) — the documented REPLACED contract covers every feature
+    base_names = {
+        "n_chars", "n_words", "stop_ratio", "punct_ratio",
+        "mean_word_len", "log_chars", "log_words",
+    }
     keep = [c for c in df.columns if c not in base_names]
     feats = df.select(
         *keep, *quality_bound_cols(F.col(text_col))
@@ -128,8 +135,17 @@ def synthetic_negatives(
                  mean_word_len explodes).
     """
     t = F.col(text_col)
+    # parity must survive NON-numeric ids: cast('long') of a string id
+    # is NULL, pmod(NULL,2)==0 is NULL, and every row silently took
+    # the whitespace branch — the punct-spike family never appeared in
+    # training (review r05). Numeric ids keep the original cast path
+    # (training pins stay stable); others fall back to a hash parity.
+    parity_key = F.coalesce(
+        F.col(id_col).cast("long"),
+        F.xxhash64(F.col(id_col).cast("string")),
+    )
     corrupted = F.when(
-        F.pmod(F.col(id_col).cast("long"), F.lit(2)) == 0,
+        F.pmod(parity_key, F.lit(2)) == 0,
         F.regexp_replace(t, r"[aeiouAEIOU]", ":"),
     ).otherwise(F.regexp_replace(t, r"\s+", ""))
     return docs.withColumn(text_col, corrupted)

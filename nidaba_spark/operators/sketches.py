@@ -89,7 +89,10 @@ def token_cms(
     """Serialized CountMinSketch over the corpus token stream.
 
     One codegen aggregate; the result is a few hundred KB regardless
-    of corpus size (width = ceil(2/eps), depth = ceil(ln(1/(1-conf)))).
+    of corpus size (width = ceil(2/eps), depth =
+    ceil(log2(1/(1-conf))) — verified against Spark's
+    CountMinSketchImpl; the natural-log form found in some texts
+    under-estimates the default-confidence depth 5-vs-7, review r05).
     """
     row = (
         _words_exploded(docs, text_col)

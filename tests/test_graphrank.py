@@ -96,3 +96,16 @@ def test_empty_edges_raise_cleanly(spark):
     df = spark.createDataFrame([], "src int, dst int, w double")
     with pytest.raises(ValueError):
         pagerank(df, weight="w")
+
+
+def test_zero_outweight_node_treated_as_dangling(spark):
+    # a node whose out-weights sum to 0 used to leak its whole rank
+    # (NULL transition fractions, yet counted as having out-edges) —
+    # Sum(rank) decayed every iteration; it must behave as dangling
+    edges = spark.createDataFrame(
+        [("a", "b", 0.0), ("b", "a", 1.0), ("b", "c", 1.0)],
+        "src string, dst string, w double",
+    )
+    ranks = pagerank(edges, iters=10, weight="w")
+    total = sum(r["rank"] for r in ranks.collect())
+    assert abs(total - 1.0) < 1e-9
