@@ -1,21 +1,24 @@
 """Dataset card: the machine-readable report a curation pipeline
 publishes with every corpus release — what's in it, how big, how
 clean. Everything is computed in TWO aggregation jobs regardless of
-corpus size:
+corpus size (review r05 folded what had grown to 3-4 full scans back
+to the documented price):
 
-  1. one full-corpus agg pass: row/token/byte totals, distinct-token
-     estimate (DataSketches HLL — JVM-side, mergeable), quality mean +
-     decile bands via approx_percentile (single-pass KLL-style), and
-     the exact-dup rate from count(distinct xxhash64(text)) (two-phase
-     codegen agg);
-  2. one groupBy pass per grouping column (source/lang when present):
-     rows + tokens per group.
+  1. one DOC-LEVEL agg pass: row/token/byte totals, byte quantiles
+     via percentile_approx (single-pass KLL-style), quality mean +
+     decile bands when present, and the exact-dup rate from
+     count(distinct (xxhash64(text), octet_length(text))) — hash plus
+     length, the same birthday guard exact_dedup uses;
+  2. one TOKEN-LEVEL pass (the shared dedup.tokens_col definition, so
+     the report's token universe can never diverge from the dedup
+     pipeline's): regex-token total + DataSketches HLL distinct-token
+     estimate;
 
-Every number that reaches the driver is O(1) or O(groups); nothing
-here is a data collect. All expressions are codegen built-ins — the
-report costs two scans at any scale, and at 10^12 rows both
-aggregations are the map-side-combined shapes the rest of this repo
-ships.
+plus one small groupBy job per grouping column (source/lang when
+present): rows + tokens per group, top-1000 with an explicit
+``truncated`` marker when groups exceed the cap (it used to truncate
+silently). Every number that reaches the driver is O(1) or O(groups);
+nothing here is a data collect.
 """
 
 from __future__ import annotations
@@ -23,9 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .operators.dedup import tokens_col
 from .operators.textstats import token_count_ws
 
 _QUANTS = [0.1, 0.25, 0.5, 0.75, 0.9]
+_GROUP_CAP = 1000
 
 
 def corpus_report(
@@ -37,30 +42,38 @@ def corpus_report(
     are absent from the schema are skipped silently."""
     t = F.col(text_col)
     ntok = token_count_ws(t)
-    base = docs.select(
-        t.alias("_t"),
-        ntok.alias("_n"),
-        F.octet_length(t).alias("_b"),
-        F.xxhash64(t).alias("_h"),
-        F.explode_outer(
-            F.filter(F.split(F.lower(t), r"[^a-z0-9]+"), lambda x: x != F.lit(""))
-        ).alias("_w"),
-    )
-    row = base.agg(
-        F.count_distinct("_h").alias("distinct_texts"),
-        F.sum(F.when(F.col("_w").isNull(), 0).otherwise(1)).alias("total_regex_tokens"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("_w")).alias("distinct_tokens_est"),
-    ).collect()[0]
-    scalars = docs.agg(
+    has_quality = "quality" in docs.columns
+    scalar_aggs = [
         F.count(F.lit(1)).alias("rows"),
         F.sum(ntok).alias("total_ws_tokens"),
         F.sum(F.octet_length(t)).alias("total_text_bytes"),
         F.avg(F.octet_length(t)).alias("avg_doc_bytes"),
-        F.expr(
-            f"approx_percentile(octet_length({text_col}), "
-            f"array({','.join(str(q) for q in _QUANTS)}))"
-        ).alias("doc_bytes_quantiles"),
-    ).collect()[0]
+        F.percentile_approx(F.octet_length(t), _QUANTS).alias(
+            "doc_bytes_quantiles"
+        ),
+        # length rides with the hash (exact_dedup's birthday guard);
+        # the -1 coalesce keeps null-text docs in the multi-column
+        # distinct (count_distinct drops rows with any NULL column)
+        F.count_distinct(
+            F.xxhash64(t), F.coalesce(F.octet_length(t), F.lit(-1))
+        ).alias("distinct_texts"),
+    ]
+    if has_quality:
+        scalar_aggs += [
+            F.round(F.avg("quality"), 4).alias("q_mean"),
+            F.percentile_approx(F.col("quality"), _QUANTS).alias("q_quants"),
+        ]
+    scalars = docs.agg(*scalar_aggs).collect()[0]
+    row = (
+        docs.select(F.explode_outer(tokens_col(t)).alias("_w"))
+        .agg(
+            F.count("_w").alias("total_regex_tokens"),
+            F.hll_sketch_estimate(F.hll_sketch_agg("_w")).alias(
+                "distinct_tokens_est"
+            ),
+        )
+        .collect()[0]
+    )
     rows = int(scalars["rows"])
     report = {
         "rows": rows,
@@ -74,28 +87,21 @@ def corpus_report(
             )
         ),
         "total_regex_tokens": int(row["total_regex_tokens"] or 0),
-        "distinct_texts": int(row["distinct_texts"]),
+        "distinct_texts": int(scalars["distinct_texts"]),
         "exact_dup_rate": round(
-            1.0 - int(row["distinct_texts"]) / rows, 6
+            1.0 - int(scalars["distinct_texts"]) / rows, 6
         )
         if rows
         else 0.0,
         "distinct_tokens_est": int(row["distinct_tokens_est"] or 0),
     }
-    if "quality" in docs.columns:
-        q = docs.agg(
-            F.round(F.avg("quality"), 4).alias("mean"),
-            F.expr(
-                "approx_percentile(quality, "
-                f"array({','.join(str(x) for x in _QUANTS)}))"
-            ).alias("qs"),
-        ).collect()[0]
+    if has_quality:
         report["quality"] = {
-            "mean": float(q["mean"] or 0.0),
+            "mean": float(scalars["q_mean"] or 0.0),
             **dict(
                 zip(
                     [f"p{int(x * 100)}" for x in _QUANTS],
-                    [round(float(v), 4) for v in (q["qs"] or [])],
+                    [round(float(v), 4) for v in (scalars["q_quants"] or [])],
                 )
             ),
         }
@@ -109,11 +115,14 @@ def corpus_report(
                 F.sum(ntok).alias("tokens"),
             )
             .orderBy(F.desc("rows"), col)
-            .limit(1000)
+            .limit(_GROUP_CAP + 1)
             .collect()
         )
+        truncated = len(groups) > _GROUP_CAP
         report[f"by_{col}"] = {
             str(r[col]): {"rows": int(r["rows"]), "tokens": int(r["tokens"] or 0)}
-            for r in groups
+            for r in groups[:_GROUP_CAP]
         }
+        if truncated:
+            report[f"by_{col}_truncated"] = True
     return report
