@@ -69,16 +69,19 @@ _STOP_RE = r"(?<![a-z0-9'])(" + "|".join(STOPWORDS) + r")(?![a-z0-9'])"
 
 def _count_matches(s: Column, pat: str) -> Column:
     """Count non-overlapping matches of ``pat`` WITHOUT materializing
-    them: replace every match with one char vs with nothing and take
-    the length difference. Spark's regexp_count is RuntimeReplaceable
-    to size(regexp_extract_all(...)) — it builds a per-match string
+    them. Spark's regexp_count is RuntimeReplaceable to
+    size(regexp_extract_all(...)) — it builds a per-match string
     array just to count, measured ~25s per 100k 5 KB docs for the
     word pattern, while a regexp_replace pass appends to one
-    StringBuilder and runs ~1s (NOTES r05 diag). Requires a pattern
-    that cannot match the empty string (all of ours)."""
-    return F.length(F.regexp_replace(s, pat, "x")) - F.length(
-        F.regexp_replace(s, pat, "")
-    )
+    StringBuilder and runs ~1s (NOTES r05 diag). r06: ONE replace
+    pass instead of two — ``x$0`` re-emits each match with one extra
+    char, so length(replaced) - length(s) IS the match count; for the
+    stopword alternation (the most expensive pattern in the quality
+    family) the second full-text scan was ~40% of the whole query's
+    single-core cost (guide §1.2 per-task work; measured in
+    OPTIMIZATION_r06.md). Requires a pattern that cannot match the
+    empty string (all of ours)."""
+    return F.length(F.regexp_replace(s, pat, r"x$0")) - F.length(s)
 
 
 def _n_words(lowered: Column) -> Column:
@@ -105,9 +108,16 @@ def _quality_base(text: Column) -> dict[str, Column]:
         20-35x slower than strip-the-bulk for the same value).
     """
     lowered = F.lower(text)
+    # _qw stays the two-pass diff form (NOT _count_matches' one-pass
+    # x$0): its strip-all pass is byte-shared with _qwl below, so the
+    # pair costs two regex passes either way, and the x$0 pass (which
+    # rebuilds len+n chars) is ~60% dearer than the replace-with-x
+    # pass (measured r06). _qs has no such sharing — the one-pass form
+    # halves the stopword-alternation scans, the family's hottest.
     return {
         "_qc": F.length(text),
-        "_qw": _n_words(lowered),
+        "_qw": F.length(F.regexp_replace(lowered, _WORD_RE, "x"))
+        - F.length(F.regexp_replace(lowered, _WORD_RE, "")),
         "_qs": _n_stop(lowered),
         "_qp": F.length(
             F.regexp_replace(text, r"[^\.,;:!\?'\"\-]", "")

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup, multimodal, similarity, textstats
-from ..sources.tables import load
+from ..sources.tables import load, spread_scan
 
 ORACLE: dict[str, str] = {}
 
@@ -247,7 +247,9 @@ def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 # -------------------------------------------------------------- text stats
 def q_doc_quality(spark: SparkSession, sf: str) -> DataFrame:
-    docs = load(spark, sf, "documents")
+    # spread_scan: the five regex passes are the cost; a 1-row-group
+    # input otherwise serializes them on one core (r06, guide §2.2)
+    docs = spread_scan(load(spark, sf, "documents"), key="doc_id")
     text = F.col("text")
     return docs.select(
         "doc_id", *textstats.quality_bound_cols(text)

@@ -23,6 +23,38 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def spread_scan(
+    df: DataFrame, key: str | None = None, factor: int = 2
+) -> DataFrame:
+    """Redistribute a low-parallelism scan before compute-dense
+    per-row work (guide §2.2 / §6: parquet parallelizes at row-group
+    granularity, and the sandbox tables are single-file parquet with
+    1-6 row groups — so a scan-rooted query's expensive stage runs
+    1-6-way on a 32-core session; doc_quality measured 3.3 s
+    single-task vs 0.45 s spread, r06). One narrow deterministic
+    exchange moves the rows once so every downstream regex/parse pass
+    uses the whole cluster.
+
+    Scale-adaptive by construction: when the scan already yields >=
+    defaultParallelism partitions (any production multi-row-group /
+    multi-file table — at 100 TB a scan has 10^5+ splits), this
+    returns ``df`` unchanged, so the exchange exists only in the
+    regime where it buys parallelism. ``key`` picks a deterministic
+    hash distribution (no round-robin local sort, no SPARK-38388
+    retry hazard); unique-id keys spread evenly.
+    """
+    sc = df.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= cores:
+        return df
+    n = cores * factor
+    if key is not None:
+        from pyspark.sql import functions as F
+
+        return df.repartition(n, F.col(key))
+    return df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
