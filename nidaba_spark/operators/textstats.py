@@ -580,6 +580,28 @@ _SENT_RE = (
 )
 
 
+# r06: zero-width boundary split replacing regexp_extract_all on
+# _SENT_RE. Java's backtracking engine is pathological on the
+# extraction form over terminator-FREE text (the common case for
+# word-salad / list-like pages): the first alternative re-scans from
+# every start position, measured ~106 us per 300-char doc and a
+# >6-minute hang for the alternative alone at sf1.0, vs 0.375 s for
+# the whole corpus with the split form (guide §1.2 per-task work;
+# OPTIMIZATION_r06.md has the A/B). Equivalence: _SENT_RE matches
+# are exactly (run of non-terminators containing a non-space) +
+# (terminator run), plus a trailing non-space-ending fragment; the
+# boundary split cuts after every terminator run, so each piece is
+# [^T]*[T]+ (or the trailing [^T]*), and a piece yields a match iff
+# it contains a char outside terminators+whitespace — which is the
+# rlike filter below. Verified old==new on all four SF corpora and a
+# 23-case adversarial fixture (CJK terminators, runs, empties,
+# typographic spacing, \x0b, null).
+_TERM_CLASS = ".!?。！？"
+_SENT_BOUNDARY_RE = f"(?<=[{_TERM_CLASS}])(?![{_TERM_CLASS}])"
+# post-normalization the only whitespace is a plain space
+_SENT_CONTENT_RE = "[^\\.!\\?。！？ ]"
+
+
 def sentence_split(text: Column) -> Column:
     """array<string> of trimmed sentences (documented naive subset: a
     terminator always ends a sentence, so 'Dr. Smith' splits — the
@@ -589,9 +611,9 @@ def sentence_split(text: Column) -> Column:
     norm = F.trim(F.regexp_replace(text, _WS_CLASS + "+", " "))
     # explicit 1-arg lambda: transform would otherwise feed the array
     # index into F.trim's optional trimStr parameter
-    return F.transform(
-        F.regexp_extract_all(norm, F.lit(_SENT_RE), F.lit(0)),
-        lambda s: F.trim(s),
+    return F.filter(
+        F.transform(F.split(norm, _SENT_BOUNDARY_RE), lambda s: F.trim(s)),
+        lambda s: (s != F.lit("")) & s.rlike(_SENT_CONTENT_RE),
     )
 
 
@@ -628,7 +650,16 @@ def readability_cols(text: Column) -> list[Column]:
     # size(regexp_extract_all), which builds a per-match string array)
     norm = F.trim(F.regexp_replace(text, _WS_CLASS + "+", " "))
     n_words = _count_matches(norm, "[^ ]+").cast("int")
-    n_sents = _count_matches(norm, _SENT_RE).cast("int")
+    # r06: count via the linear boundary-split form (see
+    # sentence_split above) — _SENT_RE through the backtracking
+    # engine is the same pathological scan whether replacing or
+    # extracting; size-of-filtered-pieces is the identical count
+    n_sents = F.size(
+        F.filter(
+            F.split(norm, _SENT_BOUNDARY_RE),
+            lambda s: s.rlike(_SENT_CONTENT_RE),
+        )
+    ).cast("int")
     n_syll = _count_matches(F.lower(norm), "[aeiouy]+").cast("int")
     wps = n_words.cast("double") / F.greatest(n_sents, F.lit(1)).cast("double")
     spw = n_syll.cast("double") / F.greatest(n_words, F.lit(1)).cast("double")

@@ -61,7 +61,11 @@ WHERE round(o / (len(ta.ts) + len(tb.ts) - o), 6) >= 0.4
 
 # -------------------------------------------------- dedup: MinHash LSH (rows-only)
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
-    return dedup.minhash_lsh_pairs(load(spark, sf, "documents"), threshold=0.4)
+    # spread_scan: signature hashing is per-row compute bound by the
+    # input's single row group otherwise (r06; 0.38 -> 0.23 s at sf1.0)
+    return dedup.minhash_lsh_pairs(
+        spread_scan(load(spark, sf, "documents"), key="doc_id"), threshold=0.4
+    )
 
 
 def q_dedup_incremental_lsh(spark: SparkSession, sf: str) -> DataFrame:
@@ -896,6 +900,10 @@ def q_extract_markdown(spark: SparkSession, sf: str) -> DataFrame:
     rules), so the oracle reconstructs the exact Markdown string."""
     from ..operators.markdown import extract_markdown
 
+    # r06: no spread_scan here — extract_markdown's prepare() already
+    # repartitions; npartitions is pinned to cores*2 below instead of
+    # prepare's cores*8 default (50k ~1KB pages over-fragment at 256
+    # tasks: per-task Python batch overhead dominated, 7.5 -> 3.3 s)
     docs = load(spark, sf, "documents")
     i_s = F.col("doc_id").cast("string")
     html = F.concat(
@@ -924,7 +932,8 @@ def q_extract_markdown(spark: SparkSession, sf: str) -> DataFrame:
         F.col("text"),
         F.col("lang"),
     )
-    md = extract_markdown(pages)
+    nparts = 2 * spark.sparkContext.defaultParallelism
+    md = extract_markdown(pages, npartitions=nparts)
     return md.select(
         F.substring("url", 7, 100).cast("bigint").alias("doc_id"),
         F.col("markdown"),
@@ -990,7 +999,7 @@ def q_sentences(spark: SparkSession, sf: str) -> DataFrame:
     IDENTICAL split."""
     from ..operators.textstats import sentence_rows
 
-    return sentence_rows(load(spark, sf, "documents"))
+    return sentence_rows(spread_scan(load(spark, sf, "documents"), key="doc_id"))
 
 
 ORACLE["sentences"] = r"""
@@ -1535,7 +1544,7 @@ def q_page_links(spark: SparkSession, sf: str) -> DataFrame:
     resolution end to end rather than mirroring the regex."""
     from ..operators.links import page_links
 
-    pages = _synth_pages(load(spark, sf, "documents"))
+    pages = _synth_pages(spread_scan(load(spark, sf, "documents"), key="doc_id"))
     return page_links(pages).select(
         F.regexp_extract(F.col("src"), "/d/([0-9]+)/", 1)
         .cast("bigint")
@@ -1637,7 +1646,7 @@ def q_normalize_urls(spark: SparkSession, sf: str) -> DataFrame:
     derivation."""
     from ..operators.links import normalize_url
 
-    docs = load(spark, sf, "documents")
+    docs = spread_scan(load(spark, sf, "documents"), key="doc_id")
     i = F.col("doc_id").cast("string")
     raw = (
         F.when(
@@ -1942,7 +1951,7 @@ def q_c4_filters(spark: SparkSession, sf: str) -> DataFrame:
     an extra sentence on %23). clean_md5 pins the kept bytes."""
     from ..operators.filters import c4_clean
 
-    docs = load(spark, sf, "documents")
+    docs = spread_scan(load(spark, sf, "documents"), key="doc_id")
     aug = F.concat_ws(
         "\n",
         F.concat(F.col("text"), F.lit(" ends with a period.")),
@@ -2028,7 +2037,7 @@ def q_remove_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
     exact duplicate docs collapse to n_removed_words == n_words."""
     from ..operators.filters import remove_duplicate_spans
 
-    out = remove_duplicate_spans(load(spark, sf, "documents"), n=10)
+    out = remove_duplicate_spans(spread_scan(load(spark, sf, "documents"), key="doc_id"), n=10)
     return out.select(
         "doc_id",
         "n_words",
@@ -2487,7 +2496,7 @@ def q_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     byte-identically (the q_redact_pii idiom)."""
     from ..operators.filters import dedup_lines_within_doc
 
-    docs = load(spark, sf, "documents")
+    docs = spread_scan(load(spark, sf, "documents"), key="doc_id")
     aug = F.concat(
         F.col("text"),
         F.when(
@@ -2613,7 +2622,7 @@ def q_script_stats(spark: SparkSession, sf: str) -> DataFrame:
     away from latin. Pure codegen regex counting, zero shuffles."""
     from ..operators.textstats import script_counts
 
-    docs = load(spark, sf, "documents")
+    docs = spread_scan(load(spark, sf, "documents"), key="doc_id")
     aug = F.concat(
         F.col("text"),
         F.when(F.col("doc_id") % 3 == 0, F.lit(" привет мир")).otherwise(
@@ -2772,7 +2781,7 @@ def q_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
     IEEE ops."""
     from ..operators.hashvec import hashed_tf_embedding
 
-    docs = load(spark, sf, "documents")
+    docs = spread_scan(load(spark, sf, "documents"), key="doc_id")
     return hashed_tf_embedding(docs, dim=16)
 
 
@@ -3810,7 +3819,7 @@ def q_sitemap_entries(spark: SparkSession, sf: str) -> DataFrame:
     unescaping, and the null/double contracts end to end."""
     from ..operators.sitemap import sitemap_entries
 
-    docs = load(spark, sf, "documents")
+    docs = spread_scan(load(spark, sf, "documents"), key="doc_id")
     d = F.col("doc_id")
     site = F.concat(
         F.lit("https://s"), (d % 5).cast("string"), F.lit(".example.com")
