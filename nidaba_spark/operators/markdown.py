@@ -117,10 +117,9 @@ def extract_markdown(
     """pages(url, warc_ts, html, text, lang) → Markdown documents,
     through the pipeline's prepare → decode → segment stages."""
     from ..pipeline import prepare
-    from .decode import decode_stage
-    from .segment import segment_stage
+    from .segment import decode_segment_stage
 
     slim = pages.select("url", "warc_ts", "html", "text", "lang")
-    return markdown_stage(
-        segment_stage(decode_stage(prepare(slim, nsalt, npartitions)))
-    )
+    # r06: fused decode+segment (one Python pass instead of two —
+    # byte-identical; see decode_segment_stage)
+    return markdown_stage(decode_segment_stage(prepare(slim, nsalt, npartitions)))

@@ -80,3 +80,74 @@ def segment_stage(decoded: DataFrame) -> DataFrame:
     return decoded.select(*_CARRY, "body").mapInPandas(
         _segment_batches, schema=schemas.SEGMENTED
     )
+
+
+def _decode_segment_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from pyspark import TaskContext
+
+    from ..functions.charset import decode_bytes
+    from ..functions.pdfx import is_pdfx
+    from ..functions.textnorm import normalize_text
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for pdf in batches:
+        doctypes: list[str] = []
+        charsets: list[str] = []
+        n_bytes: list[int] = []
+        fallbacks: list[str] = []
+        out_blocks: list[list[dict]] = []
+        for raw, crawler_text in zip(pdf["html"], pdf["text"]):
+            raw = bytes(raw) if raw is not None else b""
+            if not raw:
+                doctype, charset, body = "empty", "empty", ""
+            elif is_pdfx(raw):
+                doctype = "pdf"
+                body, charset = decode_bytes(raw)
+            else:
+                doctype = "html"
+                body, charset = decode_bytes(raw)
+            doctypes.append(doctype)
+            charsets.append(charset)
+            n_bytes.append(len(raw))
+            fallbacks.append(
+                normalize_text(crawler_text) if isinstance(crawler_text, str) else ""
+            )
+            if doctype == "pdf":
+                out_blocks.append(_pdf_blocks(body))
+            elif doctype == "html" and body:
+                out_blocks.append([vars(b) for b in segment_html(body)])
+            else:
+                out_blocks.append([])
+        yield pd.DataFrame(
+            {
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "lang": pdf["lang"],
+                "doctype": doctypes,
+                "charset": charsets,
+                "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                "length_bucket": pdf["length_bucket"],
+                "fallback_text": fallbacks,
+                "blocks": out_blocks,
+                "_pid": pd.Series([pid] * len(pdf), dtype="int32"),
+            }
+        )
+
+
+def decode_segment_stage(pages: DataFrame) -> DataFrame:
+    """pages (+length_bucket) → SEGMENTED in ONE Python pass — the
+    fused twin of ``segment_stage(decode_stage(pages))`` (guide §4:
+    each separate mapInPandas stage round-trips the full decoded body
+    JVM→Python→JVM; fusing halves the Arrow transfers and the pandas
+    materializations). Byte-identical by construction: the loop body
+    is decode_stage's followed by segment_stage's, and with no shuffle
+    between the stages the partition ids — and therefore ``_pid`` —
+    are the same. Used by extract_markdown; the checkpointed Pipeline
+    keeps the separate stages (its stage boundaries are checkpoints).
+    Pinned by tests/test_markdown.py::test_fused_decode_segment_equals_staged.
+    """
+    cols = ["url", "warc_ts", "html", "text", "lang", "length_bucket"]
+    return pages.select(*cols).mapInPandas(
+        _decode_segment_batches, schema=schemas.SEGMENTED
+    )

@@ -129,3 +129,20 @@ def test_pre_fence_grows_past_content_backticks(spark):
         "`````\nuse ``` to open and ````raw```` to nest\n`````"
         "\n\n```\nno ticks at all\n```"
     )
+
+
+def test_fused_decode_segment_equals_staged(spark, pages_path):
+    # r06 optimization: decode+segment fused into one Python pass for
+    # extract_markdown — must stay byte-identical to the staged
+    # composition (same loop bodies, same partitioning, same _pid)
+    from nidaba_spark.operators.decode import decode_stage
+    from nidaba_spark.operators.segment import decode_segment_stage, segment_stage
+    from nidaba_spark.pipeline import prepare
+
+    pages = spark.read.parquet(pages_path).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    prepared = prepare(pages, nsalt=16, npartitions=4)
+    staged = sorted(map(repr, segment_stage(decode_stage(prepared)).collect()))
+    fused = sorted(map(repr, decode_segment_stage(prepared).collect()))
+    assert staged and staged == fused
