@@ -203,9 +203,36 @@ def extract(
         # DISK_ONLY: the checkpoint blocks ride the OS page cache instead
         # of competing with execution memory for heap (MEMORY_AND_DISK
         # OOMed the 16g local JVM at 500k pages under 32 readers).
-        ext0 = fused_extract_stage(
-            prepared, metrics, with_text=False
-        ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        #
+        # r06 (VERDICT r05 next #5): AQE is disabled around the
+        # lazy-localCheckpoint build. Dataset.checkpoint calls
+        # queryExecution.toRdd, and an ADAPTIVE phase-1 plan
+        # materializes its shuffle query stage EAGERLY at that point —
+        # billing the whole corpus scan + shuffle write to plan-build
+        # time and paying an extra job barrier + re-planning pass. AQE
+        # buys phase 1 nothing (explicit repartition N is never
+        # coalesced; there is no join to skew-split), so the
+        # non-adaptive plan is identical work minus the barrier.
+        # Measured paired at the 50k bench corpus: plan_sec 1.0-1.5 ->
+        # 0.2-0.3 s with equal-or-better totals. The session conf is
+        # restored immediately; downstream plans (fallback join,
+        # callers' aggregates) are created after restore and keep AQE.
+        # Conf knob: spark.nidaba.checkpointAqe=on forces the old
+        # behavior (single-threaded driver assumption documented —
+        # concurrent extract() builds from driver threads would race
+        # the toggle; jobs/ submit entry points build sequentially).
+        spark = pages.sparkSession
+        ckpt_aqe = spark.conf.get("spark.nidaba.checkpointAqe", "off") == "on"
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        if not ckpt_aqe:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            ext0 = fused_extract_stage(
+                prepared, metrics, with_text=False
+            ).localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+        finally:
+            if not ckpt_aqe:
+                spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         ok = ext0.filter(F.col("n_blocks_kept") > 0)
         needy = ext0.filter(F.col("n_blocks_kept") == 0).select(
             "url", "warc_ts", "lang", "doctype", "n_blocks_dropped"
