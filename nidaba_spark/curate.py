@@ -333,6 +333,18 @@ def curate(
     # starts from that stage boundary instead of re-extracting —
     # jobs/full_corpus_job.py is the end-to-end user. `pages` may then
     # be None.
+    if stitch_pagination and pre_extracted is not None:
+        # loud failure, matching extract()'s unknown-mode ValueError:
+        # the stitch needs the raw html pages (rel=next/prev link
+        # declarations), so silently skipping it here let callers
+        # believe multi-page articles were reassembled when nothing
+        # happened (ADVICE r05 #2)
+        raise ValueError(
+            "stitch_pagination=True requires the raw pages path; it "
+            "cannot run from pre_extracted (no html to read "
+            "pagination declarations from) — stitch before the "
+            "Pipeline checkpoint, or curate from pages"
+        )
     if blocked_hosts is not None or blocked_url_patterns:
         from .operators.hoststats import filter_blocked
 

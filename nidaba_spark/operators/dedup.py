@@ -53,7 +53,10 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return (
         docs.groupBy(
             F.xxhash64(F.col(text_col)).alias("text_hash"),
-            F.length(F.col(text_col)).alias("_len"),
+            # octet_length, matching the documented 'byte length' and
+            # report.py's twin guard — F.length counts CHARS and
+            # diverged from both for multi-byte texts (ADVICE r05 #4)
+            F.octet_length(F.col(text_col)).alias("_len"),
         )
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -473,9 +476,17 @@ def _lsh_meta(spark, path: str) -> tuple[int, int, int, int]:
     """(num_hashes, bands, pbuckets, shingle_k) stored contract; a
     legacy index written before shingle_k was recorded reads back the
     then-hardwired default 3."""
-    df = spark.read.parquet(path + "/_meta")
+    # mergeSchema: a legacy index (3-column _meta batches) appended to
+    # with the 4-column format must not depend on WHICH file Spark
+    # samples for the schema — without it, sampling a new-format file
+    # surfaces legacy rows as shingle_k=NULL and a legitimately
+    # consistent index nondeterministically reads as 'mixed layouts'
+    # (ADVICE r05 #1). NULL shingle_k always means the legacy
+    # hardwired default 3, so coalesce before building the set.
+    df = spark.read.option("mergeSchema", "true").parquet(path + "/_meta")
     cols = ["num_hashes", "bands", "pbuckets"]
     if "shingle_k" in df.columns:
+        df = df.withColumn("shingle_k", F.coalesce(F.col("shingle_k"), F.lit(3)))
         cols.append("shingle_k")
     metas = {tuple(r) for r in df.select(*cols).distinct().collect()}
     if len(metas) != 1:

@@ -196,6 +196,7 @@ def parse_warc_records_located(data: bytes):
         # truncated-tail case the whole parser family tolerates; a
         # non-aligned MIDDLE member is structural and fails loudly.
         pending = None
+        saw_warc_member = False
         for m in _iter_gzip_members(data):
             if pending is not None:
                 moff, mlen, raw = pending
@@ -207,6 +208,7 @@ def parse_warc_records_located(data: bytes):
                         "it with parse_warc_records/read_warc_pages "
                         "instead" % moff
                     )
+                saw_warc_member = True
                 for headers, payload, _o, _l in _parse_plain_located(raw):
                     yield headers, payload, moff, mlen
             pending = m
@@ -215,8 +217,21 @@ def parse_warc_records_located(data: bytes):
             if raw.startswith(b"WARC/"):
                 for headers, payload, _o, _l in _parse_plain_located(raw):
                     yield headers, payload, moff, mlen
-            # else: truncated/corrupt tail member — tolerated, like
-            # the non-located parsers
+            elif not saw_warc_member:
+                # a SOLE non-WARC member is not a truncated tail — it
+                # is the not-member-aligned (or not-WARC-at-all) case,
+                # and tolerating it silently yields zero records from
+                # the whole file (ADVICE r05 #3); the lenient tail
+                # path only applies once earlier members proved the
+                # archive member-aligned
+                raise ValueError(
+                    "gzip member at offset %d does not start a WARC "
+                    "record and is the archive's only member: not a "
+                    "member-aligned WARC — read it with "
+                    "parse_warc_records/read_warc_pages instead" % moff
+                )
+            # else: truncated/corrupt tail member after >=1 aligned
+            # member — tolerated, like the non-located parsers
     else:
         yield from _parse_plain_located(data)
 

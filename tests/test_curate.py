@@ -1040,3 +1040,17 @@ def test_stitch_tie_prefers_informative_declaration(spark):
             [para("alpha"), para("bravo"), para("charlie")]
         )
     }
+
+
+def test_stitch_pagination_with_pre_extracted_raises(spark):
+    # ADVICE r05 #2: the stitch needs raw html; silently skipping it
+    # under pre_extracted misled callers — now a loud ValueError
+    import pytest as _pytest
+
+    from nidaba_spark import curate as _c
+
+    ext = spark.createDataFrame(
+        [("u", "t", "en")], "url string, text string, lang string"
+    )
+    with _pytest.raises(ValueError, match="stitch_pagination"):
+        _c.curate(None, pre_extracted=ext, stitch_pagination=True)

@@ -183,3 +183,27 @@ def test_incremental_determinism(split):
         ).collect()
     )
     assert a == b
+
+
+def test_legacy_meta_append_not_mixed(tmp_path, spark):
+    # ADVICE r05 #1: appending a new 4-column _meta batch beside a
+    # legacy 3-column one must NOT read as 'mixed layouts' (the legacy
+    # NULL shingle_k means the then-hardwired default 3), regardless
+    # of which file Spark samples for the schema
+    import pyspark.sql.functions as F
+
+    from nidaba_spark.operators.dedup import _lsh_meta, write_lsh_index
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "), F.col("id").cast("string")).alias("text"),
+    )
+    path = str(tmp_path / "idx")
+    write_lsh_index(docs.filter("doc_id % 2 = 0"), path, batch_id="b0")
+    # simulate the legacy layout: rewrite b0's meta without shingle_k
+    spark.createDataFrame(
+        [(64, 16, 64)], "num_hashes int, bands int, pbuckets int"
+    ).write.mode("overwrite").parquet(f"{path}/_meta/batch=b0")
+    # append a new-format batch (validates against the stored contract)
+    write_lsh_index(docs.filter("doc_id % 2 = 1"), path, batch_id="b1")
+    assert _lsh_meta(spark, path) == (64, 16, 64, 3)

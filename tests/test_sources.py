@@ -639,3 +639,25 @@ def test_located_parser_rejects_unaligned_members():
     # same bad bytes as the LAST member: tolerated as a truncated tail
     got = list(parse_warc_records_located(good + misaligned))
     assert len(got) == 1
+
+
+def test_warc_gzip_sole_misaligned_member_raises():
+    # ADVICE r05 #3: a single-member archive whose payload does not
+    # start a WARC record must fail loudly, not silently yield zero
+    # records — the lenient truncated-tail path only applies after at
+    # least one earlier member proved the archive member-aligned
+    import gzip
+
+    import pytest as _pytest
+
+    from nidaba_spark.sources.rawfiles import (
+        parse_warc_records_located,
+        wet_record_bytes,
+    )
+
+    rec = wet_record_bytes("https://a.org/x", "2024-01-01T00:00:00Z", "hello")
+    sole_bad = gzip.compress(rec[10:], 6, mtime=0)
+    with _pytest.raises(ValueError, match="only member"):
+        list(parse_warc_records_located(sole_bad))
+    # the aligned single-member archive still parses
+    assert len(list(parse_warc_records_located(gzip.compress(rec, 6, mtime=0)))) == 1
