@@ -2241,7 +2241,7 @@ u AS (
   FROM q),
 h AS (
   SELECT regexp_replace(regexp_extract(lower(trim(url)),
-             '^(?:[a-z][a-z0-9+.-]*://|//)?(?:[^@/?#]*@)?(\[[^\]]*\]|[^:/?#]+)', 1),
+             '^(?:[a-z][a-z0-9+.-]*://|//)?(?:[^@/?#]*@)?(\\[[^\\]]*\\]|[^:/?#]+)', 1),
              '^www\\.', '') AS host,
          quality
   FROM u),
