@@ -62,9 +62,13 @@ WHERE round(o / (len(ta.ts) + len(tb.ts) - o), 6) >= 0.4
 # -------------------------------------------------- dedup: MinHash LSH (rows-only)
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # spread_scan: signature hashing is per-row compute bound by the
-    # input's single row group otherwise (r06; 0.38 -> 0.23 s at sf1.0)
+    # input's single row group otherwise (r06; 0.38 -> 0.23 s at sf1.0).
+    # min_bytes: shingle+minhash is cheap per byte, so below ~2 MiB the
+    # exchange costs more than it buys (0.15 unspread vs 0.35 s spread
+    # at the 595 KB sf0.1 table — r06 A/B).
     return dedup.minhash_lsh_pairs(
-        spread_scan(load(spark, sf, "documents"), key="doc_id"), threshold=0.4
+        spread_scan(load(spark, sf, "documents"), key="doc_id", min_bytes=2 << 20),
+        threshold=0.4,
     )
 
 
@@ -2781,7 +2785,11 @@ def q_hashed_embedding(spark: SparkSession, sf: str) -> DataFrame:
     IEEE ops."""
     from ..operators.hashvec import hashed_tf_embedding
 
-    docs = spread_scan(load(spark, sf, "documents"), key="doc_id")
+    # min_bytes: one explode+16-way agg is cheap per byte — below
+    # ~2 MiB the spread exchange is pure overhead (0.25 unspread vs
+    # 0.37 s spread at the 595 KB sf0.1 table, with 3 s GC-pressure
+    # outliers — r06 A/B); at 10x the bytes spreading won 1.02→0.73 s.
+    docs = spread_scan(load(spark, sf, "documents"), key="doc_id", min_bytes=2 << 20)
     return hashed_tf_embedding(docs, dim=16)
 
 

@@ -661,3 +661,22 @@ def test_warc_gzip_sole_misaligned_member_raises():
         list(parse_warc_records_located(sole_bad))
     # the aligned single-member archive still parses
     assert len(list(parse_warc_records_located(gzip.compress(rec, 6, mtime=0)))) == 1
+
+
+def test_spread_scan_min_bytes_gate(spark):
+    # r06: cheap-per-byte callers gate the spread exchange on a
+    # plan-time size floor — below it the input comes back unchanged
+    # (same object, no Exchange); at/above it (or with the default 0)
+    # the scan is redistributed to >= defaultParallelism partitions.
+    from nidaba_spark.sources.tables import load, spread_scan
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    gated = spread_scan(docs, key="doc_id", min_bytes=1 << 40)
+    assert gated is docs  # below the floor: untouched, zero Exchange
+    spread = spread_scan(docs, key="doc_id", min_bytes=1)
+    cores = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() >= cores
+    # rows are a permutation, never altered
+    assert sorted(r.doc_id for r in spread.select("doc_id").collect()) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
