@@ -363,19 +363,56 @@ def curriculum_order(
 
     Scale shape: one map-side-combined per-pack aggregate (rows =
     number of packs, ~corpus_tokens/budget — already millions of
-    times smaller than the corpus), then a rank window over that
-    SMALL aggregate. The window is a single partition BY DESIGN: at
-    100 TB / 8k-token packs that is ~10^7 64-byte rows on one
-    executor, fine; the corpus itself never enters the window."""
+    times smaller than the corpus), then a RANGE-PARTITIONED rank
+    over that aggregate (r06; removes the tree's last data-bearing
+    Exchange SinglePartition): packs range-partition on (mean_score,
+    pack_id), each partition ranks its own sorted slice, and the
+    per-partition row counts — P driver rows, the pack_assignments
+    idiom — shift every slice by the number of packs in earlier
+    ranges. At 100 TB / 8k-token packs the ~10^7 aggregate rows sort
+    P-way instead of on one reducer; the corpus itself never enters
+    the window either way."""
+    spark = packed.sparkSession
     agg = packed.groupBy(pack_col).agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_tokens").alias("pack_tokens"),
         F.round(F.avg(score_col), 6).alias("mean_score"),
     )
     key = F.desc("mean_score") if descending else F.asc("mean_score")
-    w = Window.orderBy(key, F.asc(pack_col))
-    return agg.withColumn(
-        "curriculum_pos", F.row_number().over(w) - F.lit(1)
+    order = [key, F.asc(pack_col)]
+    n = spark.sparkContext.defaultParallelism * 2
+    part = (
+        agg.repartitionByRange(n, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        # same materialize-once pin as pack_assignments: the counts
+        # collect and the output job must read the SAME physical
+        # partitions (a re-run would re-sample the range partitioner)
+        .localCheckpoint(eager=False)
+    )
+    totals = {
+        r["_pid"]: r["c"]
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(totals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += totals.get(pid, 0)
+    offsets_df = spark.createDataFrame(offsets, "_pid int, _offset long")
+    w = Window.partitionBy("_pid").orderBy(*order)
+    return (
+        part.join(F.broadcast(offsets_df), "_pid")
+        .withColumn(
+            "curriculum_pos",
+            # int and NON-NULLABLE, matching the pre-r06 plain
+            # row_number() - 1 schema (the coalesce is a runtime no-op
+            # — the inner join guarantees _offset — but restores the
+            # non-null flag the join-sourced column loses)
+            F.coalesce(
+                F.row_number().over(w) - F.lit(1) + F.col("_offset"), F.lit(0)
+            ).cast("int"),
+        )
+        .drop("_pid", "_offset")
     )
 
 

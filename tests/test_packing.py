@@ -177,3 +177,45 @@ def test_curriculum_order_semantics(spark):
         for r in curriculum_order(df, descending=True).collect()
     }
     assert [desc[p] for p in (0, 2, 3, 1)] == [0, 1, 2, 3]
+
+
+def test_curriculum_order_matches_global_window_rank(spark):
+    # r06: the range-partitioned rank (partition-local row_number +
+    # driver offsets) must equal the old single-partition global
+    # window bit-for-bit — across many range partitions, with heavy
+    # mean_score ties straddling partition boundaries, both orders.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nidaba_spark.operators.packing import curriculum_order
+
+    rows = [
+        # 400 packs; scores collide in groups of 8 so range boundaries
+        # land inside tie runs and only pack_id breaks the order
+        (p, d, 10 + d, float((p // 8) % 13) / 13.0)
+        for p in range(400)
+        for d in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "pack_id long, doc long, n_tokens long, quality double"
+    )
+    for descending in (False, True):
+        got = curriculum_order(df, descending=descending)
+        key = F.desc("mean_score") if descending else F.asc("mean_score")
+        ref = (
+            df.groupBy("pack_id")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tokens").alias("pack_tokens"),
+                F.round(F.avg("quality"), 6).alias("mean_score"),
+            )
+            .withColumn(
+                "curriculum_pos",
+                F.row_number().over(Window.orderBy(key, F.asc("pack_id")))
+                - F.lit(1),
+            )
+        )
+        assert got.schema == ref.schema
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
