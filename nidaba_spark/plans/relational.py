@@ -150,10 +150,14 @@ def q_top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
     # (pruning does not fully push through RepartitionByExpression),
     # then spread_scan so the partial WindowGroupLimit sort runs
     # cluster-wide instead of on the input's 2 row-group tasks
-    # (guide §2.2/§2.4; measured 2.20 -> 1.53 s at sf1.0, plans/r06)
+    # (guide §2.2/§2.4; measured 2.20 -> 1.53 s at sf1.0, plans/r06).
+    # min_bytes on the PROJECTED estimate (1.1 MB at sf0.1, ~11 MB at
+    # sf1.0): a window sort is cheap per byte, and at sf0.1 the extra
+    # exchange read 0.25 vs 0.21 s unspread (r06 A/B).
     orders = spread_scan(
         load(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
         key="o_orderkey",
+        min_bytes=4 << 20,
     )
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
     return (
