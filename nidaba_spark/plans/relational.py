@@ -148,15 +148,20 @@ GROUP BY c_mktsegment
 def q_top_orders_per_customer(spark: SparkSession, sf: str) -> DataFrame:
     # r06: explicit 3-column projection BEFORE the spread exchange
     # (pruning does not fully push through RepartitionByExpression),
-    # then spread_scan so the partial WindowGroupLimit sort runs
-    # cluster-wide instead of on the input's 2 row-group tasks
-    # (guide §2.2/§2.4; measured 2.20 -> 1.53 s at sf1.0, plans/r06).
+    # then spread_scan so the window sort runs cluster-wide instead
+    # of on the input's 2 row-group tasks (guide §2.2/§2.4).
+    # Keyed on o_custkey — the WINDOW's partition key — so the spread
+    # IS the window's required distribution and the plan keeps ONE
+    # Exchange (keyed on o_orderkey the window re-shuffled everything:
+    # 2 Exchanges, and the partial WindowGroupLimit cut almost nothing
+    # with ~10 orders/customer scattered across partitions; measured
+    # at the 1.5M-row twin: noop 1.04 -> 0.66 s, identical rows).
     # min_bytes on the PROJECTED estimate (1.1 MB at sf0.1, ~11 MB at
     # sf1.0): a window sort is cheap per byte, and at sf0.1 the extra
     # exchange read 0.25 vs 0.21 s unspread (r06 A/B).
     orders = spread_scan(
         load(spark, sf, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
-        key="o_orderkey",
+        key="o_custkey",
         min_bytes=4 << 20,
     )
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
